@@ -1,0 +1,46 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table access layer over the driver-generated parquet dirs
+  * (`/root/testdata/sf*`, see TESTDATA.md).
+  *
+  * Mirrors the reference's managed-table catalog
+  * (`/root/reference/config/aml_config.py:34-94`: per-user database, tables
+  * loaded from parquet/csv and read back with `spark.read.table`) — here a
+  * parquet-dir-backed registry plus temp views, since the Delta jar is not in
+  * the environment.
+  *
+  * Scale note: `spark.read.parquet` gives Spark's vectorized columnar scan
+  * with predicate pushdown and column pruning; at 100 TB the same call reads a
+  * partitioned directory tree and Catalyst prunes partitions — nothing here
+  * assumes single-file inputs.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every testdata table as a temp view (reference pattern:
+    * `createOrReplaceTempView`, `01_aml_network_analysis.py:147,206`). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
+
+/** Minimal managed-table catalog: overwrite-parquet + re-register view.
+  * Covers the reference's `df.write.format("delta").mode('overwrite')
+  * .saveAsTable(...)` (`01_aml_network_analysis.py:245`) and
+  * `option("overwriteSchema","true")` (a no-op for overwrite-by-path parquet).
+  */
+final class Catalog(spark: SparkSession, warehouseDir: String) {
+  def save(name: String, df: DataFrame): Unit = {
+    val path = s"$warehouseDir/$name"
+    df.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView(name)
+  }
+  def table(name: String): DataFrame = spark.table(name)
+  def drop(name: String): Unit = spark.catalog.dropTempView(name)
+}

@@ -1,0 +1,329 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QDef
+import graft.engine.Tables
+
+/** Relational operator coverage (SURVEY.md §2.2–§2.6, §2.9) re-expressed over
+  * the driver testdata. Each query cites the reference construct it
+  * transposes. All plans are declarative DataFrame chains so Catalyst gets
+  * predicate pushdown, column pruning, and join selection for free
+  * (SURVEY.md §4); small dimension tables are broadcast explicitly.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** TPC-H Q1-shaped pricing summary: scan → filter (pushed to parquet) →
+    * hash agg with partial/final → sort. Covers grouped sum/count/avg and
+    * arithmetic over columns (reference: grouped counts at
+    * `01_aml_network_analysis.py:60-63`, amount arithmetic at `:319`). */
+  private val q01 = QDef(
+    "q01_pricing_summary",
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1999-09-01"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+            round(sum(l_quantity),2) AS sum_qty,
+            round(sum(l_extendedprice),2) AS sum_base_price,
+            round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+            round(avg(l_discount),6) AS avg_disc,
+            CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-09-01'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus"""))
+
+  /** Scalar-function projection in the shape of the reference's address
+    * normalization (`02_aml_address_verification.py:29`: chained `translate`)
+    * plus `coalesce` (`01_aml_network_analysis.py:456`) and floor/cast
+    * (`:396`). Whole-stage-codegen'd projection, no shuffle. */
+  private val q02 = QDef(
+    "q02_scalar_norm",
+    (s, dir) => {
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          translate(translate(col("c_name"), "#", " "), "0", "O").as("name_norm"),
+          translate(col("c_mktsegment"), " ", "+").as("segment_url"),
+          coalesce(col("c_acctbal"), lit(0.0)).as("acctbal"),
+          (col("c_acctbal") / 2 + 10).as("half_risk"),
+          floor(col("c_acctbal")).cast("long").as("acct_floor"),
+          col("c_nationkey").cast("long").as("nation"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey,
+            translate(translate(c_name,'#',' '),'0','O') AS name_norm,
+            translate(c_mktsegment,' ','+') AS segment_url,
+            coalesce(c_acctbal, 0.0) AS acctbal,
+            c_acctbal/2 + 10 AS half_risk,
+            CAST(floor(c_acctbal) AS BIGINT) AS acct_floor,
+            CAST(c_nationkey AS BIGINT) AS nation
+            FROM customer ORDER BY c_custkey"""))
+
+  /** Flagship: "entities sharing an attribute value that occurs more than
+    * once" (`01_aml_network_analysis.py:52-68`) — groupBy+HAVING derived set,
+    * IN-subquery semi-join (Catalyst: RewritePredicateSubquery → LeftSemi),
+    * ordered output. The shared attribute is the hundred-dollar account
+    * bucket. */
+  private val q03 = QDef(
+    "q03_shared_attr",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val bucket = floor(col("c_acctbal") / 100)
+      val dups = c.groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
+      c.join(dups, bucket === dups("bucket"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+            WHERE floor(c_acctbal/100) IN (
+              SELECT floor(c_acctbal/100) FROM customer
+              GROUP BY 1 HAVING count(*) > 1)
+            ORDER BY c_custkey"""))
+
+  /** Multi-way star join with broadcast dimensions (reference: 4-way entity
+    * lookups `01_aml_network_analysis.py:331-358`). lineitem⋈orders shuffles
+    * on the fact key; customer⋈nation⋈region is broadcast — at 100 TB the
+    * fact-fact join is the only shuffle and AQE picks its partitioning. */
+  private val q04 = QDef(
+    "q04_revenue_by_nation",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1999-01-01"))
+      val dims = t(s, dir, "customer")
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name").isin("ASIA", "EUROPE"))
+        .select(col("c_custkey"), col("n_name"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    },
+    Some("""SELECT n_name,
+            round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+            CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name IN ('ASIA','EUROPE')
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1999-01-01'
+            GROUP BY n_name ORDER BY n_name"""))
+
+  /** Conditional aggregation + HAVING (reference: `count(case when
+    * type='Person' then 1 end) … having person_ct > 1`,
+    * `01_aml_network_analysis.py:170-173`). */
+  private val q05 = QDef(
+    "q05_cond_agg",
+    (s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
+          round(sum(when(col("o_orderstatus") === "O", col("o_totalprice")).otherwise(0.0)), 2).as("open_value"))
+        .filter(col("n_orders") > 10)
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+            CAST(count(*) AS BIGINT) AS n_orders,
+            CAST(count(CASE WHEN o_orderstatus='F' THEN 1 END) AS BIGINT) AS n_finished,
+            round(sum(CASE WHEN o_orderstatus='O' THEN o_totalprice ELSE 0.0 END),2) AS open_value
+            FROM orders GROUP BY o_orderpriority
+            HAVING count(*) > 10 ORDER BY o_orderpriority"""))
+
+  /** UNION-with-dedup edge building, exactly the identity-graph construction
+    * shape of `01_aml_network_analysis.py:91-107` (SQL UNION dedups; the
+    * DataFrame equivalent is union + distinct, SURVEY.md §2.5). Node ids are
+    * disambiguated into one long key space. */
+  private val q06 = QDef(
+    "q06_edges_union",
+    (s, dir) => {
+      val c = t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("src"),
+        (col("c_nationkey").cast("long") + 1000000L).as("dst"),
+        lit("cust_nation").as("rel"))
+      val sp = t(s, dir, "supplier").select(
+        (col("s_suppkey").cast("long") + 2000000L).as("src"),
+        (col("s_nationkey").cast("long") + 1000000L).as("dst"),
+        lit("supp_nation").as("rel"))
+      c.union(sp).distinct().orderBy("src", "dst", "rel")
+    },
+    Some("""SELECT CAST(c_custkey AS BIGINT) AS src,
+                   CAST(c_nationkey + 1000000 AS BIGINT) AS dst,
+                   'cust_nation' AS rel FROM customer
+            UNION
+            SELECT CAST(s_suppkey + 2000000 AS BIGINT),
+                   CAST(s_nationkey + 1000000 AS BIGINT),
+                   'supp_nation' FROM supplier
+            ORDER BY src, dst, rel"""))
+
+  /** Window function: top-3 orders per customer (not used by the reference —
+    * SURVEY.md §2.6 notes window fns as engine surface). Single shuffle on
+    * the partition key. */
+  private val q07 = QDef(
+    "q07_window_topk",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders) t
+            WHERE rn <= 3 ORDER BY o_custkey, rn"""))
+
+  /** Join + groupBy + HAVING + ORDER BY pipeline (reference synth-score shape
+    * `01_aml_network_analysis.py:217-228`). */
+  private val q08 = QDef(
+    "q08_order_stats_having",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_spend"))
+        .filter(col("n_orders") >= 12)
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name,
+            CAST(count(*) AS BIGINT) AS n_orders,
+            round(sum(o_totalprice),2) AS total_spend
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+            HAVING count(*) >= 12 ORDER BY c_custkey"""))
+
+  /** Global sort + limit (reference: `order by email_addr`
+    * `01_aml_network_analysis.py:66`; `head`/`take` driver-side limits,
+    * SURVEY.md §2.6). Spark plans this as TakeOrderedAndProject — no full
+    * sort at scale. */
+  private val q09 = QDef(
+    "q09_top10_orders",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")),
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""))
+
+  /** INTERSECT (SURVEY.md §2.5 'free via .intersect'). */
+  private val q10 = QDef(
+    "q10_intersect",
+    (s, dir) => {
+      val building = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val finished = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F").select(col("o_custkey").as("c_custkey"))
+      building.intersect(finished).orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey FROM customer WHERE c_mktsegment='BUILDING'
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_orderstatus='F'
+            ORDER BY c_custkey"""))
+
+  /** EXCEPT (set difference): customers who never placed a 'P' order also
+    * doubles as the NOT-EXISTS/anti-join shape (SURVEY.md §2.3). */
+  private val q11 = QDef(
+    "q11_except_anti",
+    (s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"))
+      val p = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "P").select(col("o_custkey").as("c_custkey"))
+      c.except(p).orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey FROM customer
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_orderstatus='P'
+            ORDER BY c_custkey"""))
+
+  /** ROLLUP grouping sets (SURVEY.md §2.4 'free via df.rollup'). Null
+    * grouping indicators are coalesced so NULL-ordering differences between
+    * engines cannot bite. */
+  private val q12 = QDef(
+    "q12_rollup",
+    (s, dir) => {
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .rollup(col("c_mktsegment"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("value"))
+        .select(
+          coalesce(col("c_mktsegment"), lit("(all)")).as("segment"),
+          coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          col("n"), col("value"))
+        .orderBy("segment", "status")
+    },
+    Some("""SELECT coalesce(c_mktsegment,'(all)') AS segment,
+                   coalesce(o_orderstatus,'(all)') AS status,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(o_totalprice),2) AS value
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY ROLLUP (c_mktsegment, o_orderstatus)
+            ORDER BY segment, status"""))
+
+  /** DISTINCT projection (reference `:100-106,:277-288`), over two tables. */
+  private val q13 = QDef(
+    "q13_distinct_proj",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_custkey").cast("long").as("custkey"), col("o_orderstatus").as("status"))
+        .distinct()
+        .orderBy("custkey", "status"),
+    Some("""SELECT DISTINCT CAST(o_custkey AS BIGINT) AS custkey,
+                   o_orderstatus AS status
+            FROM orders ORDER BY custkey, status"""))
+
+  /** Per-group stats on part: min/max/avg and BIGINT-cast max over an int32
+    * column (cast surface, SURVEY.md §2.2). */
+  private val q14 = QDef(
+    "q14_part_brand_stats",
+    (s, dir) =>
+      t(s, dir, "part")
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg(col("p_retailprice")), 2).as("avg_price"),
+          round(min(col("p_retailprice")), 2).as("min_price"),
+          round(max(col("p_retailprice")), 2).as("max_price"),
+          max(col("p_size")).cast("long").as("max_size"))
+        .orderBy("p_brand"),
+    Some("""SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+                   round(avg(p_retailprice),2) AS avg_price,
+                   round(min(p_retailprice),2) AS min_price,
+                   round(max(p_retailprice),2) AS max_price,
+                   CAST(max(p_size) AS BIGINT) AS max_size
+            FROM part GROUP BY p_brand ORDER BY p_brand"""))
+
+  val all: Seq[QDef] =
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14)
+}
