@@ -1,0 +1,100 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components on DataFrames via the alternating
+  * large-star / small-star algorithm (Kiveris et al., "Connected Components
+  * in MapReduce and Beyond", SoCC'14) — the same O(log n)-round family
+  * GraphFrames uses for the reference's `g.connectedComponents()`
+  * (`/root/reference/01_aml_network_analysis.py:144-147`).
+  *
+  * Unlike GraphFrames' opaque partition-encoded longs (e.g. `68719476738`,
+  * reference `:212`), the returned component id is the **minimum member id**
+  * — deterministic and oracle-checkable (SURVEY.md §7.4).
+  *
+  * Scale design: each round is two self-shuffles on the node id
+  * (groupBy-min + join), edge count never grows beyond O(m), rounds are
+  * O(log n), and lineage is truncated with `localCheckpoint` per round —
+  * the reference's `setCheckpointDir` pattern (`:122,145`) built into the
+  * operator. Works for any orderable id type (long ids in our testdata;
+  * `least/greatest/min` are type-generic).
+  */
+object ConnectedComponents {
+
+  def run(g: PropertyGraph, maxIter: Int = 25): DataFrame = {
+    val assign = runOnEdges(g.edges, maxIter)
+    g.vertices
+      .join(assign, Seq("id"), "left_outer")
+      .withColumn("component", coalesce(col("component"), col("id")))
+  }
+
+  /** Core loop over an edge list; returns `(id, component)` for every node
+    * that appears in an edge (isolated vertices are handled by the caller's
+    * left join + coalesce). */
+  def runOnEdges(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    var e = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = e.select(explode(array(col("src"), col("dst"))).as("id"))
+      .distinct()
+      .localCheckpoint()
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      converged = fingerprint(next) == fingerprint(e)
+      e = next
+      iter += 1
+    }
+
+    // At convergence the edge set is a star per component, every edge
+    // pointing (member -> minimum id). Roots map to themselves.
+    val assign = e.select(col("src").as("id"), col("dst").as("component"))
+    nodes.join(assign, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** Large-star: connect every strictly-larger neighbor of u to
+    * m = min(Γ⁺(u)). Keeps component minima flowing outward without ever
+    * growing the edge set beyond O(m). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val bidir = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val mins = bidir.groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src").as("u"), least(col("mn"), col("src")).as("m"))
+    bidir.join(mins, bidir("src") === mins("u"))
+      .where(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Small-star: orient edges large→small; connect each smaller neighbor
+    * (and u itself) to the minimum smaller neighbor. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val dir = e.select(
+        greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    val mins = dir.groupBy("u").agg(min("v").as("m"))
+    dir.join(mins, "u")
+      .select(col("v").as("src"), col("m").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .union(mins.select(col("u").as("src"), col("m").as("dst")))
+      .distinct()
+  }
+
+  /** Cheap convergence check: (row count, XOR-combined xxhash64 checksum) of
+    * the edge set — one aggregate job instead of a full EXCEPT diff per
+    * round. XOR is order-independent and cannot overflow (the edge set is
+    * distinct, so XOR cancellation of duplicates cannot occur). */
+  private def fingerprint(e: DataFrame): (Long, Long) = {
+    val row = e.select(xxhash64(col("src"), col("dst")).as("h"))
+      .agg(count(lit(1)).as("c"), coalesce(expr("bit_xor(h)"), lit(0L)).as("x"))
+      .head()
+    (row.getLong(0), row.getLong(1))
+  }
+}

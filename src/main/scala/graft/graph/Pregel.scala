@@ -1,0 +1,96 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DataFrame-native Pregel: a driver-coordinated superstep loop where each
+  * superstep is one declarative Spark job (triplet join → message aggregate →
+  * vertex update). Mirrors the GraphFrames builder the reference uses for
+  * risk propagation (`/root/reference/01_aml_network_analysis.py:450-459`):
+  *
+  * {{{
+  * g.pregel
+  *   .withVertexColumn("risk_score", col("risk"),
+  *     coalesce(Pregel.msg + col("risk"), col("risk_score")))
+  *   .sendMsgToDst(Pregel.src("risk_score"))
+  *   .aggMsgs(sum(Pregel.msg))
+  *   .setMaxIter(3)
+  *   .run()
+  * }}}
+  *
+  * Message expressions reference triplet sides via `Pregel.src("col")` /
+  * `Pregel.dst("col")` / `Pregel.edge("col")`; the aggregate and update
+  * expressions reference the combined message via `Pregel.msg`.
+  *
+  * Scale design: per superstep — edges join vertex state on src (and dst
+  * only when a dst-referencing message needs it), messages hash-aggregate on
+  * the target id (map-side partial agg), vertex state left-joins the
+  * aggregated messages. State lineage is truncated per superstep with
+  * `localCheckpoint` (the reference's checkpoint pattern, `:122,145`);
+  * nothing materializes on the driver.
+  */
+final class Pregel private[graph] (g: PropertyGraph) {
+  private var maxIter = 1
+  private var vcName: String = _
+  private var vcInit: Column = _
+  private var vcUpdate: Column = _
+  private var msgToDst: Option[Column] = None
+  private var msgToSrc: Option[Column] = None
+  private var aggExpr: Column = sum(Pregel.msg)
+
+  def withVertexColumn(name: String, init: Column, update: Column): Pregel = {
+    vcName = name; vcInit = init; vcUpdate = update; this
+  }
+  def sendMsgToDst(msg: Column): Pregel = { msgToDst = Some(msg); this }
+  def sendMsgToSrc(msg: Column): Pregel = { msgToSrc = Some(msg); this }
+  def aggMsgs(agg: Column): Pregel = { aggExpr = agg; this }
+  def setMaxIter(n: Int): Pregel = { maxIter = n; this }
+
+  def run(): DataFrame = {
+    require(vcName != null, "withVertexColumn is required")
+    require(msgToDst.nonEmpty || msgToSrc.nonEmpty,
+      "at least one of sendMsgToDst/sendMsgToSrc is required")
+
+    val eCols = g.edges.columns.toSeq
+    var v = g.vertices.withColumn(vcName, vcInit).localCheckpoint()
+
+    // Join only the triplet sides the message expressions actually read —
+    // skipping an unused dst-state join halves the per-superstep shuffle.
+    // (Spark 4's Column hides its expression tree, so inspect the printed
+    // unresolved form, where Pregel.src("x") renders as `src.x`.)
+    def references(side: String): Boolean =
+      (msgToDst.toSeq ++ msgToSrc.toSeq)
+        .exists(_.toString.matches(s"(?s).*\\b$side\\.\\w.*"))
+    val (needSrc, needDst) = (references("src"), references("dst"))
+
+    for (_ <- 1 to maxIter) {
+      val vCols = v.columns.toSeq
+      val vs = v.select(struct(vCols.map(col): _*).as("src"))
+      val vd = v.select(struct(vCols.map(col): _*).as("dst"))
+      var triplets = g.edges
+        .select(struct(eCols.map(col): _*).as("edge"))
+      if (needSrc) triplets = triplets.join(vs, col("edge.src") === col("src.id"))
+      if (needDst) triplets = triplets.join(vd, col("edge.dst") === col("dst.id"))
+      val sends = Seq(
+        msgToDst.map(m => triplets.select(col("edge.dst").as("__vid"), m.as("_pregel_msg"))),
+        msgToSrc.map(m => triplets.select(col("edge.src").as("__vid"), m.as("_pregel_msg")))
+      ).flatten.reduce(_ union _)
+      val msgs = sends.groupBy("__vid").agg(aggExpr.as("_pregel_msg"))
+      v = v.join(msgs, v("id") === msgs("__vid"), "left_outer")
+        .withColumn(vcName, vcUpdate)
+        .drop("__vid", "_pregel_msg")
+        .localCheckpoint()
+    }
+    v
+  }
+}
+
+object Pregel {
+  /** The combined (post-aggregation) message in update expressions, or the
+    * raw message in `aggMsgs` expressions. NULL for vertices that received
+    * no message — the reference handles this with `coalesce` (`:456`). */
+  val msg: Column = col("_pregel_msg")
+  def src(colName: String): Column = col(s"src.$colName")
+  def dst(colName: String): Column = col(s"dst.$colName")
+  def edge(colName: String): Column = col(s"edge.$colName")
+}

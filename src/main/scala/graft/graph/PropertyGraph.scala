@@ -1,0 +1,62 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Property graph over two DataFrames, mirroring the reference's
+  * `GraphFrame(vertices, edges)` construction
+  * (`/root/reference/01_aml_network_analysis.py:109,292,441`).
+  *
+  * Column contract: `vertices` has an `id` column (plus attributes);
+  * `edges` has `src` and `dst` columns (plus attributes). Both stay
+  * distributed DataFrames throughout — every graph operator below is a
+  * declarative Spark plan (joins/aggregations), so Catalyst handles
+  * pushdown, broadcast selection and AQE at any scale.
+  */
+final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
+  require(vertices.columns.contains("id"), "vertices must have an 'id' column")
+  require(edges.columns.contains("src") && edges.columns.contains("dst"),
+    "edges must have 'src' and 'dst' columns")
+
+  /** Per-vertex edge count over both endpoints (undirected degree), the
+    * reference's `g.degrees` (`01_aml_network_analysis.py:123`).
+    * One explode + one hash aggregation: a single shuffle on the vertex id,
+    * partial map-side combine for free. */
+  def degrees: DataFrame =
+    edges.select(explode(array(col("src"), col("dst"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+
+  /** In-degree (edges arriving at each vertex). */
+  def inDegrees: DataFrame =
+    edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("inDegree"))
+
+  /** Out-degree (edges leaving each vertex). */
+  def outDegrees: DataFrame =
+    edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("outDegree"))
+
+  /** Graph pattern matching, the reference's `g.find("(a)-[e]->(b); …")`
+    * (`01_aml_network_analysis.py:308-311,376-377`). See [[Motif]]. */
+  def find(pattern: String): DataFrame = Motif.find(this, pattern)
+
+  /** Connected components with ids normalized to `min(member id)`
+    * (`01_aml_network_analysis.py:144-147`). See [[ConnectedComponents]]. */
+  def connectedComponents(maxIter: Int = 25): DataFrame =
+    ConnectedComponents.run(this, maxIter)
+
+  /** Superstep message-passing builder (`01_aml_network_analysis.py:450-459`).
+    * See [[Pregel]]. */
+  def pregel: Pregel = new Pregel(this)
+
+  /** Keep only vertices satisfying `cond`, dropping edges touching removed
+    * vertices (the reference's degree-1 shrink keeps the subgraph valid,
+    * `01_aml_network_analysis.py:119-127`). Two semi-joins against the kept
+    * vertex set — broadcast-able when the kept set is small. */
+  def filterVertices(cond: org.apache.spark.sql.Column): PropertyGraph = {
+    val keep = vertices.filter(cond)
+    val ids = keep.select(col("id"))
+    val e = edges
+      .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+      .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+    PropertyGraph(keep, e)
+  }
+}

@@ -1,0 +1,235 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QDef
+import graft.engine.Tables
+import graft.graph.{ConnectedComponents, Motif, Pregel, PropertyGraph}
+
+/** Graph operator coverage (SURVEY.md §2.7) over the driver testdata.
+  *
+  * Two graphs are derived deterministically from the TPC-H-ish tables:
+  *
+  *  - the **shared-attribute identity graph**: bipartite Person↔Attr, where
+  *    an Attr node is a hundred-dollar account-balance bucket — transposing
+  *    the reference's identity graph of shared address/email/phone
+  *    (`/root/reference/01_aml_network_analysis.py:91-107`);
+  *  - the **pseudo-transaction graph**: directed customer→customer edges
+  *    derived from orders (beneficiary = deterministic hash of the order
+  *    key), carrying `txn_id` and `amount` — transposing the transaction
+  *    graph of `01_aml_network_analysis.py:264-292`.
+  *
+  * Component ids are normalized to min(member id) and every output is
+  * totally ordered, so the DuckDB oracle (recursive-CTE reachability /
+  * unrolled supersteps) matches bit-for-bit (SURVEY.md §7.4).
+  */
+object GraphQueries {
+
+  private final val AttrBase = 10000000L
+
+  /** Bipartite identity graph: customers + acctbal-bucket attribute nodes. */
+  private def sharedAttrGraph(s: SparkSession, dir: String): PropertyGraph = {
+    val c = Tables.load(s, dir, "customer")
+    val persons = c.select(
+      col("c_custkey").cast("long").as("id"),
+      col("c_name").as("name"),
+      lit("Person").as("type"))
+    val attrs = c.select(
+      (lit(AttrBase) + floor(col("c_acctbal") / 100)).as("id"),
+      lit(null).cast("string").as("name"),
+      lit("Attr").as("type")).distinct()
+    val edges = c.select(
+      col("c_custkey").cast("long").as("src"),
+      (lit(AttrBase) + floor(col("c_acctbal") / 100)).as("dst"))
+    PropertyGraph(persons.union(attrs), edges)
+  }
+
+  private val sharedAttrEdgesSql =
+    """SELECT CAST(c_custkey AS BIGINT) AS src,
+       CAST(10000000 + floor(c_acctbal/100) AS BIGINT) AS dst FROM customer"""
+
+  /** Directed pseudo-transaction graph derived from orders. The beneficiary
+    * key is `1 + (o_orderkey*7919) mod max(c_custkey)` — deterministic and
+    * SQL-expressible on both engines. */
+  private def txnGraph(s: SparkSession, dir: String): PropertyGraph = {
+    val c = Tables.load(s, dir, "customer")
+    val nCust: Long = c.agg(max(col("c_custkey"))).head.getLong(0)
+    val verts = c.select(
+      col("c_custkey").as("id"),
+      col("c_name").as("name"),
+      floor(col("c_acctbal")).cast("long").as("risk"))
+    val edges = Tables.load(s, dir, "orders").select(
+        col("o_custkey").as("src"),
+        (lit(1L) + (col("o_orderkey") * lit(7919L)) % lit(nCust)).as("dst"),
+        col("o_orderkey").as("txn_id"),
+        col("o_totalprice").as("amount"))
+      .where(col("src") =!= col("dst"))
+    PropertyGraph(verts, edges)
+  }
+
+  private val txnEdgesSql =
+    """SELECT * FROM (
+         SELECT o_custkey AS src,
+                1 + (o_orderkey * 7919) % (SELECT max(c_custkey) FROM customer) AS dst,
+                o_orderkey AS txn_id, o_totalprice AS amount
+         FROM orders) WHERE src <> dst"""
+
+  /** Undirected degrees (`g.degrees`, reference `:123-124`): one explode +
+    * one hash agg — a single shuffle regardless of scale. */
+  private val q15 = QDef(
+    "q15_degrees",
+    (s, dir) => sharedAttrGraph(s, dir).degrees.orderBy("id"),
+    Some(s"""WITH e AS ($sharedAttrEdgesSql)
+             SELECT id, CAST(count(*) AS BIGINT) AS degree
+             FROM (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)
+             GROUP BY id ORDER BY id"""))
+
+  /** Connected components with min-id normalization (reference `:144-147`).
+    * Oracle: recursive-CTE reachability + min over the reachable set. */
+  private val q16 = QDef(
+    "q16_connected_components",
+    (s, dir) => sharedAttrGraph(s, dir)
+      .connectedComponents()
+      .select(col("id"), col("component"))
+      .orderBy("id"),
+    Some(s"""WITH RECURSIVE
+             e AS ($sharedAttrEdgesSql),
+             eb AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+             nodes AS (SELECT DISTINCT src AS id FROM eb),
+             reach(root, node) AS (
+               SELECT id, id FROM nodes
+               UNION
+               SELECT r.root, eb.dst FROM reach r JOIN eb ON r.node = eb.src),
+             comp AS (SELECT root AS id, min(node) AS component
+                      FROM reach GROUP BY root)
+             SELECT id, component FROM comp ORDER BY id"""))
+
+  /** Structuring/smurfing fan-in motif (reference 5-edge motif + threshold,
+    * `:308-319`): two senders into one beneficiary with combined amount over
+    * a threshold. Compiled to ordinary equi-joins; no rounding — both
+    * engines sum identical doubles. */
+  private val q17 = QDef(
+    "q17_motif_fanin",
+    (s, dir) => txnGraph(s, dir)
+      .find("(a)-[e1]->(m); (b)-[e2]->(m)")
+      .filter(col("a.id") < col("b.id") &&
+        (col("e1.amount") + col("e2.amount")) > 300000)
+      .select(
+        col("a.id").as("a_id"), col("b.id").as("b_id"), col("m.id").as("m_id"),
+        col("e1.txn_id").as("txn1"), col("e2.txn_id").as("txn2"),
+        (col("e1.amount") + col("e2.amount")).as("total"))
+      .orderBy("a_id", "b_id", "txn1", "txn2"),
+    Some(s"""WITH e AS ($txnEdgesSql)
+             SELECT x.src AS a_id, y.src AS b_id, x.dst AS m_id,
+                    x.txn_id AS txn1, y.txn_id AS txn2,
+                    x.amount + y.amount AS total
+             FROM e x JOIN e y ON x.dst = y.dst
+             WHERE x.src < y.src AND x.amount + y.amount > 300000
+             ORDER BY a_id, b_id, txn1, txn2"""))
+
+  /** Round-tripping cycle motif (reference 4-cycle `:376-399`, here a
+    * 3-cycle): money returning to its origin. The repeated vertex names bind
+    * via join predicates, not re-scans (SURVEY.md §7.4 risk 3). */
+  private val q18 = QDef(
+    "q18_motif_cycle",
+    (s, dir) => txnGraph(s, dir)
+      .find("(a)-[e1]->(b); (b)-[e2]->(c); (c)-[e3]->(a)")
+      .filter(col("a.id") < col("b.id") && col("a.id") < col("c.id"))
+      .select(
+        col("a.id").as("a_id"), col("b.id").as("b_id"), col("c.id").as("c_id"),
+        col("e1.txn_id").as("txn1"), col("e2.txn_id").as("txn2"),
+        col("e3.txn_id").as("txn3"),
+        (col("e1.amount") + col("e2.amount") + col("e3.amount")).as("total"))
+      .orderBy("a_id", "b_id", "c_id", "txn1", "txn2", "txn3"),
+    Some(s"""WITH e AS ($txnEdgesSql)
+             SELECT x.src AS a_id, y.src AS b_id, z.src AS c_id,
+                    x.txn_id AS txn1, y.txn_id AS txn2, z.txn_id AS txn3,
+                    x.amount + y.amount + z.amount AS total
+             FROM e x
+             JOIN e y ON x.dst = y.src
+             JOIN e z ON y.dst = z.src AND z.dst = x.src
+             WHERE x.src < y.src AND x.src < z.src
+             ORDER BY a_id, b_id, c_id, txn1, txn2, txn3"""))
+
+  /** Risk propagation: 3 Pregel supersteps, sum-combined messages,
+    * `coalesce(msg + risk, old)` update — the exact shape of reference
+    * `:450-459`. Integer risk keeps both engines bit-exact (no float
+    * summation order issues). Oracle: 3 unrolled join+agg supersteps. */
+  private val q19 = QDef(
+    "q19_pregel_risk",
+    (s, dir) => txnGraph(s, dir)
+      .pregel
+      .withVertexColumn("risk_score", col("risk"),
+        coalesce(Pregel.msg + col("risk"), col("risk_score")))
+      .sendMsgToDst(Pregel.src("risk_score"))
+      .aggMsgs(sum(Pregel.msg))
+      .setMaxIter(3)
+      .run()
+      .select(col("id"), col("risk"), col("risk_score"))
+      .orderBy("id"),
+    Some(s"""WITH e AS ($txnEdgesSql),
+             v0 AS (SELECT c_custkey AS id,
+                           CAST(floor(c_acctbal) AS BIGINT) AS risk,
+                           CAST(floor(c_acctbal) AS BIGINT) AS rs
+                    FROM customer),
+             m1 AS (SELECT e.dst AS id, CAST(sum(v0.rs) AS BIGINT) AS s
+                    FROM e JOIN v0 ON e.src = v0.id GROUP BY e.dst),
+             v1 AS (SELECT v0.id, v0.risk, coalesce(m1.s + v0.risk, v0.rs) AS rs
+                    FROM v0 LEFT JOIN m1 ON v0.id = m1.id),
+             m2 AS (SELECT e.dst AS id, CAST(sum(v1.rs) AS BIGINT) AS s
+                    FROM e JOIN v1 ON e.src = v1.id GROUP BY e.dst),
+             v2 AS (SELECT v1.id, v1.risk, coalesce(m2.s + v1.risk, v1.rs) AS rs
+                    FROM v1 LEFT JOIN m2 ON v1.id = m2.id),
+             m3 AS (SELECT e.dst AS id, CAST(sum(v2.rs) AS BIGINT) AS s
+                    FROM e JOIN v2 ON e.src = v2.id GROUP BY e.dst),
+             v3 AS (SELECT v2.id, v2.risk, coalesce(m3.s + v2.risk, v2.rs) AS rs
+                    FROM v2 LEFT JOIN m3 ON v2.id = m3.id)
+             SELECT id, risk, rs AS risk_score FROM v3 ORDER BY id"""))
+
+  /** Full synthetic-identity pipeline (reference `:119-228`): degrees →
+    * prune attribute nodes of degree 1 → connected components → per-component
+    * Person/Attr counts, keeping multi-person components (`having
+    * person_ct > 1`, `:173`). */
+  private val q20 = QDef(
+    "q20_synth_identity",
+    (s, dir) => {
+      val g = sharedAttrGraph(s, dir)
+      val deg = g.degrees
+      val keepV = g.vertices.join(deg, Seq("id"), "left_outer")
+        .where(col("type") === "Person" || coalesce(col("degree"), lit(0L)) > 1)
+        .drop("degree")
+      val keepIds = keepV.select(col("id"))
+      val keepE = g.edges
+        .join(keepIds.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .join(keepIds.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      ConnectedComponents.run(PropertyGraph(keepV, keepE))
+        .groupBy(col("component"))
+        .agg(
+          count(when(col("type") === "Person", 1)).as("person_ct"),
+          count(when(col("type") === "Attr", 1)).as("attr_ct"))
+        .filter(col("person_ct") > 1)
+        .orderBy("component")
+    },
+    Some(s"""WITH RECURSIVE
+             e AS ($sharedAttrEdgesSql),
+             ep AS (SELECT src, dst FROM e WHERE dst IN
+                      (SELECT dst FROM e GROUP BY dst HAVING count(*) > 1)),
+             eb AS (SELECT src, dst FROM ep UNION ALL SELECT dst, src FROM ep),
+             nodes AS (SELECT src AS id FROM eb
+                       UNION SELECT CAST(c_custkey AS BIGINT) FROM customer),
+             reach(root, node) AS (
+               SELECT id, id FROM nodes
+               UNION
+               SELECT r.root, eb.dst FROM reach r JOIN eb ON r.node = eb.src),
+             comp AS (SELECT root AS id, min(node) AS component
+                      FROM reach GROUP BY root)
+             SELECT component,
+                    CAST(count(CASE WHEN id < 1000000 THEN 1 END) AS BIGINT) AS person_ct,
+                    CAST(count(CASE WHEN id >= 1000000 THEN 1 END) AS BIGINT) AS attr_ct
+             FROM comp GROUP BY component
+             HAVING count(CASE WHEN id < 1000000 THEN 1 END) > 1
+             ORDER BY component"""))
+
+  val all: Seq[QDef] = Seq(q15, q16, q17, q18, q19, q20)
+}

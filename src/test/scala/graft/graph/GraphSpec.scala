@@ -1,0 +1,111 @@
+package graft.graph
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class MotifSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def g = PropertyGraph(
+    Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "name"),
+    Seq((1L, 2L, 10.0), (2L, 3L, 20.0), (3L, 1L, 30.0), (1L, 3L, 40.0))
+      .toDF("src", "dst", "amount"))
+
+  test("single-edge motif returns every edge with struct columns") {
+    val out = g.find("(a)-[e]->(b)")
+    assert(out.columns.toSeq == Seq("a", "e", "b"))
+    assert(out.count() == 4)
+    val row = out.filter(col("e.amount") === 40.0)
+      .select(col("a.name"), col("b.name")).head()
+    assert(row.getString(0) == "x" && row.getString(1) == "z")
+  }
+
+  test("cycle motif binds repeated vertex names via join predicates") {
+    val cycles = g.find("(a)-[e1]->(b); (b)-[e2]->(c); (c)-[e3]->(a)")
+    assert(cycles.count() == 3) // the one 3-cycle, in each rotation
+    val canonical = cycles.filter(col("a.id") < col("b.id") && col("a.id") < col("c.id"))
+    assert(canonical.count() == 1)
+  }
+
+  test("anonymous edges and vertices are supported") {
+    assert(g.find("(a)-[]->(b)").columns.toSeq == Seq("a", "b"))
+    assert(g.find("(a)-[]->()").count() == 4)
+  }
+
+  test("negated term anti-joins (no reverse edge)") {
+    val out = g.find("(a)-[e]->(b); !(b)-[]->(a)")
+    // 1->3 and 3->1 are mutual; 1->2 and 2->3 have no reverse edge
+    assert(out.select(col("e.src"), col("e.dst")).as[(Long, Long)].collect().toSet ==
+      Set((1L, 2L), (2L, 3L)))
+  }
+
+  test("fan-in motif with shared target") {
+    val fanIn = g.find("(a)-[e1]->(m); (b)-[e2]->(m)")
+      .filter(col("a.id") < col("b.id"))
+    // shared targets: 3 receives from 2 and 1
+    assert(fanIn.select(col("m.id")).as[Long].collect().toSeq == Seq(3L))
+  }
+
+  test("unparseable pattern is rejected") {
+    intercept[IllegalArgumentException](g.find("(a)->[e]-(b)"))
+  }
+}
+
+class ConnectedComponentsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("components with isolated vertex and min-id normalization") {
+    val v = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("id")
+    val e = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val got = PropertyGraph(v, e).connectedComponents()
+      .select("id", "component").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 99L -> 99L))
+  }
+
+  test("long chain converges (multiple star rounds)") {
+    val n = 64
+    val v = (1L to n.toLong).toDF("id")
+    val e = (1L until n.toLong).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = PropertyGraph(v, e).connectedComponents()
+      .select("component").distinct().as[Long].collect().toSeq
+    assert(got == Seq(1L))
+  }
+
+  test("string ids work (orderable, not just numeric)") {
+    val v = Seq("a", "b", "c", "z").toDF("id")
+    val e = Seq(("b", "a"), ("b", "c")).toDF("src", "dst")
+    val got = PropertyGraph(v, e).connectedComponents()
+      .select("id", "component").as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "z" -> "z"))
+  }
+}
+
+class PregelSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("sum-combined risk propagation matches hand computation") {
+    val v = Seq((1L, 10L), (2L, 20L), (3L, 5L)).toDF("id", "risk")
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val out = PropertyGraph(v, e).pregel
+      .withVertexColumn("risk_score", col("risk"),
+        coalesce(Pregel.msg + col("risk"), col("risk_score")))
+      .sendMsgToDst(Pregel.src("risk_score"))
+      .aggMsgs(sum(Pregel.msg))
+      .setMaxIter(2)
+      .run()
+      .select("id", "risk_score").as[(Long, Long)].collect().toMap
+    // iter1: v2 = 10+20 = 30, v3 = 20+5 = 25; iter2: v2 = 10+20 = 30, v3 = 30+5 = 35
+    assert(out == Map(1L -> 10L, 2L -> 30L, 3L -> 35L))
+  }
+
+  test("degrees counts both endpoints") {
+    val g = PropertyGraph(
+      Seq(1L, 2L, 3L).toDF("id"),
+      Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst"))
+    val d = g.degrees.as[(Long, Long)].collect().toMap
+    assert(d == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    assert(g.inDegrees.as[(Long, Long)].collect().toMap == Map(2L -> 1L, 3L -> 2L))
+    assert(g.outDegrees.as[(Long, Long)].collect().toMap == Map(1L -> 2L, 2L -> 1L))
+  }
+}
