@@ -8,7 +8,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def modules: Seq[QDef] =
-    graft.queries.RelationalQueries.all
+    graft.queries.RelationalQueries.all ++
+      graft.queries.GraphQueries.all ++
+      graft.queries.ErQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The matching-attribute-entities query (SURVEY.md §7.2, reference

@@ -1,0 +1,224 @@
+package graft.er
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Config-driven entity resolution: blocked pairwise self-join → comparison
+  * (gamma) vectors → EM-fitted Fellegi–Sunter match probabilities.
+  *
+  * Re-expresses the surface the reference drives through Splink 2.1.14
+  * (`/root/reference/03_aml_entity_resolution.py:34-58,115-133`; SURVEY.md
+  * §2.8) on public knowledge: Fellegi & Sunter (1969), EM as described in
+  * the reference itself (`03_aml_entity_resolution.py:79`). Config-driven by
+  * design — the reference runs the same operator twice with different
+  * settings (`:115-133`).
+  */
+
+/** One comparison column. `fuzzy` adds a middle gamma level between exact
+  * match and disagreement; `termFrequency` enables the common-value weight
+  * correction at scoring time (splink's `term_frequency_adjustments`,
+  * reference `:41-47`). */
+final case class ComparisonColumn(
+    name: String,
+    fuzzy: Option[FuzzyLevel] = None,
+    termFrequency: Boolean = false) {
+  /** gamma levels: -1 null, 0 disagree, [1 fuzzy,] top = exact */
+  def numLevels: Int = if (fuzzy.isDefined) 3 else 2
+  def exactLevel: Int = numLevels - 1
+}
+
+sealed trait FuzzyLevel
+/** Jaro–Winkler similarity at or above `threshold` (splink 2.x default
+  * fuzzy comparison). */
+final case class JaroWinklerLevel(threshold: Double) extends FuzzyLevel
+/** Levenshtein edit distance at or below `maxDistance` (integer-exact,
+  * oracle-friendly). */
+final case class LevenshteinLevel(maxDistance: Int) extends FuzzyLevel
+
+/** Settings mirroring the splink settings dict the reference passes
+  * (`link_type: dedupe_only`, `blocking_rules`, `comparison_columns`). */
+final case class ErSettings(
+    uniqueId: String,
+    blockingRules: Seq[String], // SQL conditions over `l.` / `r.` aliases
+    comparisons: Seq[ComparisonColumn],
+    maxIter: Int = 20,
+    tol: Double = 1e-6,
+    initialLambda: Double = 0.1)
+
+/** Fitted Fellegi–Sunter parameters: P(gamma level | match) = m,
+  * P(gamma level | non-match) = u, overall match proportion lambda. */
+final case class FsParams(
+    lambda: Double,
+    m: Map[String, Array[Double]],
+    u: Map[String, Array[Double]])
+
+object Blocking {
+  /** Blocked pair generation (`dedupe_only` self-linkage): one equi-join per
+    * blocking rule — each rule MUST be an equality-anchored condition so
+    * Catalyst plans a hash join, never a cartesian — unioned and
+    * deduplicated, with `l.uid < r.uid` halving the pair space. Output
+    * columns are suffixed `_l` / `_r` (the splink convention, reference
+    * `:138`). */
+  def pairs(df: DataFrame, settings: ErSettings): DataFrame = {
+    val uid = settings.uniqueId
+    val outCols =
+      df.columns.map(c => col(s"l.$c").as(s"${c}_l")) ++
+        df.columns.map(c => col(s"r.$c").as(s"${c}_r"))
+    val perRule = settings.blockingRules.map { rule =>
+      df.as("l")
+        .join(df.as("r"), expr(rule) && col(s"l.$uid") < col(s"r.$uid"))
+        .select(outCols.toIndexedSeq: _*)
+    }
+    perRule.reduce(_ union _).dropDuplicates(s"${uid}_l", s"${uid}_r")
+  }
+}
+
+object Comparison {
+  /** Append one `gamma_<col>` level column per comparison (the comparison
+    * vector). Pure projections — whole-stage codegen'd, no shuffle. */
+  def withGammas(pairs: DataFrame, comparisons: Seq[ComparisonColumn]): DataFrame =
+    comparisons.foldLeft(pairs) { (d, c) =>
+      val l = col(s"${c.name}_l")
+      val r = col(s"${c.name}_r")
+      val base = when(l.isNull || r.isNull, lit(-1))
+        .when(l === r, lit(c.exactLevel))
+      val gamma = c.fuzzy match {
+        case None => base.otherwise(lit(0))
+        case Some(LevenshteinLevel(maxD)) =>
+          base.when(levenshtein(l, r) <= maxD, lit(1)).otherwise(lit(0))
+        case Some(JaroWinklerLevel(t)) =>
+          base.when(call_function("jaro_winkler", l, r) >= t, lit(1)).otherwise(lit(0))
+      }
+      d.withColumn(s"gamma_${c.name}", gamma)
+    }
+}
+
+object FellegiSunter {
+
+  /** P(level | params) as a when-chain over the gamma column; level -1
+    * (null) contributes a neutral factor of 1. */
+  private def levelProb(gamma: Column, probs: Array[Double]): Column =
+    probs.zipWithIndex.foldLeft(lit(1.0)) { case (acc, (p, g)) =>
+      when(gamma === g, lit(p)).otherwise(acc)
+    }
+
+  private def matchProbability(params: FsParams, comparisons: Seq[ComparisonColumn]): Column = {
+    val mProd = comparisons.map(c => levelProb(col(s"gamma_${c.name}"), params.m(c.name))).reduce(_ * _)
+    val uProd = comparisons.map(c => levelProb(col(s"gamma_${c.name}"), params.u(c.name))).reduce(_ * _)
+    val a = lit(params.lambda) * mProd
+    val b = lit(1.0 - params.lambda) * uProd
+    a / (a + b)
+  }
+
+  /** EM fit, the driver-coordinated loop of reference lifecycle §3.3: each
+    * iteration is ONE aggregate job (conditional sums for every
+    * (column, level) pair); only a handful of floats ever reach the driver,
+    * so the loop shape is scale-free. Callers should cache `gammas` first.
+    */
+  def fit(gammas: DataFrame, settings: ErSettings): FsParams = {
+    val cs = settings.comparisons
+    // init: skew m toward agreement, u toward disagreement
+    def initArr(n: Int, top: Double): Array[Double] = {
+      val rest = (1.0 - top) / (n - 1)
+      Array.tabulate(n)(g => if (g == n - 1) top else rest)
+    }
+    // m: mass on the top (exact) level; u: mass on level 0 (disagreement)
+    var params = FsParams(
+      settings.initialLambda,
+      cs.map(c => c.name -> initArr(c.numLevels, 0.9)).toMap,
+      cs.map(c => c.name -> initArr(c.numLevels, 0.9).reverse).toMap)
+
+    var iter = 0
+    var delta = Double.MaxValue
+    while (iter < settings.maxIter && delta > settings.tol) {
+      val aggs = Seq(sum(col("__p")).as("sum_p"), count(lit(1)).as("n")) ++
+        cs.flatMap { c =>
+          (0 until c.numLevels).flatMap { g =>
+            val hit = col(s"gamma_${c.name}") === g
+            Seq(
+              sum(when(hit, col("__p")).otherwise(0.0)).as(s"m_${c.name}_$g"),
+              sum(when(hit, lit(1.0) - col("__p")).otherwise(0.0)).as(s"u_${c.name}_$g"))
+          }
+        }
+      val row = gammas.withColumn("__p", matchProbability(params, cs))
+        .agg(aggs.head, aggs.tail: _*).head()
+      val sumP = row.getAs[Double]("sum_p")
+      val n = row.getAs[Long]("n").toDouble
+      def clamp(x: Double): Double = math.min(1 - 1e-9, math.max(1e-9, x))
+      val newM = cs.map { c =>
+        c.name -> Array.tabulate(c.numLevels)(g =>
+          clamp(row.getAs[Double](s"m_${c.name}_$g") / sumP))
+      }.toMap
+      val newU = cs.map { c =>
+        c.name -> Array.tabulate(c.numLevels)(g =>
+          clamp(row.getAs[Double](s"u_${c.name}_$g") / (n - sumP)))
+      }.toMap
+      val newParams = FsParams(clamp(sumP / n), newM, newU)
+      delta = math.abs(newParams.lambda - params.lambda) +
+        cs.map(c =>
+          (newParams.m(c.name) zip params.m(c.name)).map(t => math.abs(t._1 - t._2)).max max
+            (newParams.u(c.name) zip params.u(c.name)).map(t => math.abs(t._1 - t._2)).max).max
+      params = newParams
+      iter += 1
+    }
+    params
+  }
+
+  /** Score pairs with fitted params: `match_probability` plus `match_weight`
+    * (log2 Bayes factor). Term-frequency adjustment: for exact matches on a
+    * TF column, u is replaced by the observed frequency of the shared value
+    * (common values are weaker evidence), via a broadcast join against the
+    * per-value frequency table — splink's `term_frequency_adjustments`. */
+  def score(
+      gammas: DataFrame,
+      settings: ErSettings,
+      params: FsParams,
+      source: Option[DataFrame] = None): DataFrame = {
+    val cs = settings.comparisons
+    val withTf = cs.filter(_.termFrequency).foldLeft(gammas) { (d, c) =>
+      val src = source.getOrElse(
+        throw new IllegalArgumentException("termFrequency requires the source DataFrame"))
+      val tf = src.groupBy(col(c.name).as(s"${c.name}_l"))
+        .agg((count(lit(1)) / lit(src.count().toDouble)).as(s"__tf_${c.name}"))
+      d.join(broadcast(tf), Seq(s"${c.name}_l"), "left_outer")
+    }
+    val mProd = cs.map(c => levelProb(col(s"gamma_${c.name}"), params.m(c.name))).reduce(_ * _)
+    val uProd = cs.map { c =>
+      val base = levelProb(col(s"gamma_${c.name}"), params.u(c.name))
+      if (c.termFrequency)
+        when(col(s"gamma_${c.name}") === c.exactLevel,
+          greatest(coalesce(col(s"__tf_${c.name}"), lit(1e-9)), lit(1e-9)))
+          .otherwise(base)
+      else base
+    }.reduce(_ * _)
+    val a = lit(params.lambda) * mProd
+    val b = lit(1.0 - params.lambda) * uProd
+    withTf
+      .withColumn("match_probability", a / (a + b))
+      .withColumn("match_weight", log2((lit(params.lambda) * mProd) / (lit(1.0 - params.lambda) * uProd)))
+      .drop(cs.filter(_.termFrequency).map(c => s"__tf_${c.name}"): _*)
+  }
+}
+
+/** The end-to-end operator the reference calls
+  * `Splink(settings, df, spark).get_scored_comparisons()` (`:57-58`). */
+object EntityResolver {
+  def scoredComparisons(df: DataFrame, settings: ErSettings): (DataFrame, FsParams) = {
+    val gammas = Comparison.withGammas(Blocking.pairs(df, settings), settings.comparisons)
+      .persist()
+    val params = FellegiSunter.fit(gammas, settings)
+    val scored = FellegiSunter.score(gammas, settings, params, Some(df))
+    (scored, params)
+  }
+
+  /** Fitted parameters as a DataFrame (the reference's model diagnostics
+    * surface, `03_aml_entity_resolution.py:72-75`). */
+  def paramsAsDataFrame(spark: org.apache.spark.sql.SparkSession, params: FsParams): DataFrame = {
+    import spark.implicits._
+    params.m.keys.toSeq.sorted.flatMap { c =>
+      params.m(c).indices.map { g =>
+        (c, g, params.m(c)(g), params.u(c)(g), params.m(c)(g) / params.u(c)(g))
+      }
+    }.toDF("comparison", "gamma_level", "m", "u", "bayes_factor")
+  }
+}

@@ -1,0 +1,120 @@
+package graft.er
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.functions.JaroWinklerAlgo
+
+class JaroWinklerSpec extends SparkTestBase {
+
+  private def jw(a: String, b: String): Double = JaroWinklerAlgo.similarity(a, b)
+
+  test("classic published values (Winkler 1990)") {
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611) < 1e-3)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.8133) < 1e-3)
+    assert(math.abs(jw("DWAYNE", "DUANE") - 0.84) < 1e-3)
+  }
+
+  test("bounds and identities") {
+    assert(jw("abc", "abc") == 1.0)
+    assert(jw("", "") == 1.0)
+    assert(jw("abc", "") == 0.0)
+    assert(jw("abc", "xyz") == 0.0)
+    assert(jw("prefix_common", "prefix_other") > jw("common_prefix", "other_prefix"))
+  }
+
+  test("SQL function via GraftExtensions, codegen path") {
+    import spark.implicits._
+    val df = Seq(("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"), (null, "x"))
+      .toDF("a", "b")
+    val got = df.select(call_function("jaro_winkler", col("a"), col("b"))).collect()
+    assert(math.abs(got(0).getDouble(0) - 0.9611) < 1e-3)
+    assert(math.abs(got(1).getDouble(0) - 0.8133) < 1e-3)
+    assert(got(2).isNullAt(0)) // null-safe
+    val viaSql = spark.sql("SELECT jaro_winkler('MARTHA', 'MARHTA')").head().getDouble(0)
+    assert(math.abs(viaSql - 0.9611) < 1e-3)
+  }
+}
+
+class FellegiSunterSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val settings = ErSettings(
+    uniqueId = "unique_id",
+    blockingRules = Seq("l.block = r.block"),
+    comparisons = Seq(
+      ComparisonColumn("name", fuzzy = Some(LevenshteinLevel(1))),
+      ComparisonColumn("amount")))
+
+  // 4 true duplicate pairs (same name & amount) + noise records per block
+  private def df = Seq(
+    (1L, "alice", 100.0, 1L), (2L, "alice", 100.0, 1L), (3L, "zed", 55.0, 1L),
+    (4L, "bob", 200.0, 2L), (5L, "bob", 200.0, 2L), (6L, "kim", 77.0, 2L),
+    (7L, "carol", 300.0, 3L), (8L, "carol", 300.0, 3L), (9L, "dan", 42.0, 3L),
+    (10L, "erin", 400.0, 4L), (11L, "erin", 400.0, 4L), (12L, "fay", 13.0, 4L)
+  ).toDF("unique_id", "name", "amount", "block")
+
+  test("blocking generates within-block pairs, l < r, deduplicated") {
+    val pairs = Blocking.pairs(df, settings)
+    assert(pairs.count() == 12) // 4 blocks x C(3,2)
+    assert(pairs.filter(col("unique_id_l") >= col("unique_id_r")).count() == 0)
+    // multiple overlapping rules must not duplicate pairs
+    val multi = Blocking.pairs(df, settings.copy(
+      blockingRules = Seq("l.block = r.block", "l.amount = r.amount")))
+    assert(multi.count() == 12)
+  }
+
+  test("gamma levels: exact=top, fuzzy=middle, disagree=0, null=-1") {
+    val d = Seq(
+      (1L, "abc", 2L, "abc"),   // exact -> 2
+      (3L, "abc", 4L, "abd"),   // lev 1 -> 1
+      (5L, "abc", 6L, "xyz"),   // -> 0
+      (7L, null.asInstanceOf[String], 8L, "abc") // -> -1
+    ).toDF("unique_id_l", "name_l", "unique_id_r", "name_r")
+    val g = Comparison.withGammas(d, Seq(settings.comparisons.head))
+      .orderBy("unique_id_l")
+      .select("gamma_name").as[Int].collect().toSeq
+    assert(g == Seq(2, 1, 0, -1))
+  }
+
+  test("EM separates true duplicates from noise pairs") {
+    val (scored, params) = EntityResolver.scoredComparisons(df, settings)
+    val byPair = scored
+      .select("unique_id_l", "unique_id_r", "match_probability")
+      .as[(Long, Long, Double)].collect()
+      .map { case (l, r, p) => (l, r) -> p }.toMap
+    val dupPairs = Seq((1L, 2L), (4L, 5L), (7L, 8L), (10L, 11L))
+    val noisePairs = byPair.keySet -- dupPairs
+    val minDup = dupPairs.map(byPair).min
+    val maxNoise = noisePairs.map(byPair).max
+    assert(minDup > 0.9, s"true-duplicate probability too low: $minDup")
+    assert(maxNoise < 0.5, s"noise-pair probability too high: $maxNoise")
+    // fitted m should put most match mass on the exact level
+    assert(params.m("name").last > 0.9)
+    // monotonicity: full agreement beats partial agreement
+    assert(minDup > byPair.filter { case ((l, r), _) => noisePairs((l, r)) }.values.max)
+  }
+
+  test("match_weight is log2 of the Bayes factor and ranks with probability") {
+    val (scored, _) = EntityResolver.scoredComparisons(df, settings)
+    val rows = scored.select("match_probability", "match_weight")
+      .as[(Double, Double)].collect().sortBy(_._1)
+    val ws = rows.map(_._2)
+    assert(ws.zip(ws.tail).forall { case (a, b) => a <= b + 1e-12 })
+  }
+
+  test("term-frequency adjustment weakens matches on common values") {
+    val tfDf = Seq(
+      (1L, "smith", 1L), (2L, "smith", 1L), (3L, "smith", 2L), (4L, "smith", 2L),
+      (5L, "rare", 3L), (6L, "rare", 3L), (7L, "x", 4L), (8L, "y", 4L)
+    ).toDF("unique_id", "name", "block")
+    val tfSettings = ErSettings(
+      uniqueId = "unique_id",
+      blockingRules = Seq("l.block = r.block"),
+      comparisons = Seq(ComparisonColumn("name", termFrequency = true)))
+    val (scored, _) = EntityResolver.scoredComparisons(tfDf, tfSettings)
+    val p = scored.select("name_l", "match_probability")
+      .as[(String, Double)].collect().toMap
+    assert(p("rare") > p("smith"), "rare shared value must outweigh common one")
+  }
+}
