@@ -10,7 +10,8 @@ object SparkEntry {
   private def modules: Seq[QDef] =
     graft.queries.RelationalQueries.all ++
       graft.queries.GraphQueries.all ++
-      graft.queries.ErQueries.all
+      graft.queries.ErQueries.all ++
+      graft.queries.ExtQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The matching-attribute-entities query (SURVEY.md §7.2, reference

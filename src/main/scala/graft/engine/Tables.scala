@@ -21,8 +21,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+    // reader rejects; read nanos as long and truncate to Spark's native
+    // microsecond precision (floor — matches the oracle's epoch_ms floor).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
 
   /** Register every testdata table as a temp view (reference pattern:
     * `createOrReplaceTempView`, `01_aml_network_analysis.py:147,206`). */

@@ -1,0 +1,98 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over `array<float>` columns: exact cosine
+  * (sequential-order double arithmetic, so results are bit-comparable with a
+  * SQL oracle), brute-force top-k as the correctness baseline, and
+  * random-hyperplane LSH bucketing as the 100 TB scale path.
+  */
+object Similarity {
+
+  private def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Dot product via zip_with + left-to-right aggregate — same evaluation
+    * order as a plain loop, no shuffle, codegen'd. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k neighbors for a (small) query set: broadcast the
+    * queries, scan the corpus once, rank per query. The corpus is never
+    * shuffled — only the k·|queries| survivors move. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** All-pairs cosine ≥ threshold (embedding near-dup detection). O(n²) —
+    * intended for a pre-filtered subset; the scale path is [[lshBuckets]]
+    * candidates + this as the verifier. */
+  def neardupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_l"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("id_r"), col(vecCol).as("vb"))
+    a.join(b, col("id_l") < col("id_r"))
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_l", "id_r", "cosine")
+  }
+
+  /** Deterministic pseudo-random hyperplanes (splitmix64 over (plane, dim)),
+    * materialized as literal arrays — no fitting step, reproducible across
+    * runs and engines. */
+  def hyperplanes(numPlanes: Int, dim: Int): Seq[Array[Double]] =
+    (0 until numPlanes).map { p =>
+      Array.tabulate(dim) { d =>
+        var z = (p.toLong * 0x9E3779B97F4A7C15L) + (d.toLong * 0xBF58476D1CE4E5B9L) + 0x94D049BB133111EBL
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z = z ^ (z >>> 31)
+        // top 52 bits -> [0,1) -> [-1,1)
+        (z >>> 12).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+      }
+    }
+
+  /** Sign-of-projection LSH bucket id (Charikar random hyperplane LSH): one
+    * bit per hyperplane. Vectors in the same bucket are ANN candidates —
+    * bucket join replaces the O(n²) cross product at scale. */
+  def lshBucket(vecCol: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(vecCol, planeLit) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Bucketed ANN: assign corpus and queries to hyperplane buckets, join on
+    * the bucket, rank within it. Approximate — recall depends on bucket
+    * bit-width; verified against [[bruteForceTopK]] in unit tests. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, numPlanes: Int, dim: Int): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+}

@@ -1,0 +1,136 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document-deduplication operators for large-scale training-data pipelines:
+  * exact, n-gram Jaccard (brute candidate generation via a rare-shingle
+  * inverted index), MinHash+LSH, and SimHash. All are declarative
+  * DataFrame plans over built-in (codegen'd) functions — no UDFs — so the
+  * shuffles are the only cost and every candidate-generation join is an
+  * equi-join on a hash key.
+  *
+  * These extend the reference's dedup capability (Splink ER,
+  * `/root/reference/03_aml_entity_resolution.py`) with the content-hash
+  * family used for LLM corpus cleaning (MinHash/SimHash per Broder 1997 /
+  * Charikar 2002 — public algorithms).
+  */
+object TextDedup {
+
+  def words(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Distinct word n-gram shingles ("a b c" strings). Empty array when the
+    * document has fewer than n words (`sequence` would otherwise run
+    * backwards). */
+  def shingles(text: Column, n: Int): Column = {
+    val w = words(text)
+    when(size(w) >= n,
+      array_distinct(transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + lit(1), lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact dedup: canonical id = min id over identical text. One window
+    * (single shuffle on the text key); at scale, hash the text first so the
+    * shuffle key is fixed-width. */
+  def exactCanonical(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("canonical_id",
+        min(col(idCol)).over(Window.partitionBy(xxhash64(col(textCol)), col(textCol))))
+      .withColumn("is_duplicate", col(idCol) =!= col("canonical_id"))
+  }
+
+  /** Exact n-gram Jaccard pairs ≥ threshold, via a shingle inverted index:
+    * explode shingles → self-join on the shingle → per-pair intersection
+    * count → Jaccard from set sizes. Relational end-to-end (SQL-oracle
+    * expressible). Use a shingle width that makes shingles near-unique
+    * (n ≥ 5 for small vocabularies) so the inverted-index join cannot blow
+    * up on hot keys. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_l"), col("b.id").as("id_r"))
+      .agg(count(lit(1)).as("common"))
+    inter
+      .join(sizes.select(col("id").as("id_l"), col("sz").as("sz_l")), "id_l")
+      .join(sizes.select(col("id").as("id_r"), col("sz").as("sz_r")), "id_r")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sz_l") + col("sz_r") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_l"), col("id_r"), col("jaccard"))
+  }
+
+  /** MinHash signature: numPerm permutations simulated with seeded xxhash64
+    * (Broder's min-wise hashing). */
+  def minhashSignature(shingleCol: Column, numPerm: Int): Column =
+    transform(sequence(lit(0), lit(numPerm - 1)),
+      s => array_min(transform(shingleCol, x => xxhash64(x, s))))
+
+  /** MinHash + LSH banding: signature → band hashes → bucket self-join for
+    * candidates → exact-Jaccard verification of candidates only. The
+    * verification join carries the shingle arrays, so no re-tokenization.
+    * At 100 TB this is the scale path: candidate generation touches only
+    * bucket-colliding pairs, never O(n²). */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numPerm: Int, bands: Int, threshold: Double): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must divide into bands")
+    val rowsPerBand = numPerm / bands
+    val withSh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = withSh.withColumn("sig", minhashSignature(col("sh"), numPerm))
+    val buckets = sig.select(col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val cands = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_l"), col("b.id").as("id_r"),
+        col("a.sh").as("sh_l"), col("b.sh").as("sh_r"))
+      .dropDuplicates("id_l", "id_r")
+    cands
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_l"), col("sh_r"))).cast("double") /
+          size(array_union(col("sh_l"), col("sh_r"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_l"), col("id_r"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash (Charikar): per-bit majority vote over word hashes,
+    * entirely with built-in higher-order functions (bit loops as
+    * sequence/transform, majority via aggregate, assembly via bitwise OR). */
+  def simhash(text: Column): Column = {
+    val hashes = transform(words(text), w => xxhash64(w))
+    val nWords = size(hashes)
+    val bitCounts = aggregate(hashes,
+      transform(sequence(lit(0), lit(63)), _ => lit(0L)),
+      (acc, h) => zip_with(acc,
+        transform(sequence(lit(0), lit(63)), i => call_function("shiftright", h, i).bitwiseAND(lit(1L))),
+        (a, b) => a + b))
+    val bits = zip_with(bitCounts, sequence(lit(0), lit(63)),
+      (cnt, i) => when(cnt * 2 >= nWords, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L)))
+    aggregate(bits, lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup pairs: block on 16-bit fingerprint chunks (a pair
+    * within Hamming distance 3 must agree on at least one of 4 chunks),
+    * then verify with bit_count(xor). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int): DataFrame = {
+    val fp = df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
+    val chunks = fp.select(col("id"), col("fp"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        c => call_function("shiftright", col("fp"), c * 16).bitwiseAND(lit(0xFFFFL)))))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ck")
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_l"), col("b.id").as("id_r"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
+      .dropDuplicates("id_l", "id_r")
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,333 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QDef
+import graft.engine.Tables
+import graft.ext.{Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.streaming.Streams
+
+/** LLM-data-pipeline extension coverage (north-star operators beyond the
+  * reference surface, SURVEY.md §7.5): deduplication, similarity search,
+  * text analysis, multimodal plumbing, and windowed/sessionized event
+  * aggregation — over the `documents`, `embeddings`, and `events` tables.
+  *
+  * Hash-dependent operators (MinHash/SimHash/hyperplane-LSH use Spark's
+  * xxhash64, which DuckDB cannot reproduce) register rows-only and are
+  * verified in unit specs instead; everything else carries a DuckDB oracle.
+  */
+object ExtQueries {
+
+  // ---------- deduplication ----------
+
+  /** Exact dedup: canonical id per identical text (min doc_id). */
+  private val q24 = QDef(
+    "q24_dedup_exact",
+    (s, dir) => TextDedup
+      .exactCanonical(Tables.load(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("canonical_id"), col("is_duplicate"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY text) AS canonical_id,
+                   doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_duplicate
+            FROM documents ORDER BY doc_id"""))
+
+  private val ShingleN = 5
+
+  /** Exact 5-gram Jaccard near-dup pairs via the shingle inverted index.
+    * 5-word shingles are near-unique even over a small vocabulary, so the
+    * index join has no hot keys (SURVEY.md scale risk). */
+  private val q25 = QDef(
+    "q25_ngram_jaccard",
+    (s, dir) => TextDedup
+      .jaccardPairs(Tables.load(s, dir, "documents"), "doc_id", "text", ShingleN, 0.5)
+      .orderBy("id_l", "id_r"),
+    Some("""WITH w AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '\s+')) AS w,
+                     generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS pos
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT a.doc_id,
+                     a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w || ' ' || e.w AS sh
+              FROM w a
+              JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+              JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+              JOIN w d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
+              JOIN w e ON e.doc_id = a.doc_id AND e.pos = a.pos + 4),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT x.doc_id AS id_l, y.doc_id AS id_r, count(*) AS common
+              FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+              GROUP BY 1, 2)
+            SELECT id_l, id_r,
+                   CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_l
+            JOIN sizes sb ON sb.doc_id = id_r
+            WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.5
+            ORDER BY id_l, id_r"""))
+
+  /** MinHash+LSH near-dup (16 perms, 4 bands): hash-dependent → rows-only;
+    * recall vs exact Jaccard is unit-tested (DedupSpec). */
+  private val q26 = QDef(
+    "q26_minhash_lsh",
+    (s, dir) => TextDedup
+      .minhashLshPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+        ShingleN, numPerm = 16, bands = 4, threshold = 0.5)
+      .orderBy("id_l", "id_r"),
+    None)
+
+  /** SimHash near-dup (64-bit, 16-bit chunk blocking, Hamming ≤ 6):
+    * hash-dependent → rows-only; invariants unit-tested. */
+  private val q27 = QDef(
+    "q27_simhash",
+    (s, dir) => TextDedup
+      .simhashPairs(Tables.load(s, dir, "documents"), "doc_id", "text", maxDist = 6)
+      .orderBy("id_l", "id_r"),
+    None)
+
+  // ---------- similarity search ----------
+
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  /** Brute-force cosine top-5 for a fixed query set — the ANN correctness
+    * baseline. Sequential-order double arithmetic matches DuckDB
+    * list_dot_product bit-for-bit. */
+  private val q28 = QDef(
+    "q28_cosine_topk",
+    (s, dir) => {
+      val e = embeddings(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 5)
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 8),
+                 c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS nv
+                       FROM embeddings),
+                 sc AS (
+                   SELECT query_id, neighbor_id,
+                          list_dot_product(qv, nv) /
+                            (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS cosine
+                   FROM q JOIN c ON query_id <> neighbor_id),
+                 r AS (SELECT *, row_number() OVER (
+                         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+                       FROM sc)
+            SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  /** Embedding near-dup pairs over a deterministic subset (vec_id % 20 = 0)
+    * — the brute-force verifier; the scale path is LSH bucketing (q30). */
+  private val q29 = QDef(
+    "q29_cosine_neardup",
+    (s, dir) => Similarity
+      .neardupPairs(embeddings(s, dir).filter(col("vec_id") % 20 === 0),
+        "vec_id", "embedding", 0.3)
+      .orderBy("id_l", "id_r"),
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve
+                       FROM embeddings WHERE vec_id % 20 = 0)
+            SELECT a.vec_id AS id_l, b.vec_id AS id_r,
+                   list_dot_product(a.ve, b.ve) /
+                     (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))) AS cosine
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.ve, b.ve) /
+                    (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))) >= 0.3
+            ORDER BY id_l, id_r"""))
+
+  /** Hyperplane-LSH bucketed ANN (8 planes → 256 buckets): the 100 TB path —
+    * bucket equi-join instead of cross product. Hash-layout dependent →
+    * rows-only; recall vs q28 unit-tested (SimilaritySpec). */
+  private val q30 = QDef(
+    "q30_ann_lsh",
+    (s, dir) => {
+      val e = embeddings(s, dir)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, numPlanes = 8, dim = 64)
+        .orderBy("query_id", "rank")
+    },
+    None)
+
+  // ---------- text analysis ----------
+
+  private val stopSql = Map(
+    "en" -> "'the','a','of','and','to','in','is'",
+    "es" -> "'el','la','de','y','que','en'",
+    "fr" -> "'le','la','de','et','les','des'",
+    "de" -> "'der','die','das','und','ist','von'")
+
+  /** Stopword-vote language ID, reported as a confusion matrix against the
+    * table's labeled lang. */
+  private val q31 = QDef(
+    "q31_lang_id",
+    (s, dir) => Tables.load(s, dir, "documents")
+      .withColumn("predicted", TextAnalysis.langId(col("text")))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted"),
+    Some(s"""WITH t AS (
+               SELECT lang, string_split_regex(lower(text), '\\s+') AS w FROM documents),
+             sc AS (
+               SELECT lang,
+                      len(list_filter(w, x -> x IN (${stopSql("en")}))) AS en,
+                      len(list_filter(w, x -> x IN (${stopSql("es")}))) AS es,
+                      len(list_filter(w, x -> x IN (${stopSql("fr")}))) AS fr,
+                      len(list_filter(w, x -> x IN (${stopSql("de")}))) AS de
+               FROM t),
+             p AS (
+               SELECT lang,
+                      CASE WHEN greatest(en, es, fr, de) = 0 THEN 'und'
+                           WHEN en = greatest(en, es, fr, de) THEN 'en'
+                           WHEN es = greatest(en, es, fr, de) THEN 'es'
+                           WHEN fr = greatest(en, es, fr, de) THEN 'fr'
+                           ELSE 'de' END AS predicted
+               FROM sc)
+             SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+             FROM p GROUP BY lang, predicted ORDER BY lang, predicted"""))
+
+  /** Per-document quality metrics: scalar expressions only — bit-identical
+    * on both engines, so no rounding anywhere. */
+  private val q32 = QDef(
+    "q32_text_quality",
+    (s, dir) => Tables.load(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        TextAnalysis.wordCount(col("text")).as("n_words"),
+        TextAnalysis.distinctWordRatio(col("text")).as("distinct_ratio"),
+        TextAnalysis.meanWordLength(col("text")).as("mean_word_len"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id"),
+    Some("""WITH t AS (
+              SELECT doc_id, text, length(text) AS n_chars,
+                     string_split_regex(lower(text), '\s+') AS w
+              FROM documents)
+            SELECT doc_id,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(len(w) AS BIGINT) AS n_words,
+                   CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS distinct_ratio,
+                   CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) AS mean_word_len,
+                   least(CAST(n_chars AS DOUBLE) / 400.0, 1.0) * 0.5 +
+                     (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.5 AS quality
+            FROM t ORDER BY doc_id"""))
+
+  /** Token counting: whitespace tokens, BPE-ish lexer tokens, distinct. */
+  private val q33 = QDef(
+    "q33_token_count",
+    (s, dir) => Tables.load(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        TextAnalysis.wordCount(col("text")).as("ws_tokens"),
+        TextAnalysis.regexTokenCount(col("text")).as("lexer_tokens"),
+        size(array_distinct(TextAnalysis.tokens(col("text")))).cast("long").as("distinct_tokens"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS lexer_tokens,
+                   CAST(len(list_distinct(string_split_regex(lower(text), '\s+'))) AS BIGINT) AS distinct_tokens
+            FROM documents ORDER BY doc_id"""))
+
+  /** Rolling-hash document fingerprint (mod 1e9+7 left fold over word
+    * codes) — integer-exact on both engines. */
+  private val q34 = QDef(
+    "q34_fingerprint",
+    (s, dir) => Tables.load(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   list_reduce(
+                     list_prepend(0::BIGINT,
+                       list_transform(string_split_regex(lower(text), '\s+'),
+                                      w -> (ascii(w) * 7 + length(w))::BIGINT)),
+                     (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+            FROM documents ORDER BY doc_id"""))
+
+  // ---------- multimodal ----------
+
+  /** Binary media plumbing with the SQL-expressible stub codec: ingest text
+    * bytes as media, "decode" metadata, "classify", aggregate. The typed
+    * mapPartitions decode path is unit-tested (MultimodalSpec). */
+  private val q35 = QDef(
+    "q35_multimodal_stub",
+    (s, dir) => {
+      val m = Multimodal.withMedia(Tables.load(s, dir, "documents"), "text")
+        .withColumn("meta", Multimodal.decodeStubSql(col("media")))
+      m.withColumn("label", Multimodal.classifyStubSql(col("meta")))
+        .groupBy(col("meta.format").as("format"), col("label"))
+        .agg(count(lit(1)).as("n"), sum(col("meta.width")).cast("long").as("total_width"))
+        .orderBy("format", "label")
+    },
+    Some("""WITH m AS (
+              SELECT octet_length(encode(text)) AS len FROM documents),
+            d AS (
+              SELECT len % 640 + 1 AS width,
+                     CASE len % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
+              FROM m)
+            SELECT format,
+                   CASE WHEN width % 2 = 0 THEN 'house' ELSE 'envelope' END AS label,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(width) AS BIGINT) AS total_width
+            FROM d GROUP BY 1, 2 ORDER BY format, label"""))
+
+  // ---------- events: windowed aggregation, sessionization, JSON ----------
+
+  /** Tumbling 1-hour window aggregation (the batch twin of the streaming
+    * plan — same builder, watermark added on streams). */
+  private val q36 = QDef(
+    "q36_window_agg",
+    (s, dir) => Streams
+      .windowedAgg(Tables.load(s, dir, "events"), watermark = None)
+      .select(unix_millis(col("window_start")).as("window_start_ms"),
+        col("event_type"), col("n_events"),
+        round(col("total_value"), 2).as("total_value"))
+      .orderBy("window_start_ms", "event_type"),
+    Some("""SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2 ORDER BY window_start_ms, event_type"""))
+
+  /** Gap-based sessionization (30-min gap), window-function formulation;
+    * millisecond integers throughout for cross-engine exactness. */
+  private val q37 = QDef(
+    "q37_sessionize",
+    (s, dir) => Streams
+      .sessionizeBatch(Tables.load(s, dir, "events"), gapMs = 30 * 60 * 1000L)
+      .orderBy("user_id", "sid"),
+    Some("""WITH x AS (
+              SELECT user_id, event_id, ts, epoch_ms(ts) AS ms,
+                     lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events),
+            y AS (
+              SELECT *, CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0 END AS brk
+              FROM x),
+            z AS (
+              SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM y)
+            SELECT user_id, CAST(sid AS BIGINT) AS sid,
+                   min(ms) AS start_ms, max(ms) AS end_ms,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM z GROUP BY user_id, sid ORDER BY user_id, sid"""))
+
+  /** JSON extraction from the event props payload (Spark get_json_object;
+    * oracle via regex so no DuckDB extension dependency). */
+  private val q38 = QDef(
+    "q38_json_extract",
+    (s, dir) => Tables.load(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        count(when(col("k") > 50, 1)).as("n_high"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(count(CASE WHEN CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) > 50 THEN 1 END) AS BIGINT) AS n_high
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  val all: Seq[QDef] = Seq(
+    q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38)
+}

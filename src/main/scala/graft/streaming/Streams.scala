@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators (SURVEY.md §2.11 / §7.5 extension — the
+  * reference is batch-only; this is the "as new transactions are discovered"
+  * path its prose gestures at, `01_aml_network_analysis.py:486`).
+  *
+  * Every builder works on both batch and streaming DataFrames: the same
+  * declarative plan runs incrementally under a watermark in a stream, and
+  * as one job in batch — which is how the batch DuckDB oracle validates the
+  * streaming semantics.
+  */
+object Streams {
+
+  /** Tumbling-window per-type event aggregation. With a watermark the state
+    * store evicts windows older than the watermark — bounded state at any
+    * scale. */
+  def windowedAgg(events: DataFrame, watermark: Option[String]): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark("ts", w))
+    src.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+  }
+
+  /** Batch sessionization via window functions (gap > gapMs starts a new
+    * session): lag → break flags → running sum → per-session aggregate.
+    * Two window passes over one shuffle on user_id. Millisecond integers
+    * keep both engines bit-exact. */
+  def sessionizeBatch(events: DataFrame, gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("prev", lag(col("ms"), 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev").isNull || col("ms") - col("prev") > gapMs, 1).otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ms")).as("start_ms"), max(col("ms")).as("end_ms"),
+        count(lit(1)).as("n_events"))
+  }
+
+  final case class SessionEvent(user_id: Long, ts: Timestamp)
+  final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
+  // public: Spark's product encoder codegen must be able to reach it
+  final case class SessionState(startMs: Long, endMs: Long, n: Long)
+
+  /** Streaming sessionization with explicit state: open sessions live in the
+    * state store keyed by user, closed either by a later event past the gap
+    * or by event-time timeout once the watermark passes. The stateful
+    * mirror of [[sessionizeBatch]]. */
+  def sessionizeStream(events: Dataset[SessionEvent], gapMs: Long,
+      watermarkDelay: String = "1 hour"): Dataset[SessionOut] = {
+    implicit val outEnc: Encoder[SessionOut] = Encoders.product[SessionOut]
+    implicit val stateEnc: Encoder[SessionState] = Encoders.product[SessionState]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+
+    def update(user: Long, events: Iterator[SessionEvent],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        return Iterator(SessionOut(user, s.startMs, s.endMs, s.n))
+      }
+      val sorted = events.map(_.ts.getTime).toSeq.sorted
+      var closed = List.empty[SessionOut]
+      var cur = state.getOption
+      sorted.foreach { ms =>
+        cur match {
+          case Some(s) if ms - s.endMs <= gapMs =>
+            cur = Some(s.copy(endMs = math.max(s.endMs, ms), n = s.n + 1))
+          case Some(s) =>
+            closed ::= SessionOut(user, s.startMs, s.endMs, s.n)
+            cur = Some(SessionState(ms, ms, 1))
+          case None =>
+            cur = Some(SessionState(ms, ms, 1))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.endMs + gapMs)
+      }
+      closed.reverseIterator
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

@@ -1,0 +1,168 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "the quick brown fox jumps over the lazy dog tonight"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat tonight"), // near dup of 1
+    (4L, "completely different words about spark query engines here"),
+    (5L, "tiny")
+  ).toDF("doc_id", "text")
+
+  test("exact canonical ids") {
+    val got = TextDedup.exactCanonical(docs, "doc_id", "text")
+      .select("doc_id", "canonical_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
+  }
+
+  test("shingles: distinct n-grams; short docs give empty arrays") {
+    val sh = docs.select(col("doc_id"), TextDedup.shingles(col("text"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(1L).contains("the quick brown"))
+    assert(sh(1L).size == 8) // 10 words -> 8 trigrams, all distinct
+    assert(sh(5L).isEmpty)
+  }
+
+  test("exact jaccard pairs find near-dups, not unrelated docs") {
+    val pairs = TextDedup.jaccardPairs(docs, "doc_id", "text", 3, 0.4)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash-LSH candidates verify with exact jaccard; identical docs always collide") {
+    val exact = TextDedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_l", "id_r", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val lsh = TextDedup.minhashLshPairs(docs, "doc_id", "text", 3, 16, 4, 0.5)
+      .select("id_l", "id_r", "jaccard").as[(Long, Long, Double)].collect().toSet
+    // verification uses the same exact jaccard -> LSH output is a subset
+    assert(lsh.subsetOf(exact))
+    // jaccard 1.0 means identical signatures -> collision in every band
+    assert(lsh.contains((1L, 2L, 1.0)))
+  }
+
+  test("simhash: identical docs distance 0, near-dups close, unrelated far") {
+    val fp = docs.select(col("doc_id"), TextDedup.simhash(col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(dist(fp(1L), fp(3L)) < dist(fp(1L), fp(4L)))
+    val pairs = TextDedup.simhashPairs(docs, "doc_id", "text", 6)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+}
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f)),
+    (3L, Array(0.0f, 1.0f, 0.0f)),
+    (4L, Array(-1.0f, 0.0f, 0.0f)),
+    (5L, Array(0.7f, 0.7f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine basics") {
+    val c = vecs.as("a").crossJoin(vecs.as("b"))
+      .filter(col("a.vec_id") === 1 && col("b.vec_id").isin(2, 3, 4))
+      .select(col("b.vec_id"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")))
+      .as[(Long, Double)].collect().toMap
+    assert(c(2L) > 0.99 && math.abs(c(3L)) < 1e-9 && math.abs(c(4L) + 1.0) < 1e-9)
+  }
+
+  test("brute-force top-k ranks by cosine desc with id tie-break") {
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 1),
+        "vec_id", "embedding", 2)
+      .select("neighbor_id", "rank").as[(Long, Long)].collect().sortBy(_._2)
+    assert(top.map(_._1).toSeq == Seq(2L, 5L))
+  }
+
+  test("lsh top-k returns a subset of the bucket with correct ranks and good recall on aligned vectors") {
+    val brute = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 1),
+        "vec_id", "embedding", 1)
+      .select("neighbor_id").as[Long].collect().toSet
+    val lsh = Similarity.lshTopK(vecs, vecs.filter(col("vec_id") === 1),
+        "vec_id", "embedding", k = 1, numPlanes = 4, dim = 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    // vec 2 is nearly parallel to vec 1 -> same side of every hyperplane
+    assert(lsh == brute)
+  }
+
+  test("hyperplanes are deterministic and in [-1,1)") {
+    val p1 = Similarity.hyperplanes(4, 8)
+    val p2 = Similarity.hyperplanes(4, 8)
+    assert(p1.map(_.toSeq) == p2.map(_.toSeq))
+    assert(p1.flatten.forall(x => x >= -1.0 && x < 1.0))
+  }
+}
+
+class TextAnalysisSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("language id votes by stopwords with deterministic ties") {
+    val d = Seq(
+      "the cat sat of the mat and it is fine",
+      "el perro y la casa de que en madrid",
+      "le chat et les maisons des rues de paris",
+      "der hund und die katze ist von hier",
+      "xyzzy qwerty").toDF("text")
+    val got = d.select(TextAnalysis.langId(col("text"))).as[String].collect().toSeq
+    assert(got == Seq("en", "es", "fr", "de", "und"))
+  }
+
+  test("metrics: counts, ratios, fingerprint stability") {
+    val d = Seq((1L, "a bb ccc a")).toDF("doc_id", "text")
+    val row = d.select(
+      TextAnalysis.wordCount(col("text")),
+      TextAnalysis.distinctWordRatio(col("text")),
+      TextAnalysis.meanWordLength(col("text")),
+      TextAnalysis.fingerprint(col("text"))).head()
+    assert(row.getLong(0) == 4)
+    assert(row.getDouble(1) == 0.75)
+    assert(row.getDouble(2) == 7.0 / 4)
+    // fold: codes for "a","bb","ccc","a" = 97*7+1, 98*7+2, 99*7+3, 97*7+1
+    val codes = Seq(97 * 7 + 1, 98 * 7 + 2, 99 * 7 + 3, 97 * 7 + 1).map(_.toLong)
+    val expected = codes.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+    assert(row.getLong(3) == expected)
+  }
+}
+
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("typed mapPartitions decode matches the SQL stub") {
+    val d = Seq((1L, "hello world"), (2L, "tiny"), (3L, "a much longer text payload here"))
+      .toDF("doc_id", "text")
+    val withMedia = Multimodal.withMedia(d, "text")
+    val typed = Multimodal.decodeAll(withMedia, "doc_id", Multimodal.StubCodec)
+      .collect().map(m => m.id -> ((m.meta.width, m.meta.format, m.label))).toMap
+    val sql = withMedia
+      .withColumn("meta", Multimodal.decodeStubSql(col("media")))
+      .select(col("doc_id"), col("meta.width"), col("meta.format"),
+        Multimodal.classifyStubSql(col("meta")))
+      .as[(Long, Int, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(typed == sql)
+  }
+
+  test("resize and frame sampling operate on metadata") {
+    val d = Seq((1L, "x" * 700)).toDF("doc_id", "text")
+    val m = Multimodal.withMedia(d, "text")
+      .withColumn("meta", Multimodal.decodeStubSql(col("media")))
+    val row = m.select(
+      Multimodal.resizeMeta(col("meta"), 32).getField("width"),
+      Multimodal.sampleFrames(col("meta"), 4)).head()
+    assert(row.getInt(0) <= 32)
+    val frames = row.getSeq[Int](1)
+    assert(frames.forall(_ % 4 == 0))
+  }
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.streaming.Streams.SessionEvent
+
+class StreamsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("windowed aggregation: same plan runs batch and streaming") {
+    val batch = Seq(
+      (ts(5), "click", 1.0), (ts(20), "click", 2.0),
+      (ts(70), "click", 4.0), (ts(75), "view", 8.0)
+    ).toDF("ts", "event_type", "value")
+    val got = Streams.windowedAgg(batch, None)
+      .orderBy("window_start", "event_type")
+      .select(col("event_type"), col("n_events"), col("total_value"))
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("click", 2L, 3.0), ("click", 1L, 4.0), ("view", 1L, 8.0)))
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val sq = Streams.windowedAgg(mem.toDF.toDF("ts", "event_type", "value"), Some("2 hours"))
+      .writeStream.format("memory").queryName("win_agg").outputMode("complete").start()
+    try {
+      mem.addData((ts(5), "click", 1.0), (ts(20), "click", 2.0), (ts(70), "view", 8.0))
+      sq.processAllAvailable()
+      val streamed = spark.table("win_agg")
+        .select(col("event_type"), col("n_events"), col("total_value"))
+        .as[(String, Long, Double)].collect().toSet
+      assert(streamed == Set(("click", 2L, 3.0), ("view", 1L, 8.0)))
+    } finally sq.stop()
+  }
+
+  test("batch sessionization splits on gaps over threshold") {
+    val ev = Seq(
+      (1L, 10L, ts(0)), (2L, 10L, ts(10)), (3L, 10L, ts(50)), // gap 40min -> new session
+      (4L, 20L, ts(0))
+    ).toDF("event_id", "user_id", "ts")
+    val got = Streams.sessionizeBatch(ev, gapMs = 30 * 60 * 1000L)
+      .select("user_id", "sid", "n_events").as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((10L, 1L, 2L), (10L, 2L, 1L), (20L, 1L, 1L)))
+  }
+
+  test("streaming sessionization closes sessions on gap or watermark timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val sq = Streams.sessionizeStream(mem.toDS(), gapMs = 30 * 60 * 1000L, "10 minutes")
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      mem.addData(SessionEvent(10L, ts(0)), SessionEvent(10L, ts(10)))
+      sq.processAllAvailable()
+      // session still open (no gap, watermark not past timeout)
+      assert(spark.table("sessions").isEmpty)
+      // an event past the gap closes the first session explicitly
+      mem.addData(SessionEvent(10L, ts(60)))
+      sq.processAllAvailable()
+      val closed = spark.table("sessions")
+        .select("user_id", "start_ms", "end_ms", "n_events")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(closed == Seq((10L, ts(0).getTime, ts(10).getTime, 2L)))
+      // advancing the watermark far past end+gap times out the open session
+      mem.addData(SessionEvent(99L, ts(600)))
+      sq.processAllAvailable()
+      mem.addData(SessionEvent(99L, ts(601)))
+      sq.processAllAvailable()
+      val all = spark.table("sessions").select("user_id").as[Long].collect().toSet
+      assert(all.contains(10L))
+      assert(spark.table("sessions").count() >= 2)
+    } finally sq.stop()
+  }
+}
