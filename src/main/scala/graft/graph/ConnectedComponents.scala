@@ -43,9 +43,12 @@ object ConnectedComponents {
 
     var converged = false
     var iter = 0
+    var prevFp = fingerprint(e)
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint()
-      converged = fingerprint(next) == fingerprint(e)
+      val fp = fingerprint(next) // scan of checkpointed data, no shuffle
+      converged = fp == prevFp
+      prevFp = fp
       e = next
       iter += 1
     }
@@ -64,11 +67,12 @@ object ConnectedComponents {
     val bidir = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
     val mins = bidir.groupBy("src").agg(min("dst").as("mn"))
       .select(col("src").as("u"), least(col("mn"), col("src")).as("m"))
+    // no distinct here: smallStar's canonical-orientation distinct dedups,
+    // saving one shuffle per round
     bidir.join(mins, bidir("src") === mins("u"))
       .where(col("dst") > col("src"))
       .select(col("dst").as("src"), col("m").as("dst"))
       .where(col("src") =!= col("dst"))
-      .distinct()
   }
 
   /** Small-star: orient edges large→small; connect each smaller neighbor

@@ -30,7 +30,8 @@ object ErQueries {
       col("c_nationkey").cast("long").as("nation"),
       col("c_mktsegment").as("segment"),
       col("c_acctbal").as("acctbal"),
-      floor(col("c_acctbal")).cast("long").as("bucket"))
+      floor(col("c_acctbal")).cast("long").as("bucket"),
+      substring(col("c_name"), 13, 3).as("digits"))
     val variantName = when(col("c_custkey") % 3 === 0,
         substring(col("c_name"), 1, 17)) // drop last char (names are 18 chars)
       .when(col("c_custkey") % 3 === 1, upper(col("c_name")))
@@ -41,14 +42,16 @@ object ErQueries {
       col("c_nationkey").cast("long").as("nation"),
       col("c_mktsegment").as("segment"),
       col("c_acctbal").as("acctbal"),
-      floor(col("c_acctbal")).cast("long").as("bucket"))
+      floor(col("c_acctbal")).cast("long").as("bucket"),
+      substring(col("c_name"), 13, 3).as("digits"))
     orig.union(dup)
   }
 
   private val dirtySql =
     """SELECT c_custkey*2 AS unique_id, c_name AS name,
               CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment,
-              c_acctbal AS acctbal, CAST(floor(c_acctbal) AS BIGINT) AS bucket
+              c_acctbal AS acctbal, CAST(floor(c_acctbal) AS BIGINT) AS bucket,
+              substring(c_name, 13, 3) AS digits
        FROM customer
        UNION ALL
        SELECT c_custkey*2+1,
@@ -56,18 +59,21 @@ object ErQueries {
                    WHEN c_custkey%3=1 THEN upper(c_name)
                    ELSE c_name END,
               CAST(c_nationkey AS BIGINT), c_mktsegment,
-              c_acctbal, CAST(floor(c_acctbal) AS BIGINT)
+              c_acctbal, CAST(floor(c_acctbal) AS BIGINT),
+              substring(CASE WHEN c_custkey%3=0 THEN substring(c_name, 1, 17)
+                             WHEN c_custkey%3=1 THEN upper(c_name)
+                             ELSE c_name END, 13, 3)
        FROM customer"""
 
   private val settings = ErSettings(
     uniqueId = "unique_id",
     blockingRules = Seq(
       "l.bucket = r.bucket",
-      "l.nation = r.nation AND l.segment = r.segment"),
+      "l.nation = r.nation AND l.segment = r.segment AND l.digits = r.digits"),
     comparisons = Seq(
       ComparisonColumn("name", fuzzy = Some(LevenshteinLevel(2)), termFrequency = false),
       ComparisonColumn("acctbal")),
-    maxIter = 15)
+    maxIter = 8, tol = 1e-5)
 
   /** Blocked pair generation: union of per-rule equi-joins + pair dedup ==
     * OR-of-rules semantics, but each rule stays a hash join (the manual
@@ -83,7 +89,8 @@ object ErQueries {
                     l.name AS name_l, r.name AS name_r
              FROM d l JOIN d r
                ON (l.bucket = r.bucket
-                   OR (l.nation = r.nation AND l.segment = r.segment))
+                   OR (l.nation = r.nation AND l.segment = r.segment
+                       AND l.digits = r.digits))
                   AND l.unique_id < r.unique_id
              ORDER BY unique_id_l, unique_id_r"""))
 
@@ -105,7 +112,8 @@ object ErQueries {
                     CASE WHEN l.acctbal = r.acctbal THEN 1 ELSE 0 END AS gamma_acctbal
              FROM d l JOIN d r
                ON (l.bucket = r.bucket
-                   OR (l.nation = r.nation AND l.segment = r.segment))
+                   OR (l.nation = r.nation AND l.segment = r.segment
+                       AND l.digits = r.digits))
                   AND l.unique_id < r.unique_id
              ORDER BY unique_id_l, unique_id_r"""))
 

@@ -29,7 +29,7 @@ object GraphQueries {
   private final val AttrBase = 10000000L
 
   /** Bipartite identity graph: customers + acctbal-bucket attribute nodes. */
-  private def sharedAttrGraph(s: SparkSession, dir: String): PropertyGraph = {
+  private[graft] def sharedAttrGraph(s: SparkSession, dir: String): PropertyGraph = {
     val c = Tables.load(s, dir, "customer")
     val persons = c.select(
       col("c_custkey").cast("long").as("id"),
@@ -52,7 +52,7 @@ object GraphQueries {
   /** Directed pseudo-transaction graph derived from orders. The beneficiary
     * key is `1 + (o_orderkey*7919) mod max(c_custkey)` — deterministic and
     * SQL-expressible on both engines. */
-  private def txnGraph(s: SparkSession, dir: String): PropertyGraph = {
+  private[graft] def txnGraph(s: SparkSession, dir: String): PropertyGraph = {
     val c = Tables.load(s, dir, "customer")
     val nCust: Long = c.agg(max(col("c_custkey"))).head.getLong(0)
     val verts = c.select(

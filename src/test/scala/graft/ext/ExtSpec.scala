@@ -50,6 +50,10 @@ class DedupSpec extends SparkTestBase {
   test("simhash: identical docs distance 0, near-dups close, unrelated far") {
     val fp = docs.select(col("doc_id"), TextDedup.simhash(col("text")).as("fp"))
       .as[(Long, Long)].collect().toMap
+    // the aggregate formulation must produce identical fingerprints
+    val fpAgg = TextDedup.simhashAgg(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(fpAgg == fp)
     assert(fp(1L) == fp(2L))
     def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(dist(fp(1L), fp(3L)) < dist(fp(1L), fp(4L)))

@@ -1,0 +1,54 @@
+package graft.pipelines
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import graft.engine.{Catalog, Sources}
+
+class PipelinesSpec extends SparkTestBase {
+
+  test("all six reference pipelines run end-to-end and persist tables") {
+    val wh = Files.createTempDirectory("graft_wh").toString
+    val p = new AmlPipelines(spark, "/root/testdata/sf0.001", wh)
+    val counts = p.runAll().toMap
+    assert(counts.keySet == Set("synth_scores", "structuring_levels",
+      "roundtrips", "risk_propagation", "streetview", "dedupe_scored"))
+    assert(counts.values.forall(_ > 0), s"empty pipeline output: $counts")
+    // derived tables are readable back through the catalog (view re-registration)
+    assert(p.catalog.table("risk_propagation").columns.contains("risk_score"))
+    assert(spark.table("synth_scores").count() == counts("synth_scores"))
+  }
+}
+
+class SourcesSpec extends SparkTestBase {
+
+  test("csv with header + inferSchema matches the reference surface") {
+    val dir = Files.createTempDirectory("graft_csv")
+    Files.writeString(dir.resolve("dedupe.csv"),
+      "org_name,address,country,amount\nacme,1 main st,US,10.5\nacme inc,1 main st,US,3.0\n")
+    val df = Sources.csv(spark, dir.toString)
+    assert(df.columns.toSeq == Seq("org_name", "address", "country", "amount"))
+    assert(df.schema("amount").dataType.typeName == "double") // inferred
+    assert(df.count() == 2)
+  }
+
+  test("binary file source reads blobs with metadata") {
+    val dir = Files.createTempDirectory("graft_bin")
+    Files.write(dir.resolve("img1.bin"), Array[Byte](1, 2, 3))
+    val df = Sources.binaryFiles(spark, dir.toString, "*.bin")
+    val row = df.select("length", "content").head()
+    assert(row.getLong(0) == 3L)
+    assert(row.getAs[Array[Byte]](1).toSeq == Seq[Byte](1, 2, 3))
+  }
+
+  test("catalog overwrite + re-register round-trips") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_cat").toString
+    val cat = new Catalog(spark, wh)
+    cat.save("t1", Seq((1, "a")).toDF("id", "v"))
+    assert(cat.table("t1").count() == 1)
+    cat.save("t1", Seq((1, "a"), (2, "b")).toDF("id", "v")) // overwrite
+    assert(spark.table("t1").count() == 2)
+    cat.drop("t1")
+  }
+}
