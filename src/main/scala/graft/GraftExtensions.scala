@@ -4,18 +4,29 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.JaroWinkler
+import graft.functions.{CosineSimilarity, DotProduct, JaroWinkler}
 
 /** Session extensions registering the engine's custom Catalyst expressions
-  * (SURVEY.md §4: JaroWinkler is the one genuine custom-Expression need).
+  * (SURVEY.md §4: JaroWinkler for ER fuzzy comparison; cosine/dot for the
+  * embedding hot path, where Spark's higher-order functions would fall back
+  * to interpreted evaluation).
   * Enable with `.config("spark.sql.extensions", "graft.GraftExtensions")`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private type Expr = org.apache.spark.sql.catalyst.expressions.Expression
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        JaroWinkler(children(0), children(1))))
+      (children: Seq[Expr]) => JaroWinkler(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expr]) => CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expr]) => DotProduct(children(0), children(1))))
   }
 }

@@ -13,15 +13,21 @@ object Similarity {
 
   private def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Dot product via zip_with + left-to-right aggregate — same evaluation
-    * order as a plain loop, no shuffle, codegen'd. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product via zip_with + left-to-right aggregate. Higher-order
+    * functions are CodegenFallback, so this is the slow reference
+    * formulation — kept for sessions without [[graft.GraftExtensions]] and
+    * as the equivalence baseline for the codegen'd expression. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Codegen'd cosine (graft.functions.CosineSimilarity): identical
+    * left-to-right IEEE arithmetic, whole-stage-codegen'd. Requires the
+    * `cosine_sim` function registered by GraftExtensions. */
+  def cosine(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
 
   /** Brute-force top-k neighbors for a (small) query set: broadcast the
     * queries, scan the corpus once, rank per query. The corpus is never
@@ -70,11 +76,14 @@ object Similarity {
   /** Sign-of-projection LSH bucket id (Charikar random hyperplane LSH): one
     * bit per hyperplane. Vectors in the same bucket are ANN candidates —
     * bucket join replaces the O(n²) cross product at scale. */
-  def lshBucket(vecCol: Column, planes: Seq[Array[Double]]): Column =
+  def lshBucket(vecCol: Column, planes: Seq[Array[Double]]): Column = {
+    val v = toDouble(vecCol)
     planes.zipWithIndex.map { case (p, i) =>
       val planeLit = array(p.map(lit): _*)
-      when(dot(vecCol, planeLit) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      when(call_function("dot_product", v, planeLit) >= 0,
+        shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
+  }
 
   /** Bucketed ANN: assign corpus and queries to hyperplane buckets, join on
     * the bucket, rank within it. Approximate — recall depends on bucket

@@ -324,6 +324,20 @@ object RelationalQueries {
                    CAST(max(p_size) AS BIGINT) AS max_size
             FROM part GROUP BY p_brand ORDER BY p_brand"""))
 
+  /** SQL-text entry path (SURVEY.md §3.1 lifecycle: parser → analyzer
+    * resolving registered temp views → RewritePredicateSubquery turns the
+    * IN-subquery into a left-semi join). The exact same SQL string runs in
+    * DuckDB — parser/analyzer parity, not just result parity. */
+  private val q39SqlText =
+    """SELECT c_custkey, c_name FROM customer
+       WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+       ORDER BY c_custkey"""
+
+  private val q39 = QDef(
+    "q39_sql_entry",
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(q39SqlText) },
+    Some(q39SqlText))
+
   val all: Seq[QDef] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q39)
 }

@@ -1,0 +1,88 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.JaroWinklerAlgo
+
+/** Property tests (SURVEY.md §5: "per-operator ScalaTest units + property
+  * tests"), using raw ScalaCheck generators with fixed seeds (the
+  * scalatest bridge artifact is not on the offline classpath). Driver-side
+  * algorithm properties run pure-JVM; distributed operators are checked
+  * against in-memory reference implementations on small random instances. */
+object PropertySupport {
+  def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+}
+
+class JaroWinklerPropertySpec extends SparkTestBase {
+  import PropertySupport.samples
+
+  private val word = Gen.alphaStr.map(_.take(16))
+
+  test("jaro-winkler is symmetric, bounded, and 1 for equal strings") {
+    samples(Gen.zip(word, word), 200).foreach { case (a, b) =>
+      val s = JaroWinklerAlgo.similarity(a, b)
+      assert(s >= 0.0 && s <= 1.0, s"out of bounds for ($a, $b): $s")
+      assert(s == JaroWinklerAlgo.similarity(b, a), s"asymmetric for ($a, $b)")
+      assert(JaroWinklerAlgo.similarity(a, a) == 1.0)
+    }
+  }
+
+  test("single trailing edit keeps similarity high") {
+    samples(word.suchThat(_.length >= 4), 100).foreach { a =>
+      assert(JaroWinklerAlgo.similarity(a, a.dropRight(1)) > 0.85)
+    }
+  }
+}
+
+class ConnectedComponentsPropertySpec extends SparkTestBase {
+  import PropertySupport.samples
+  import graft.graph.{ConnectedComponents, PropertyGraph}
+  import spark.implicits._
+
+  /** reference union-find with min-id canonical roots */
+  private def ufComponents(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+  }
+
+  test("alternating-star CC matches union-find on random graphs") {
+    val genCase = for {
+      n <- Gen.choose(2, 25)
+      m <- Gen.choose(0, 35)
+      es <- Gen.listOfN(m, Gen.zip(Gen.choose(0, n - 1), Gen.choose(0, n - 1)))
+    } yield (n, es.map { case (a, b) => (a.toLong, b.toLong) })
+    samples(genCase, 8).foreach { case (n, es) =>
+      val v = (0L until n.toLong).toDF("id")
+      val e = if (es.isEmpty) Seq((0L, 0L)).toDF("src", "dst") else es.toDF("src", "dst")
+      val got = PropertyGraph(v, e).connectedComponents()
+        .select("id", "component").as[(Long, Long)].collect().toMap
+      assert(got == ufComponents(n, es), s"n=$n edges=$es")
+    }
+  }
+}
+
+class MinHashPropertySpec extends SparkTestBase {
+  import PropertySupport.samples
+  import graft.ext.TextDedup
+  import spark.implicits._
+
+  test("lsh pairs are always a subset of exact jaccard pairs at the same threshold") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val genDoc = Gen.listOfN(12, Gen.oneOf(vocab)).map(_.mkString(" "))
+    samples(Gen.listOfN(6, genDoc), 5).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val exact = TextDedup.jaccardPairs(docs, "doc_id", "text", 2, 0.3)
+        .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+      val lsh = TextDedup.minhashLshPairs(docs, "doc_id", "text", 2, 8, 4, 0.3)
+        .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+      assert(lsh.subsetOf(exact), s"lsh=$lsh exact=$exact")
+    }
+  }
+}

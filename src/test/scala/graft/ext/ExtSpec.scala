@@ -101,6 +101,21 @@ class SimilaritySpec extends SparkTestBase {
     assert(lsh == brute)
   }
 
+  test("codegen'd cosine_sim is bit-identical to the HOF formulation") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    val both = emb.as("a").crossJoin(emb.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("native"),
+        Similarity.cosineHof(col("a.embedding"), col("b.embedding")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    // and via SQL
+    emb.createOrReplaceTempView("emb_t")
+    val viaSql = spark.sql(
+      "SELECT cosine_sim(a.embedding, b.embedding) FROM emb_t a JOIN emb_t b ON a.vec_id=1 AND b.vec_id=2")
+    assert(!viaSql.head().isNullAt(0))
+  }
+
   test("hyperplanes are deterministic and in [-1,1)") {
     val p1 = Similarity.hyperplanes(4, 8)
     val p2 = Similarity.hyperplanes(4, 8)
