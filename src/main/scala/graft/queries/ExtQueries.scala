@@ -149,6 +149,19 @@ object ExtQueries {
     },
     None)
 
+  /** IVF-style ANN (training-free inverted lists, probe 4 of ~25 lists):
+    * the second scale path beside hyperplane LSH. Probe-all == brute-force
+    * equivalence is unit-tested (IvfSpec) → registered rows-only. */
+  private val q40 = QDef(
+    "q40_ann_ivf",
+    (s, dir) => {
+      val e = embeddings(s, dir)
+      graft.ext.Ivf.topK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, stride = 20, nProbe = 4)
+        .orderBy("query_id", "rank")
+    },
+    None)
+
   // ---------- text analysis ----------
 
   private val stopSql = Map(
@@ -329,5 +342,6 @@ object ExtQueries {
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
   val all: Seq[QDef] = Seq(
-    q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38)
+    q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
+    q38, q40)
 }
