@@ -110,19 +110,28 @@ object FellegiSunter {
     a / (a + b)
   }
 
-  /** EM fit, the driver-coordinated loop of reference lifecycle §3.3: each
-    * iteration is ONE aggregate job (conditional sums for every
-    * (column, level) pair); only a handful of floats ever reach the driver,
-    * so the loop shape is scale-free. Callers should cache `gammas` first.
-    */
+  /** EM fit over the agreement-pattern contingency table (the classic
+    * Fellegi–Sunter formulation, and how splink scales its EM): ONE Spark
+    * job aggregates the pair table down to (gamma vector → count) — at most
+    * Π levels ≈ dozens of rows — then every EM iteration is a driver-side
+    * loop over that table. Iteration cost is independent of pair count, so
+    * the same fit runs on 10³ or 10¹² pairs. */
   def fit(gammas: DataFrame, settings: ErSettings): FsParams = {
     val cs = settings.comparisons
+    val gcols = cs.map(c => col(s"gamma_${c.name}"))
+    // the one distributed job: pattern counts
+    val patterns: Array[(Array[Int], Double)] = gammas
+      .groupBy(gcols: _*).agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => (Array.tabulate(cs.size)(i => r.getInt(i)), r.getLong(cs.size).toDouble))
+    val total = patterns.map(_._2).sum
+
     // init: skew m toward agreement, u toward disagreement
     def initArr(n: Int, top: Double): Array[Double] = {
       val rest = (1.0 - top) / (n - 1)
       Array.tabulate(n)(g => if (g == n - 1) top else rest)
     }
-    // m: mass on the top (exact) level; u: mass on level 0 (disagreement)
+    def clamp(x: Double): Double = math.min(1 - 1e-9, math.max(1e-9, x))
     var params = FsParams(
       settings.initialLambda,
       cs.map(c => c.name -> initArr(c.numLevels, 0.9)).toMap,
@@ -131,29 +140,30 @@ object FellegiSunter {
     var iter = 0
     var delta = Double.MaxValue
     while (iter < settings.maxIter && delta > settings.tol) {
-      val aggs = Seq(sum(col("__p")).as("sum_p"), count(lit(1)).as("n")) ++
-        cs.flatMap { c =>
-          (0 until c.numLevels).flatMap { g =>
-            val hit = col(s"gamma_${c.name}") === g
-            Seq(
-              sum(when(hit, col("__p")).otherwise(0.0)).as(s"m_${c.name}_$g"),
-              sum(when(hit, lit(1.0) - col("__p")).otherwise(0.0)).as(s"u_${c.name}_$g"))
-          }
+      // E-step: P(match | gamma pattern), weighted by pattern count
+      var sumP = 0.0
+      val mAcc = cs.map(c => c.name -> new Array[Double](c.numLevels)).toMap
+      val uAcc = cs.map(c => c.name -> new Array[Double](c.numLevels)).toMap
+      patterns.foreach { case (gvec, n) =>
+        var a = params.lambda
+        var b = 1.0 - params.lambda
+        cs.zipWithIndex.foreach { case (c, i) =>
+          val g = gvec(i)
+          if (g >= 0) { a *= params.m(c.name)(g); b *= params.u(c.name)(g) }
         }
-      val row = gammas.withColumn("__p", matchProbability(params, cs))
-        .agg(aggs.head, aggs.tail: _*).head()
-      val sumP = row.getAs[Double]("sum_p")
-      val n = row.getAs[Long]("n").toDouble
-      def clamp(x: Double): Double = math.min(1 - 1e-9, math.max(1e-9, x))
-      val newM = cs.map { c =>
-        c.name -> Array.tabulate(c.numLevels)(g =>
-          clamp(row.getAs[Double](s"m_${c.name}_$g") / sumP))
-      }.toMap
-      val newU = cs.map { c =>
-        c.name -> Array.tabulate(c.numLevels)(g =>
-          clamp(row.getAs[Double](s"u_${c.name}_$g") / (n - sumP)))
-      }.toMap
-      val newParams = FsParams(clamp(sumP / n), newM, newU)
+        val p = a / (a + b)
+        sumP += n * p
+        cs.zipWithIndex.foreach { case (c, i) =>
+          val g = gvec(i)
+          if (g >= 0) { mAcc(c.name)(g) += n * p; uAcc(c.name)(g) += n * (1 - p) }
+        }
+      }
+      // M-step
+      val newM = cs.map(c => c.name ->
+        mAcc(c.name).map(x => clamp(x / sumP))).toMap
+      val newU = cs.map(c => c.name ->
+        uAcc(c.name).map(x => clamp(x / (total - sumP)))).toMap
+      val newParams = FsParams(clamp(sumP / total), newM, newU)
       delta = math.abs(newParams.lambda - params.lambda) +
         cs.map(c =>
           (newParams.m(c.name) zip params.m(c.name)).map(t => math.abs(t._1 - t._2)).max max

@@ -30,6 +30,23 @@ object TextDedup {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Distinct shingles as rows (id, sh): posexplode words + window `lead`
+    * — fully codegen'd, unlike the higher-order-function [[shingles]]
+    * (HOFs are CodegenFallback). Same shingle strings; equivalence is
+    * asserted in DedupSpec. One shuffle (by id) + one dedup. */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("id").orderBy("pos")
+    val toks = df.select(col(idCol).as("id"), posexplode(words(col(textCol))))
+      .withColumnRenamed("col", "w")
+    val leads = (1 until n).map(k => lead(col("w"), k).over(w).as(s"w$k"))
+    toks.select(Seq(col("id"), col("w")) ++ leads: _*)
+      .filter(col(s"w${n - 1}").isNotNull)
+      .select(col("id"),
+        concat_ws(" ", Seq(col("w")) ++ (1 until n).map(k => col(s"w$k")): _*).as("sh"))
+      .distinct()
+  }
+
   /** Exact dedup: canonical id = min id over identical text. One window
     * (single shuffle on the text key); at scale, hash the text first so the
     * shuffle key is fixed-width. */
@@ -50,14 +67,19 @@ object TextDedup {
       n: Int, threshold: Double): DataFrame = {
     // persist: the inverted index is read three times (both join sides +
     // the size table) — without it the tokenize+shingle scan runs thrice
-    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
-      .persist()
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a").join(sh.as("b"),
+    val sh = shingleRows(df, idCol, textCol, n).persist()
+    val common = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_l"), col("b.id").as("id_r"))
       .agg(count(lit(1)).as("common"))
-    inter
+    jaccardFromCounts(sh, common, threshold)
+  }
+
+  /** Jaccard from per-pair intersection counts + per-doc set sizes. */
+  private def jaccardFromCounts(sh: DataFrame, common: DataFrame,
+      threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    common
       .join(sizes.select(col("id").as("id_l"), col("sz").as("sz_l")), "id_l")
       .join(sizes.select(col("id").as("id_r"), col("sz").as("sz_r")), "id_r")
       .withColumn("jaccard",
@@ -65,6 +87,16 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_l"), col("id_r"), col("jaccard"))
   }
+
+  /** Exact intersection counts for an explicit candidate set: expand each
+    * pair by the left side's shingles, then probe the index on the
+    * composite (id, shingle) key — only candidate pairs are ever expanded,
+    * so LSH keeps its no-O(n²) guarantee. */
+  private def candidateCommonCounts(sh: DataFrame, cands: DataFrame): DataFrame =
+    cands
+      .join(sh.select(col("id").as("id_l"), col("sh")), "id_l")
+      .join(sh.select(col("id").as("id_r"), col("sh")), Seq("id_r", "sh"))
+      .groupBy("id_l", "id_r").agg(count(lit(1)).as("common"))
 
   /** MinHash signature: numPerm permutations simulated with seeded xxhash64
     * (Broder's min-wise hashing). */
@@ -81,32 +113,30 @@ object TextDedup {
       n: Int, numPerm: Int, bands: Int, threshold: Double): DataFrame = {
     require(numPerm % bands == 0, "numPerm must divide into bands")
     val rowsPerBand = numPerm / bands
-    // persist the shingle sets: read by the signature pass and twice more
-    // for candidate verification
-    val withSh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .persist()
-    val sig = withSh.withColumn("sig", minhashSignature(col("sh"), numPerm))
-    // bucket rows carry only (id, band, bucket) — the shingle arrays stay
-    // out of the self-join shuffle and are joined back for the (few)
-    // candidates only
-    val buckets = sig.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+    // persist the shingle index: read by the signature pass, the size
+    // table, and both sides of candidate verification
+    val sh = shingleRows(df, idCol, textCol, n).persist()
+    // Signature via numPerm codegen'd min(xxhash64(h, seed)) aggregates —
+    // higher-order functions are CodegenFallback, so the array-lambda
+    // formulation pays interpreted dispatch per (shingle, perm); this is
+    // one shuffle on the doc id instead. Permutation i = min over
+    // re-seeded hashes of the shingle's base hash (Broder).
+    val tok = sh.select(col("id"), xxhash64(col("sh")).as("h"))
+    val sigCols = (0 until numPerm).map(i => min(xxhash64(col("h"), lit(i))).as(s"s$i"))
+    val sig = tok.groupBy("id").agg(sigCols.head, sigCols.tail: _*)
+    // bucket rows carry only (id, band, bucket)
+    val bandCols = (0 until bands).map { b =>
+      val sigsInBand = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"s$i"))
+      xxhash64(sigsInBand :+ lit(b): _*)
+    }
+    val buckets = sig.select(col("id"), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val cands = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_l"), col("b.id").as("id_r"))
       .dropDuplicates("id_l", "id_r")
-    cands
-      .join(withSh.select(col("id").as("id_l"), col("sh").as("sh_l")), "id_l")
-      .join(withSh.select(col("id").as("id_r"), col("sh").as("sh_r")), "id_r")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_l"), col("sh_r"))).cast("double") /
-          size(array_union(col("sh_l"), col("sh_r"))))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_l"), col("id_r"), col("jaccard"))
+    jaccardFromCounts(sh, candidateCommonCounts(sh, cands), threshold)
   }
 
   /** 64-bit SimHash (Charikar): per-bit majority vote over word hashes,

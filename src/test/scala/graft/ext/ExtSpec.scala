@@ -27,6 +27,10 @@ class DedupSpec extends SparkTestBase {
     assert(sh(1L).contains("the quick brown"))
     assert(sh(1L).size == 8) // 10 words -> 8 trigrams, all distinct
     assert(sh(5L).isEmpty)
+    // the codegen'd relational formulation produces the same shingle sets
+    val relational = TextDedup.shingleRows(docs, "doc_id", "text", 3)
+      .as[(Long, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(relational == sh.filter(_._2.nonEmpty).view.mapValues(_.toSet).toMap)
   }
 
   test("exact jaccard pairs find near-dups, not unrelated docs") {
