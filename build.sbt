@@ -10,7 +10,18 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
-run / fork := true
+// run in-process: sbt's forked bgRun measurably stalls Spark executor
+// threads (3x slower bench totals even with identical JVM flags); the
+// launcher JVM already has the JDK17 add-opens and a right-sized heap
+run / fork := false
+// inherit stdout/stderr directly: sbt's default LoggedOutput strategy
+// funnels every child log line through sbt's synchronized logger, which
+// measurably stalls Spark's executor threads under load
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Test / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// sbt's bgRun copies the full (multi-GB) Spark classpath into
+// target/bg-jobs on every invocation — skip the copy, reference in place
+bgCopyClasspath := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -23,8 +34,16 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap size: measured at sf0.1, a 24g heap made the bench 6-7x SLOWER than
+// 4g (312s vs 45s total — G1 old-gen bloat + Spark sizing its unified
+// memory region off the max heap). Keep the heap small and fixed; override
+// with SPARK_DRIVER_MEM only if a query genuinely OOMs.
+val driverHeap = sys.env.getOrElse("SPARK_DRIVER_MEM", "4g")
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx$driverHeap", s"-Xms$driverHeap",
+  // bound GC parallelism: with local[32] task threads, default G1 GC
+  // thread counts oversubscribe the cores and stall whole stages
+  "-XX:ParallelGCThreads=8", "-XX:ConcGCThreads=2",
 )

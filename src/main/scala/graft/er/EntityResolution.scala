@@ -214,8 +214,10 @@ object FellegiSunter {
   * `Splink(settings, df, spark).get_scored_comparisons()` (`:57-58`). */
 object EntityResolver {
   def scoredComparisons(df: DataFrame, settings: ErSettings): (DataFrame, FsParams) = {
+    // no persist: fit is a single aggregate job since the pattern-table EM,
+    // so the pair pipeline runs exactly twice (fit agg + scored output) —
+    // cheaper than a wide cache write plus two cache reads
     val gammas = Comparison.withGammas(Blocking.pairs(df, settings), settings.comparisons)
-      .persist()
     val params = FellegiSunter.fit(gammas, settings)
     val scored = FellegiSunter.score(gammas, settings, params, Some(df))
     (scored, params)
