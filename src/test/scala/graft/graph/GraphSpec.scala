@@ -28,6 +28,16 @@ class MotifSpec extends SparkTestBase {
     assert(canonical.count() == 1)
   }
 
+  test("struct-star expansion and flatten on motif output") {
+    // the reference's selectExpr("graph1.*") shape (SURVEY.md §2.2)
+    val out = g.find("(a)-[e]->(b)")
+    assert(out.select(col("e.*")).columns.toSeq == Seq("src", "dst", "amount"))
+    val flat = Motif.flatten(out, "a", "e", "b")
+    assert(flat.columns.toSeq ==
+      Seq("a_id", "a_name", "e_src", "e_dst", "e_amount", "b_id", "b_name"))
+    assert(flat.count() == 4)
+  }
+
   test("anonymous edges and vertices are supported") {
     assert(g.find("(a)-[]->(b)").columns.toSeq == Seq("a", "b"))
     assert(g.find("(a)-[]->()").count() == 4)
