@@ -47,6 +47,43 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * See [[Pregel]]. */
   def pregel: Pregel = new Pregel(this)
 
+  /** Per-vertex triangle count (direction-ignored, each triangle counted
+    * once per member, GraphFrames `triangleCount` semantics): canonicalize
+    * edges undirected, enumerate ordered triangles a<b<c via two joins,
+    * explode members, count. */
+  def triangleCount: DataFrame = {
+    val und = edges.select(
+        least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .join(und.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val counts = tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("count"))
+    vertices.select(col("id"))
+      .join(counts, Seq("id"), "left_outer")
+      .withColumn("count", coalesce(col("count"), lit(0L)))
+  }
+
+  /** PageRank with damping 0.85 as a [[Pregel]] composition (out-degree
+    * weighted push, fixed iterations — the GraphFrames/GraphX formulation;
+    * dangling mass is not redistributed). */
+  def pageRank(maxIter: Int, resetProb: Double = 0.15): DataFrame = {
+    val withDeg = vertices.select(col("id"))
+      .join(outDegrees, Seq("id"), "left_outer")
+      .withColumn("outDegree", coalesce(col("outDegree"), lit(0L)))
+    PropertyGraph(withDeg, edges).pregel
+      .withVertexColumn("pagerank", lit(1.0),
+        lit(resetProb) + lit(1.0 - resetProb) * coalesce(Pregel.msg, lit(0.0)))
+      .sendMsgToDst(Pregel.src("pagerank") / Pregel.src("outDegree"))
+      .aggMsgs(sum(Pregel.msg))
+      .setMaxIter(maxIter)
+      .run()
+      .select(col("id"), col("pagerank"))
+  }
+
   /** Keep only vertices satisfying `cond`, dropping edges touching removed
     * vertices (the reference's degree-1 shrink keeps the subgraph valid,
     * `01_aml_network_analysis.py:119-127`). Two semi-joins against the kept

@@ -341,7 +341,40 @@ object ExtQueries {
                    CAST(count(CASE WHEN CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) > 50 THEN 1 END) AS BIGINT) AS n_high
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** tf-idf-style salient terms per document: rank terms by term frequency,
+    * tie-break by document frequency ascending (rarer wins) then term —
+    * integer-only ranking, so both engines agree bit-for-bit. */
+  private val q41 = QDef(
+    "q41_top_terms",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tf").desc, col("df").asc, col("term"))
+      tf.join(dfreq, "term")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rank"))
+        .orderBy("doc_id", "rank")
+    },
+    Some("""WITH tf AS (
+              SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+              FROM documents),
+            tfc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                    FROM tf GROUP BY doc_id, term),
+            dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                    FROM tfc GROUP BY term),
+            r AS (SELECT tfc.doc_id, tfc.term, tf, df,
+                         row_number() OVER (PARTITION BY tfc.doc_id
+                           ORDER BY tf DESC, df ASC, tfc.term) AS rank
+                  FROM tfc JOIN dfc ON tfc.term = dfc.term)
+            SELECT doc_id, term, tf, df, CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 3 ORDER BY doc_id, rank"""))
+
   val all: Seq[QDef] = Seq(
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q40)
+    q38, q40, q41)
 }

@@ -231,5 +231,27 @@ object GraphQueries {
              HAVING count(CASE WHEN id < 1000000 THEN 1 END) > 1
              ORDER BY component"""))
 
-  val all: Seq[QDef] = Seq(q15, q16, q17, q18, q19, q20)
+  /** Per-vertex triangle count on the (direction-ignored) pseudo-txn graph
+    * — GraphFrames `triangleCount` semantics, compiled to two joins. */
+  private val q42 = QDef(
+    "q42_triangle_count",
+    (s, dir) => txnGraph(s, dir).triangleCount.orderBy("id"),
+    Some(s"""WITH e0 AS ($txnEdgesSql),
+             und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                     FROM e0 WHERE src <> dst),
+             tri AS (
+               SELECT e1.a AS x, e1.b AS y, e2.b AS z
+               FROM und e1
+               JOIN und e2 ON e1.b = e2.a
+               JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+             m AS (SELECT x AS id FROM tri UNION ALL
+                   SELECT y FROM tri UNION ALL
+                   SELECT z FROM tri),
+             cnt AS (SELECT id, CAST(count(*) AS BIGINT) AS count
+                     FROM m GROUP BY id)
+             SELECT c.c_custkey AS id, coalesce(cnt.count, 0) AS count
+             FROM customer c LEFT JOIN cnt ON c.c_custkey = cnt.id
+             ORDER BY id"""))
+
+  val all: Seq[QDef] = Seq(q15, q16, q17, q18, q19, q20, q42)
 }

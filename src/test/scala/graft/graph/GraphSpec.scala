@@ -109,6 +109,31 @@ class PregelSpec extends SparkTestBase {
     assert(out == Map(1L -> 10L, 2L -> 30L, 3L -> 35L))
   }
 
+  test("triangle count ignores direction and counts per member") {
+    val g = PropertyGraph(
+      Seq(1L, 2L, 3L, 4L, 5L).toDF("id"),
+      // triangle 1-2-3 (mixed directions) + pendant 3-4, isolated 5
+      Seq((1L, 2L), (3L, 2L), (1L, 3L), (3L, 4L)).toDF("src", "dst"))
+    val got = g.triangleCount.as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 0L))
+  }
+
+  test("pageRank via Pregel matches a hand-rolled power iteration") {
+    val g = PropertyGraph(
+      Seq(1L, 2L, 3L).toDF("id"),
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst"))
+    val got = g.pageRank(maxIter = 10).as[(Long, Double)].collect().toMap
+    // reference power iteration with the same push formulation
+    val out = Map(1L -> Seq(2L, 3L), 2L -> Seq(3L), 3L -> Seq(1L))
+    var pr = Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0)
+    for (_ <- 1 to 10) {
+      val recv = out.toSeq.flatMap { case (u, vs) => vs.map(_ -> pr(u) / vs.size) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      pr = pr.map { case (v, _) => v -> (0.15 + 0.85 * recv.getOrElse(v, 0.0)) }
+    }
+    got.foreach { case (v, p) => assert(math.abs(p - pr(v)) < 1e-9, s"vertex $v") }
+  }
+
   test("degrees counts both endpoints") {
     val g = PropertyGraph(
       Seq(1L, 2L, 3L).toDF("id"),
