@@ -82,6 +82,26 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(got == Seq(1L))
   }
 
+  test("50k-edge random graph matches driver-side union-find") {
+    val rnd = new scala.util.Random(7)
+    val n = 20000
+    val es = Seq.fill(50000)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val got = PropertyGraph((0L until n.toLong).toDF("id"), es.toDF("src", "dst"))
+      .connectedComponents()
+      .select("id", "component").as[(Long, Long)].collect().toMap
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // canonicalize union-find roots to min member id per component
+    val members = (0 until n).groupBy(find)
+    val canon = members.flatMap { case (_, ms) => val m = ms.min.toLong; ms.map(_.toLong -> m) }
+    assert(got == canon)
+  }
+
   test("string ids work (orderable, not just numeric)") {
     val v = Seq("a", "b", "c", "z").toDF("id")
     val e = Seq(("b", "a"), ("b", "c")).toDF("src", "dst")

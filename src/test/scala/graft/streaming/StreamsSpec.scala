@@ -11,8 +11,8 @@ import graft.streaming.Streams.SessionEvent
 class StreamsSpec extends SparkTestBase {
   import spark.implicits._
 
-  private def ts(minute: Int): Timestamp =
-    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+  private val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+  private def ts(minute: Int): Timestamp = new Timestamp(t0 + minute * 60000L)
 
   test("windowed aggregation: same plan runs batch and streaming") {
     val batch = Seq(
@@ -47,6 +47,38 @@ class StreamsSpec extends SparkTestBase {
     val got = Streams.sessionizeBatch(ev, gapMs = 30 * 60 * 1000L)
       .select("user_id", "sid", "n_events").as[(Long, Long, Long)].collect().toSet
     assert(got == Set((10L, 1L, 2L), (10L, 2L, 1L), (20L, 1L, 1L)))
+  }
+
+  test("streaming sessionization agrees with the batch window-function formulation") {
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic event stream for users 1..3, gaps at varying offsets
+    val events = for {
+      u <- 1L to 3L
+      i <- 0 until 12
+    } yield (u * 100 + i, u, ts((i * 7 + (if (i > 6) 120 else 0)).toInt + u.toInt))
+    val batch = Streams.sessionizeBatch(
+        events.toDF("event_id", "user_id", "ts"), gapMs = 30 * 60 * 1000L)
+      .select("user_id", "start_ms", "end_ms", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    val mem = MemoryStream[SessionEvent]
+    val sq = Streams.sessionizeStream(mem.toDS(), gapMs = 30 * 60 * 1000L, "1 minute")
+      .writeStream.format("memory").queryName("sess_parity").outputMode("append").start()
+    try {
+      events.sortBy(_._3.getTime).foreach { case (_, u, t) => mem.addData(SessionEvent(u, t)) }
+      sq.processAllAvailable()
+      // flush remaining open sessions past the watermark
+      mem.addData(SessionEvent(99L, ts(3000)))
+      sq.processAllAvailable()
+      mem.addData(SessionEvent(99L, ts(3001)))
+      sq.processAllAvailable()
+      val streamed = spark.table("sess_parity")
+        .filter(col("user_id") =!= 99L)
+        .select("user_id", "start_ms", "end_ms", "n_events")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"stream/batch divergence: missing=${batch -- streamed} extra=${streamed -- batch}")
+    } finally sq.stop()
   }
 
   test("streaming sessionization closes sessions on gap or watermark timeout") {
