@@ -53,4 +53,21 @@ final class Catalog(spark: SparkSession, warehouseDir: String) {
   }
   def table(name: String): DataFrame = spark.table(name)
   def drop(name: String): Unit = spark.catalog.dropTempView(name)
+
+  /** Bucketed managed table: co-locates rows by hash(bucketCol) at write
+    * time so later equi-joins/aggregations on that key skip the exchange
+    * entirely — the pre-shuffle strategy for repeatedly-joined 100 TB
+    * fact tables (SURVEY.md §7.4 risk 5 / "bucketing" in the scale rules).
+    * Requires a real catalog table (temp views cannot carry bucket specs).
+    */
+  def saveBucketed(name: String, df: DataFrame, bucketCol: String,
+      numBuckets: Int): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    df.write.mode("overwrite")
+      .format("parquet")
+      .option("path", s"$warehouseDir/$name")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(name)
+  }
 }
