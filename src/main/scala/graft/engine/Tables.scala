@@ -54,6 +54,11 @@ final class Catalog(spark: SparkSession, warehouseDir: String) {
   def table(name: String): DataFrame = spark.table(name)
   def drop(name: String): Unit = spark.catalog.dropTempView(name)
 
+  /** SHOW TABLES (reference `config/aml_config.py:67`): names visible in
+    * the session — temp views plus catalog tables. */
+  def listTables(): Seq[String] =
+    spark.catalog.listTables().collect().map(_.name).toSeq.sorted
+
   /** Bucketed managed table: co-locates rows by hash(bucketCol) at write
     * time so later equi-joins/aggregations on that key skip the exchange
     * entirely — the pre-shuffle strategy for repeatedly-joined 100 TB

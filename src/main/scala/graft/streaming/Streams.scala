@@ -28,6 +28,22 @@ object Streams {
         col("n_events"), col("total_value"))
   }
 
+  /** Streaming structuring alert — the reference's aspiration "as new
+    * transactions are discovered" (`01_aml_network_analysis.py:486`) made
+    * real: per-beneficiary tumbling-window inflow totals with a watermark;
+    * windows whose aggregate crosses the reporting threshold (reference
+    * `:319`: > $10,000) become alerts. Works batch or streaming from the
+    * same plan. */
+  def structuringAlerts(txns: DataFrame, threshold: Double,
+      windowLen: String = "1 hour", watermark: Option[String] = Some("2 hours")): DataFrame = {
+    val src = watermark.fold(txns)(w => txns.withWatermark("ts", w))
+    src.groupBy(window(col("ts"), windowLen).as("w"), col("beneficiary"))
+      .agg(sum(col("amount")).as("total_amount"), count(lit(1)).as("n_txns"))
+      .filter(col("total_amount") > threshold && col("n_txns") >= 2)
+      .select(col("w.start").as("window_start"), col("beneficiary"),
+        col("total_amount"), col("n_txns"))
+  }
+
   /** Batch sessionization via window functions (gap > gapMs starts a new
     * session): lag → break flags → running sum → per-session aggregate.
     * Two window passes over one shuffle on user_id. Millisecond integers

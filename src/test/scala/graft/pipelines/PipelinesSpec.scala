@@ -72,6 +72,7 @@ class SourcesSpec extends SparkTestBase {
     assert(cat.table("t1").count() == 1)
     cat.save("t1", Seq((1, "a"), (2, "b")).toDF("id", "v")) // overwrite
     assert(spark.table("t1").count() == 2)
+    assert(cat.listTables().contains("t1")) // SHOW TABLES surface
     cat.drop("t1")
   }
 }

@@ -39,6 +39,25 @@ class StreamsSpec extends SparkTestBase {
     } finally sq.stop()
   }
 
+  test("streaming structuring alerts fire when windowed inflow crosses the threshold") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val sq = Streams.structuringAlerts(
+        mem.toDF.toDF("ts", "beneficiary", "amount"), threshold = 10000.0)
+      .writeStream.format("memory").queryName("alerts").outputMode("complete").start()
+    try {
+      mem.addData(
+        (ts(5), 7L, 6000.0), (ts(20), 7L, 6000.0),   // 12k within one hour -> alert
+        (ts(10), 8L, 6000.0), (ts(70), 8L, 6000.0),  // split across windows -> no alert
+        (ts(15), 9L, 12000.0))                       // single txn -> no alert (n >= 2)
+      sq.processAllAvailable()
+      val alerts = spark.table("alerts")
+        .select("beneficiary", "total_amount", "n_txns")
+        .as[(Long, Double, Long)].collect().toSeq
+      assert(alerts == Seq((7L, 12000.0, 2L)))
+    } finally sq.stop()
+  }
+
   test("batch sessionization splits on gaps over threshold") {
     val ev = Seq(
       (1L, 10L, ts(0)), (2L, 10L, ts(10)), (3L, 10L, ts(50)), // gap 40min -> new session
