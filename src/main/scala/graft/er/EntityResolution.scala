@@ -34,6 +34,11 @@ final case class JaroWinklerLevel(threshold: Double) extends FuzzyLevel
 /** Levenshtein edit distance at or below `maxDistance` (integer-exact,
   * oracle-friendly). */
 final case class LevenshteinLevel(maxDistance: Int) extends FuzzyLevel
+/** Numeric within-tolerance (SURVEY.md §2.8: "numeric = exact /
+  * within-tolerance"). */
+final case class NumericToleranceLevel(tolerance: Double) extends FuzzyLevel
+/** Phonetic match via Soundex codes (splink-style phonetic level). */
+case object SoundexLevel extends FuzzyLevel
 
 /** Settings mirroring the splink settings dict the reference passes
   * (`link_type: dedupe_only`, `blocking_rules`, `comparison_columns`). */
@@ -88,6 +93,10 @@ object Comparison {
           base.when(levenshtein(l, r) <= maxD, lit(1)).otherwise(lit(0))
         case Some(JaroWinklerLevel(t)) =>
           base.when(call_function("jaro_winkler", l, r) >= t, lit(1)).otherwise(lit(0))
+        case Some(NumericToleranceLevel(tol)) =>
+          base.when(abs(l - r) <= tol, lit(1)).otherwise(lit(0))
+        case Some(SoundexLevel) =>
+          base.when(soundex(l) === soundex(r), lit(1)).otherwise(lit(0))
       }
       d.withColumn(s"gamma_${c.name}", gamma)
     }

@@ -94,12 +94,16 @@ object ErQueries {
                   AND l.unique_id < r.unique_id
              ORDER BY unique_id_l, unique_id_r"""))
 
-  /** Comparison (gamma) vectors: exact / fuzzy (levenshtein ≤ 2) / disagree
-    * per column — pure codegen'd projections over the blocked pairs. */
+  /** Comparison (gamma) vectors: exact / fuzzy / disagree per column —
+    * string fuzzy via levenshtein ≤ 2, numeric fuzzy via within-tolerance
+    * (SURVEY.md §2.8) — pure codegen'd projections over the blocked pairs. */
   private val q22 = QDef(
     "q22_er_gamma",
     (s, dir) => Comparison
-      .withGammas(Blocking.pairs(dirty(s, dir), settings), settings.comparisons)
+      .withGammas(Blocking.pairs(dirty(s, dir), settings),
+        Seq(
+          ComparisonColumn("name", fuzzy = Some(LevenshteinLevel(2))),
+          ComparisonColumn("acctbal", fuzzy = Some(NumericToleranceLevel(5.0)))))
       .select(
         col("unique_id_l"), col("unique_id_r"),
         col("gamma_name"), col("gamma_acctbal"))
@@ -109,7 +113,9 @@ object ErQueries {
                     CASE WHEN l.name = r.name THEN 2
                          WHEN levenshtein(l.name, r.name) <= 2 THEN 1
                          ELSE 0 END AS gamma_name,
-                    CASE WHEN l.acctbal = r.acctbal THEN 1 ELSE 0 END AS gamma_acctbal
+                    CASE WHEN l.acctbal = r.acctbal THEN 2
+                         WHEN abs(l.acctbal - r.acctbal) <= 5.0 THEN 1
+                         ELSE 0 END AS gamma_acctbal
              FROM d l JOIN d r
                ON (l.bucket = r.bucket
                    OR (l.nation = r.nation AND l.segment = r.segment

@@ -77,6 +77,20 @@ class FellegiSunterSpec extends SparkTestBase {
     assert(g == Seq(2, 1, 0, -1))
   }
 
+  test("numeric-tolerance and soundex fuzzy levels") {
+    val d = Seq(
+      (1L, 100.0, "robert", 2L, 100.0, "robert"),   // exact both
+      (3L, 100.0, "robert", 4L, 100.4, "rupert"),   // within tol; same soundex R163
+      (5L, 100.0, "robert", 6L, 150.0, "alice")     // disagree both
+    ).toDF("unique_id_l", "amount_l", "name_l", "unique_id_r", "amount_r", "name_r")
+    val cs = Seq(
+      ComparisonColumn("amount", fuzzy = Some(NumericToleranceLevel(0.5))),
+      ComparisonColumn("name", fuzzy = Some(SoundexLevel)))
+    val g = Comparison.withGammas(d, cs).orderBy("unique_id_l")
+      .select("gamma_amount", "gamma_name").as[(Int, Int)].collect().toSeq
+    assert(g == Seq((2, 2), (1, 1), (0, 0)))
+  }
+
   test("EM separates true duplicates from noise pairs") {
     val (scored, params) = EntityResolver.scoredComparisons(df, settings)
     val byPair = scored
