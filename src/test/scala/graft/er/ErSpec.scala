@@ -117,6 +117,18 @@ class FellegiSunterSpec extends SparkTestBase {
     assert(ws.zip(ws.tail).forall { case (a, b) => a <= b + 1e-12 })
   }
 
+  test("fitted params export as a diagnostics DataFrame with Bayes factors") {
+    val (_, params) = EntityResolver.scoredComparisons(df, settings)
+    val diag = EntityResolver.paramsAsDataFrame(spark, params)
+    assert(diag.columns.toSeq ==
+      Seq("comparison", "gamma_level", "m", "u", "bayes_factor"))
+    val rows = diag.as[(String, Int, Double, Double, Double)].collect()
+    assert(rows.map(_._1).toSet == Set("name", "amount"))
+    rows.foreach { case (_, _, m, u, bf) => assert(math.abs(bf - m / u) < 1e-12) }
+    // agreement on the top level must be evidence FOR a match after the fit
+    assert(rows.filter(r => r._1 == "name" && r._2 == 2).head._5 > 1.0)
+  }
+
   test("term-frequency adjustment weakens matches on common values") {
     val tfDf = Seq(
       (1L, "smith", 1L), (2L, "smith", 1L), (3L, "smith", 2L), (4L, "smith", 2L),

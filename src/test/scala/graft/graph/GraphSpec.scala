@@ -60,6 +60,19 @@ class MotifSpec extends SparkTestBase {
   test("unparseable pattern is rejected") {
     intercept[IllegalArgumentException](g.find("(a)->[e]-(b)"))
   }
+
+  test("self-loop motif term binds both endpoints to one vertex") {
+    val withLoop = PropertyGraph(
+      Seq((1L, "x"), (2L, "y")).toDF("id", "name"),
+      Seq((1L, 1L, 5.0), (1L, 2L, 6.0)).toDF("src", "dst", "amount"))
+    val loops = withLoop.find("(a)-[e]->(a)")
+    assert(loops.select(col("a.id")).as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("disconnected pattern components produce the cartesian of matches") {
+    val out = g.find("(a)-[e1]->(b); (c)-[e2]->(d)")
+    assert(out.count() == 16) // 4 edges x 4 edges, GraphFrames semantics
+  }
 }
 
 class ConnectedComponentsSpec extends SparkTestBase {
