@@ -183,6 +183,36 @@ object FellegiSunter {
     params
   }
 
+  /** Estimate u (P(gamma level | non-match)) from random pairs — splink's
+    * `estimate_u` workflow: almost all random pairs are non-matches, so the
+    * observed gamma-level distribution over a random pair sample IS u. The
+    * sample is two independent `sample()` passes sized so their product
+    * stays near `targetPairs` — bounded work at any corpus size. */
+  def estimateU(df: DataFrame, settings: ErSettings,
+      targetPairs: Long = 1000000L, seed: Int = 42): Map[String, Array[Double]] = {
+    val uid = settings.uniqueId
+    val n = df.count().toDouble
+    val f = math.min(1.0, math.sqrt(targetPairs.toDouble) / n)
+    val outCols =
+      df.columns.map(c => col(s"l.$c").as(s"${c}_l")) ++
+        df.columns.map(c => col(s"r.$c").as(s"${c}_r"))
+    val pairs = df.sample(f, seed).as("l")
+      .join(df.sample(f, seed + 1).as("r"), col(s"l.$uid") < col(s"r.$uid"))
+      .select(outCols.toIndexedSeq: _*)
+    val gammas = Comparison.withGammas(pairs, settings.comparisons)
+    val aggs = settings.comparisons.flatMap { c =>
+      (0 until c.numLevels).map { g =>
+        sum(when(col(s"gamma_${c.name}") === g, 1.0).otherwise(0.0)).as(s"u_${c.name}_$g")
+      }
+    }
+    val row = gammas.agg(aggs.head, aggs.tail: _*).head()
+    settings.comparisons.map { c =>
+      val counts = Array.tabulate(c.numLevels)(g => row.getAs[Double](s"u_${c.name}_$g"))
+      val total = math.max(1.0, counts.sum)
+      c.name -> counts.map(x => math.max(1e-9, x / total))
+    }.toMap
+  }
+
   /** Score pairs with fitted params: `match_probability` plus `match_weight`
     * (log2 Bayes factor). Term-frequency adjustment: for exact matches on a
     * TF column, u is replaced by the observed frequency of the shared value

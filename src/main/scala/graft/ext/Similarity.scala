@@ -86,19 +86,29 @@ object Similarity {
   }
 
   /** Bucketed ANN: assign corpus and queries to hyperplane buckets, join on
-    * the bucket, rank within it. Approximate — recall depends on bucket
-    * bit-width; verified against [[bruteForceTopK]] in unit tests. */
+    * the bucket, rank within it. `multiProbe` additionally probes every
+    * bucket at Hamming distance 1 from the query's bucket (flip one plane
+    * bit) — the standard multi-probe LSH recall boost for vectors near a
+    * hyperplane, at (numPlanes+1)× query-side fan-out and unchanged
+    * corpus-side cost. Verified against [[bruteForceTopK]] in unit tests. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, numPlanes: Int, dim: Int): DataFrame = {
+      vecCol: String, k: Int, numPlanes: Int, dim: Int,
+      multiProbe: Boolean = false): DataFrame = {
     val planes = hyperplanes(numPlanes, dim)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
       lshBucket(col(vecCol), planes).as("bucket"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       lshBucket(col(vecCol), planes).as("bucket"))
+    val q =
+      if (!multiProbe) q0
+      else q0.withColumn("bucket", explode(array(
+        (col("bucket") +: (0 until numPlanes).map(i =>
+          col("bucket").bitwiseXOR(lit(1L << i)))): _*)))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine", cosine(col("qv"), col("nv")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

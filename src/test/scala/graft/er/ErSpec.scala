@@ -117,6 +117,18 @@ class FellegiSunterSpec extends SparkTestBase {
     assert(ws.zip(ws.tail).forall { case (a, b) => a <= b + 1e-12 })
   }
 
+  test("u estimated from random pairs puts its mass on disagreement") {
+    // 60 rows with structurally distinct names: a random pair almost never
+    // agrees exactly, rarely even fuzzily
+    val big = (1L to 60L).map(i =>
+      (i, s"entity_${i * 2654435761L % 99991}_${"x" * (i % 7).toInt}", i * 10.0, i % 5)
+    ).toDF("unique_id", "name", "amount", "block")
+    val u = FellegiSunter.estimateU(big, settings, targetPairs = 500)
+    assert(u("name")(0) > 0.6, s"u(name) = ${u("name").toSeq}")
+    assert(u("name").last < 0.05)
+    assert(u("amount")(0) > 0.9)
+  }
+
   test("fitted params export as a diagnostics DataFrame with Bayes factors") {
     val (_, params) = EntityResolver.scoredComparisons(df, settings)
     val diag = EntityResolver.paramsAsDataFrame(spark, params)

@@ -120,6 +120,28 @@ class SimilaritySpec extends SparkTestBase {
     assert(!viaSql.head().isNullAt(0))
   }
 
+  test("multi-probe lsh recall is a superset of single-probe") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    def hits(multiProbe: Boolean): Map[Long, Set[Long]] =
+      Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+          k = 3, numPlanes = 6, dim = 64, multiProbe = multiProbe)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val single = hits(multiProbe = false)
+    val multi = hits(multiProbe = true)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recall(h: Map[Long, Set[Long]]): Double = {
+      val (inter, total) = brute.map { case (q, b) =>
+        (h.getOrElse(q, Set.empty[Long]).intersect(b).size, b.size)
+      }.foldLeft((0, 0)) { case ((a, b), (c, d)) => (a + c, b + d) }
+      inter.toDouble / total
+    }
+    assert(recall(multi) >= recall(single))
+  }
+
   test("hyperplanes are deterministic and in [-1,1)") {
     val p1 = Similarity.hyperplanes(4, 8)
     val p2 = Similarity.hyperplanes(4, 8)
