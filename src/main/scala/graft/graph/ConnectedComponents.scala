@@ -22,8 +22,9 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  def run(g: PropertyGraph, maxIter: Int = 25): DataFrame = {
-    val assign = runOnEdges(g.edges, maxIter)
+  def run(g: PropertyGraph, maxIter: Int = 25,
+      assumeDistinctEdges: Boolean = false): DataFrame = {
+    val assign = runOnEdges(g.edges, maxIter, assumeDistinctEdges)
     g.vertices
       .join(assign, Seq("id"), "left_outer")
       .withColumn("component", coalesce(col("component"), col("id")))
@@ -31,11 +32,15 @@ object ConnectedComponents {
 
   /** Core loop over an edge list; returns `(id, component)` for every node
     * that appears in an edge (isolated vertices are handled by the caller's
-    * left join + coalesce). */
-  def runOnEdges(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    var e = edges.select(col("src"), col("dst"))
+    * left join + coalesce). Pass `assumeDistinctEdges` when the caller
+    * guarantees a duplicate-free edge list — skips the up-front dedup
+    * shuffle (the algorithm needs distinct edges for the convergence
+    * fingerprint, not for correctness). */
+  def runOnEdges(edges: DataFrame, maxIter: Int = 25,
+      assumeDistinctEdges: Boolean = false): DataFrame = {
+    val base = edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst"))
-      .distinct()
+    var e = (if (assumeDistinctEdges) base else base.distinct())
       .localCheckpoint()
     val nodes = e.select(explode(array(col("src"), col("dst"))).as("id"))
       .distinct()

@@ -40,8 +40,9 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
 
   /** Connected components with ids normalized to `min(member id)`
     * (`01_aml_network_analysis.py:144-147`). See [[ConnectedComponents]]. */
-  def connectedComponents(maxIter: Int = 25): DataFrame =
-    ConnectedComponents.run(this, maxIter)
+  def connectedComponents(maxIter: Int = 25,
+      assumeDistinctEdges: Boolean = false): DataFrame =
+    ConnectedComponents.run(this, maxIter, assumeDistinctEdges)
 
   /** Superstep message-passing builder (`01_aml_network_analysis.py:450-459`).
     * See [[Pregel]]. */

@@ -90,7 +90,7 @@ object GraphQueries {
   private val q16 = QDef(
     "q16_connected_components",
     (s, dir) => sharedAttrGraph(s, dir)
-      .connectedComponents()
+      .connectedComponents(assumeDistinctEdges = true)
       .select(col("id"), col("component"))
       .orderBy("id"),
     Some(s"""WITH RECURSIVE
@@ -203,7 +203,7 @@ object GraphQueries {
       val keepE = g.edges
         .join(keepIds.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
         .join(keepIds.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
-      ConnectedComponents.run(PropertyGraph(keepV, keepE))
+      ConnectedComponents.run(PropertyGraph(keepV, keepE), assumeDistinctEdges = true)
         .groupBy(col("component"))
         .agg(
           count(when(col("type") === "Person", 1)).as("person_ct"),
