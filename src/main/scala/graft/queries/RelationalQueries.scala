@@ -338,6 +338,31 @@ object RelationalQueries {
     (s, dir) => { Tables.registerAll(s, dir); s.sql(q39SqlText) },
     Some(q39SqlText))
 
+  /** Exact quantiles + distinct counts per group (the OLAP summary shape;
+    * both engines use the same linear-interpolation definition over sorted
+    * exact doubles, so no rounding). The sketch variants
+    * (approx_count_distinct / approx_percentile) are demonstrated against
+    * these exact values in SketchSpec — sketches are engine-specific, so
+    * they cannot be oracle-hashed. */
+  private val q43 = QDef(
+    "q43_quantiles",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_extendedprice, 0.5)").as("median_price"),
+          expr("percentile(l_extendedprice, 0.95)").as("p95_price"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.5) AS median_price,
+                   quantile_cont(l_extendedprice, 0.95) AS p95_price,
+                   CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val all: Seq[QDef] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q39)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
+      q39, q43)
 }
