@@ -79,7 +79,7 @@ object Similarity {
   def lshBucket(vecCol: Column, planes: Seq[Array[Double]]): Column = {
     val v = toDouble(vecCol)
     planes.zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.map(lit): _*)
+      val planeLit = array(p.toIndexedSeq.map(lit): _*)
       when(call_function("dot_product", v, planeLit) >= 0,
         shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))

@@ -54,7 +54,7 @@ object GraphQueries {
     * SQL-expressible on both engines. */
   private[graft] def txnGraph(s: SparkSession, dir: String): PropertyGraph = {
     val c = Tables.load(s, dir, "customer")
-    val nCust: Long = c.agg(max(col("c_custkey"))).head.getLong(0)
+    val nCust: Long = c.agg(max(col("c_custkey"))).head().getLong(0)
     val verts = c.select(
       col("c_custkey").as("id"),
       col("c_name").as("name"),
