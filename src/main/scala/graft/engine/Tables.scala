@@ -23,14 +23,22 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    // reader rejects; read nanos as long and truncate to Spark's native
-    // microsecond precision (floor — matches the oracle's epoch_ms floor).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // reader rejects; read nanos as long and floor to Spark's native
+    // microsecond precision (matches the oracle's epoch_ms floor — `pmod`
+    // keeps it a floor, not a toward-zero truncation, for pre-epoch nanos;
+    // plain double division would lose precision above 2^53 nanos).
+    // Verify/Bench/SparkTestBase set this at session construction; the
+    // set-if-needed here only covers externally-created sessions (e.g. the
+    // driver calling SparkEntry.entry directly) and never overrides an
+    // explicit caller value of "true".
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!spark.conf.getOption(nanosKey).contains("true"))
+      spark.conf.set(nanosKey, "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
       df.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+          org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")))
     else df
   }
 

@@ -183,6 +183,47 @@ object FellegiSunter {
     params
   }
 
+  /** Per-gamma-pattern diagnostics over a scored output: pair count, plus
+    * EM-sanity assertions — the fitted match probability is constant within
+    * a pattern (it is a function of the gamma vector only), lies strictly
+    * inside (0, 1), and is monotone non-decreasing in every gamma
+    * coordinate (more agreement never lowers the match probability; the
+    * -1 null level carries no information and is excluded from the
+    * monotonicity chain). This is the oracle-checkable face of the EM fit:
+    * the pattern counts are engine-comparable SQL, and any EM regression
+    * flips an assertion column. */
+  def patternSummary(scored: DataFrame, comparisons: Seq[ComparisonColumn]): DataFrame = {
+    val gcols = comparisons.map(c => col(s"gamma_${c.name}"))
+    // the pattern table is tiny (Π levels); checkpoint so the per-column
+    // monotonicity self-joins don't re-run the scored pipeline
+    val pat = scored.groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        min("match_probability").as("__pmin"),
+        max("match_probability").as("__pmax"))
+      .localCheckpoint()
+    val base = pat
+      .withColumn("prob_constant", col("__pmin") === col("__pmax"))
+      .withColumn("prob_in_unit", col("__pmin") > 0 && col("__pmax") < 1)
+    comparisons.foldLeft(base) { (d, c) =>
+      val lower = pat.select(
+        comparisons.map(cc => col(s"gamma_${cc.name}").as(s"__l_${cc.name}")) :+
+          col("__pmax").as("__plower"): _*)
+      val cond = comparisons.map { cc =>
+        if (cc.name == c.name)
+          col(s"gamma_${cc.name}") === col(s"__l_${cc.name}") + 1 &&
+            col(s"__l_${cc.name}") >= 0
+        else col(s"gamma_${cc.name}") === col(s"__l_${cc.name}")
+      }.reduce(_ && _)
+      d.join(lower, cond, "left_outer")
+        .withColumn(s"monotone_${c.name}",
+          coalesce(col("__pmin") >= col("__plower"), lit(true)))
+        .drop(comparisons.map(cc => s"__l_${cc.name}") :+ "__plower": _*)
+    }
+      .select(gcols ++ Seq(col("n_pairs"), col("prob_constant"), col("prob_in_unit")) ++
+        comparisons.map(c => col(s"monotone_${c.name}")): _*)
+      .orderBy(gcols: _*)
+  }
+
   /** Estimate u (P(gamma level | non-match)) from random pairs — splink's
     * `estimate_u` workflow: almost all random pairs are non-matches, so the
     * observed gamma-level distribution over a random pair sample IS u. The

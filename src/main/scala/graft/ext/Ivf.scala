@@ -18,17 +18,23 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
-  /** Assign each vector to its nearest centroid list. */
+  /** Assign each vector to its nearest centroid list. The argmax is a
+    * `max_by` hash aggregate keyed on the vector id, with partial (map-side)
+    * aggregation over the broadcast-scored product — the corpus is never
+    * shuffled at its expanded (×centroids) size, and there is no window
+    * sort. Ties break to the lowest list id via the (sim, -list_id) struct
+    * ordering, matching the `ORDER BY sim DESC, list_id` oracle. */
   def assign(corpus: DataFrame, idCol: String, vecCol: String,
       stride: Int): DataFrame = {
     val centroids = corpus.filter(col(idCol) % stride === 0)
       .select(col(idCol).as("list_id"), col(vecCol).as("cv"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("list_id"))
     corpus.join(broadcast(centroids))
       .withColumn("__sim", Similarity.cosine(col(vecCol), col("cv")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col(vecCol), col("list_id"))
+      .groupBy(col(idCol))
+      .agg(max_by(
+        struct(col("list_id"), col(vecCol).as("__vec")),
+        struct(col("__sim"), (-col("list_id")).as("__tb"))).as("__best"))
+      .select(col(idCol), col(s"__best.__vec").as(vecCol), col("__best.list_id"))
   }
 
   /** Top-k for each query, probing the `nProbe` nearest lists. */

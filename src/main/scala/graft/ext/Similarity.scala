@@ -45,14 +45,48 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** All-pairs cosine ≥ threshold (embedding near-dup detection). O(n²) —
-    * intended for a pre-filtered subset; the scale path is [[lshBuckets]]
-    * candidates + this as the verifier. */
+  /** All-pairs cosine ≥ threshold. O(n²) — the correctness baseline for
+    * [[neardupPairsBanded]] (asserted in SimilaritySpec), NOT the registered
+    * scale path: a BroadcastNestedLoopJoin over n² pairs dies at 100 TB. */
   def neardupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val a = df.select(col(idCol).as("id_l"), col(vecCol).as("va"))
     val b = df.select(col(idCol).as("id_r"), col(vecCol).as("vb"))
     a.join(b, col("id_l") < col("id_r"))
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_l", "id_r", "cosine")
+  }
+
+  /** Banded hyperplane-LSH near-dup pairs — the 100 TB scale path for
+    * embedding near-dup detection. `bands` independent signatures of
+    * `rowsPerBand` hyperplanes each; a pair is a candidate iff it shares
+    * some band's full bucket (the MinHash-banding construction applied to
+    * Charikar's sign hashes). Candidate generation is an equi-join on
+    * (band, bucket) — never O(n²) — and only candidates get the exact
+    * cosine verification. Bucket rows carry ids only; vectors join back on
+    * the id at verify time, so the ×bands explode never shuffles vectors.
+    *
+    * Recall for a pair at angle θ is 1-(1-(1-θ/π)^rowsPerBand)^bands:
+    * more bands raise recall, more rowsPerBand cut candidates. Tune for
+    * the target threshold; verified against [[neardupPairs]] in unit tests.
+    */
+  def neardupPairsBanded(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bands: Int, rowsPerBand: Int, dim: Int): DataFrame = {
+    val planes = hyperplanes(bands * rowsPerBand, dim)
+    val bucketCols = (0 until bands).map { b =>
+      lshBucket(col(vecCol), planes.slice(b * rowsPerBand, (b + 1) * rowsPerBand))
+    }
+    val bk = df.select(col(idCol).as("id"), posexplode(array(bucketCols: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val cands = bk.as("a").join(bk.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_l"), col("b.id").as("id_r"))
+      .dropDuplicates("id_l", "id_r")
+    val va = df.select(col(idCol).as("id_l"), col(vecCol).as("va"))
+    val vb = df.select(col(idCol).as("id_r"), col(vecCol).as("vb"))
+    cands.join(va, "id_l").join(vb, "id_r")
       .withColumn("cosine", cosine(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select("id_l", "id_r", "cosine")

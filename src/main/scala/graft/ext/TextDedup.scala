@@ -65,9 +65,12 @@ object TextDedup {
     * up on hot keys. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    // persist: the inverted index is read three times (both join sides +
-    // the size table) — without it the tokenize+shingle scan runs thrice
-    val sh = shingleRows(df, idCol, textCol, n).persist()
+    // localCheckpoint (not persist): the inverted index is read three times
+    // (both join sides + the size table). A persist() here would pin cache
+    // blocks until someone calls clearCache — localCheckpoint blocks are
+    // released by the ContextCleaner as soon as the plan is unreferenced,
+    // so long-lived sessions embedding this operator don't leak memory.
+    val sh = shingleRows(df, idCol, textCol, n).localCheckpoint()
     val common = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_l"), col("b.id").as("id_r"))
@@ -113,9 +116,10 @@ object TextDedup {
       n: Int, numPerm: Int, bands: Int, threshold: Double): DataFrame = {
     require(numPerm % bands == 0, "numPerm must divide into bands")
     val rowsPerBand = numPerm / bands
-    // persist the shingle index: read by the signature pass, the size
-    // table, and both sides of candidate verification
-    val sh = shingleRows(df, idCol, textCol, n).persist()
+    // localCheckpoint the shingle index (read by the signature pass, the
+    // size table, and both sides of candidate verification) — see the
+    // leak rationale in [[jaccardPairs]]
+    val sh = shingleRows(df, idCol, textCol, n).localCheckpoint()
     // Signature via numPerm codegen'd min(xxhash64(h, seed)) aggregates —
     // higher-order functions are CodegenFallback, so the array-lambda
     // formulation pays interpreted dispatch per (shingle, perm); this is
@@ -173,15 +177,27 @@ object TextDedup {
           .reduce(_.bitwiseOR(_)).as("fp"))
   }
 
-  /** SimHash near-dup pairs: block on 16-bit fingerprint chunks (a pair
-    * within Hamming distance 3 must agree on at least one of 4 chunks),
-    * then verify with bit_count(xor). */
+  /** SimHash near-dup pairs: block on fingerprint chunks, then verify with
+    * bit_count(xor). The chunk count is derived from `maxDist` — splitting
+    * the 64 bits into `maxDist + 1` chunks guarantees by pigeonhole that any
+    * pair within Hamming distance `maxDist` agrees exactly on at least one
+    * chunk, so blocking has recall 1 at the requested distance (for
+    * maxDist = 3 this is the classic 4×16-bit scheme). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, "maxDist must be in [0, 64)")
+    val nChunks = maxDist + 1
+    // chunk i covers bits [offsets(i), offsets(i+1)) — widths differ by at
+    // most one bit when nChunks does not divide 64
+    val offsets = (0 to nChunks).map(i => i * 64 / nChunks)
+    val chunkExprs = (0 until nChunks).map { i =>
+      val width = offsets(i + 1) - offsets(i)
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      call_function("shiftright", col("fp"), lit(offsets(i))).bitwiseAND(lit(mask))
+    }
     val fp = simhashAgg(df, idCol, textCol)
     val chunks = fp.select(col("id"), col("fp"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        c => call_function("shiftright", col("fp"), c * 16).bitwiseAND(lit(0xFFFFL)))))
+      posexplode(array(chunkExprs: _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ck")
     chunks.as("a").join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&

@@ -1,0 +1,20 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Lineage truncation for iterative DataFrame algorithms (CC, Pregel).
+  *
+  * `localCheckpoint` (the default) stores blocks on executors — fast, no
+  * durable storage needed, right for local mode — but on a real cluster an
+  * executor loss mid-iteration is unrecoverable because the lineage is gone.
+  * Passing a reliable `dir` switches to `checkpoint()`, which writes to the
+  * (HDFS/S3) checkpoint directory and survives executor loss — the
+  * reference's `spark.sparkContext.setCheckpointDir` pattern
+  * (`/root/reference/01_aml_network_analysis.py:122,145`).
+  */
+private[graft] final case class Checkpointer(
+    spark: SparkSession, dir: Option[String]) {
+  dir.foreach(spark.sparkContext.setCheckpointDir)
+  def apply(df: DataFrame): DataFrame =
+    if (dir.isDefined) df.checkpoint() else df.localCheckpoint()
+}

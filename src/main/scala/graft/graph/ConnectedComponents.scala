@@ -23,8 +23,9 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   def run(g: PropertyGraph, maxIter: Int = 25,
-      assumeDistinctEdges: Boolean = false): DataFrame = {
-    val assign = runOnEdges(g.edges, maxIter, assumeDistinctEdges)
+      assumeDistinctEdges: Boolean = false,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val assign = runOnEdges(g.edges, maxIter, assumeDistinctEdges, checkpointDir)
     g.vertices
       .join(assign, Seq("id"), "left_outer")
       .withColumn("component", coalesce(col("component"), col("id")))
@@ -35,28 +36,35 @@ object ConnectedComponents {
     * left join + coalesce). Pass `assumeDistinctEdges` when the caller
     * guarantees a duplicate-free edge list — skips the up-front dedup
     * shuffle (the algorithm needs distinct edges for the convergence
-    * fingerprint, not for correctness). */
+    * fingerprint, not for correctness). Pass `checkpointDir` on a real
+    * cluster for executor-loss-durable lineage truncation ([[Checkpointer]]).
+    */
   def runOnEdges(edges: DataFrame, maxIter: Int = 25,
-      assumeDistinctEdges: Boolean = false): DataFrame = {
+      assumeDistinctEdges: Boolean = false,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt = Checkpointer(edges.sparkSession, checkpointDir)
     val base = edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst"))
-    var e = (if (assumeDistinctEdges) base else base.distinct())
-      .localCheckpoint()
-    val nodes = e.select(explode(array(col("src"), col("dst"))).as("id"))
-      .distinct()
-      .localCheckpoint()
+    var e = ckpt(if (assumeDistinctEdges) base else base.distinct())
+    val nodes = ckpt(
+      e.select(explode(array(col("src"), col("dst"))).as("id")).distinct())
 
     var converged = false
     var iter = 0
     var prevFp = fingerprint(e)
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = ckpt(smallStar(largeStar(e)))
       val fp = fingerprint(next) // scan of checkpointed data, no shuffle
       converged = fp == prevFp
       prevFp = fp
       e = next
       iter += 1
     }
+    if (!converged)
+      // partial assignments are silently wrong (one component, several ids)
+      // — surface it; callers that can tolerate it should raise maxIter
+      System.err.println(s"[graft] WARN ConnectedComponents did not converge " +
+        s"after $maxIter iterations — component ids may be split")
 
     // At convergence the edge set is a star per component, every edge
     // pointing (member -> minimum id). Roots map to themselves.

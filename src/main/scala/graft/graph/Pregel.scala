@@ -37,6 +37,7 @@ final class Pregel private[graph] (g: PropertyGraph) {
   private var msgToDst: Option[Column] = None
   private var msgToSrc: Option[Column] = None
   private var aggExpr: Column = sum(Pregel.msg)
+  private var checkpointDir: Option[String] = None
 
   def withVertexColumn(name: String, init: Column, update: Column): Pregel = {
     vcName = name; vcInit = init; vcUpdate = update; this
@@ -46,51 +47,70 @@ final class Pregel private[graph] (g: PropertyGraph) {
   def aggMsgs(agg: Column): Pregel = { aggExpr = agg; this }
   def setMaxIter(n: Int): Pregel = { maxIter = n; this }
 
+  /** Use a reliable checkpoint directory (HDFS/S3 on a cluster) for the
+    * per-superstep lineage truncation instead of the default
+    * `localCheckpoint`. Local checkpoints store blocks on executors — an
+    * executor loss mid-iteration kills the job on a real cluster — so set
+    * this for cluster runs, mirroring the reference's `setCheckpointDir`
+    * (`01_aml_network_analysis.py:122,145`). */
+  def setCheckpointDir(dir: String): Pregel = { checkpointDir = Some(dir); this }
+
   def run(): DataFrame = {
     require(vcName != null, "withVertexColumn is required")
     require(msgToDst.nonEmpty || msgToSrc.nonEmpty,
       "at least one of sendMsgToDst/sendMsgToSrc is required")
 
+    val ckpt = Checkpointer(g.vertices.sparkSession, checkpointDir)
     val eCols = g.edges.columns.toSeq
-    var v = g.vertices.withColumn(vcName, vcInit).localCheckpoint()
+    var v = ckpt(g.vertices.withColumn(vcName, vcInit))
 
     // Join only the triplet sides the message expressions actually read —
     // skipping an unused dst-state join halves the per-superstep shuffle.
-    // (Spark 4's Column hides its expression tree, so inspect the printed
-    // unresolved form, where Pregel.src("x") renders as `src.x`.)
-    def references(side: String): Boolean =
-      (msgToDst.toSeq ++ msgToSrc.toSeq)
-        .exists(_.toString.matches(s"(?s).*\\b$side\\.\\w.*"))
-    val (needSrc, needDst) = (references("src"), references("dst"))
+    // Spark 4's Column hides its expression tree, so detection matches the
+    // reserved `__pregel_src__`/`__pregel_dst__` struct aliases in the
+    // printed unresolved form. The marker names are internal: user columns
+    // cannot collide with them short of deliberately naming a column
+    // `__pregel_src__.x`, unlike the bare `src.`/`dst.` prefixes.
+    def references(marker: String): Boolean =
+      (msgToDst.toSeq ++ msgToSrc.toSeq).exists(_.toString.contains(marker))
+    val (needSrc, needDst) =
+      (references(Pregel.SrcMarker), references(Pregel.DstMarker))
 
     for (_ <- 1 to maxIter) {
       val vCols = v.columns.toSeq
-      val vs = v.select(struct(vCols.map(col): _*).as("src"))
-      val vd = v.select(struct(vCols.map(col): _*).as("dst"))
+      val vs = v.select(struct(vCols.map(col): _*).as(Pregel.SrcMarker))
+      val vd = v.select(struct(vCols.map(col): _*).as(Pregel.DstMarker))
       var triplets = g.edges
-        .select(struct(eCols.map(col): _*).as("edge"))
-      if (needSrc) triplets = triplets.join(vs, col("edge.src") === col("src.id"))
-      if (needDst) triplets = triplets.join(vd, col("edge.dst") === col("dst.id"))
+        .select(struct(eCols.map(col): _*).as(Pregel.EdgeMarker))
+      if (needSrc) triplets = triplets.join(vs,
+        col(s"${Pregel.EdgeMarker}.src") === col(s"${Pregel.SrcMarker}.id"))
+      if (needDst) triplets = triplets.join(vd,
+        col(s"${Pregel.EdgeMarker}.dst") === col(s"${Pregel.DstMarker}.id"))
       val sends = Seq(
-        msgToDst.map(m => triplets.select(col("edge.dst").as("__vid"), m.as("_pregel_msg"))),
-        msgToSrc.map(m => triplets.select(col("edge.src").as("__vid"), m.as("_pregel_msg")))
+        msgToDst.map(m => triplets.select(
+          col(s"${Pregel.EdgeMarker}.dst").as("__vid"), m.as("_pregel_msg"))),
+        msgToSrc.map(m => triplets.select(
+          col(s"${Pregel.EdgeMarker}.src").as("__vid"), m.as("_pregel_msg")))
       ).flatten.reduce(_ union _)
       val msgs = sends.groupBy("__vid").agg(aggExpr.as("_pregel_msg"))
-      v = v.join(msgs, v("id") === msgs("__vid"), "left_outer")
+      v = ckpt(v.join(msgs, v("id") === msgs("__vid"), "left_outer")
         .withColumn(vcName, vcUpdate)
-        .drop("__vid", "_pregel_msg")
-        .localCheckpoint()
+        .drop("__vid", "_pregel_msg"))
     }
     v
   }
 }
 
 object Pregel {
+  private[graph] val SrcMarker = "__pregel_src__"
+  private[graph] val DstMarker = "__pregel_dst__"
+  private[graph] val EdgeMarker = "__pregel_edge__"
+
   /** The combined (post-aggregation) message in update expressions, or the
     * raw message in `aggMsgs` expressions. NULL for vertices that received
     * no message — the reference handles this with `coalesce` (`:456`). */
   val msg: Column = col("_pregel_msg")
-  def src(colName: String): Column = col(s"src.$colName")
-  def dst(colName: String): Column = col(s"dst.$colName")
-  def edge(colName: String): Column = col(s"edge.$colName")
+  def src(colName: String): Column = col(s"$SrcMarker.$colName")
+  def dst(colName: String): Column = col(s"$DstMarker.$colName")
+  def edge(colName: String): Column = col(s"$EdgeMarker.$colName")
 }

@@ -124,20 +124,153 @@ object ErQueries {
              ORDER BY unique_id_l, unique_id_r"""))
 
   /** Full EM-scored comparisons (`get_scored_comparisons`, reference
-    * `:57-58`). EM has no SQL oracle (SURVEY.md §5) → registered rows-only;
-    * the fit itself is unit-tested in FellegiSunterSpec. */
+    * `:57-58`), reported as the per-gamma-pattern summary
+    * ([[FellegiSunter.patternSummary]]): EM's fitted probabilities have no
+    * closed-form SQL, but (a) the per-pattern pair counts ARE
+    * SQL-expressible — a real cross-engine check of the exact
+    * blocking+gamma pipeline EM consumes — and (b) the EM output must
+    * satisfy assertable laws (probability constant per pattern, inside
+    * (0,1), monotone in every gamma coordinate), which the oracle pins to
+    * TRUE. A fit regression flips an assertion value and fails the value
+    * hash. The fit itself is additionally unit-tested against hand-computed
+    * Fellegi–Sunter values (FellegiSunterSpec). */
   private val q23 = QDef(
     "q23_er_scores",
     (s, dir) => {
       val (scored, _) = EntityResolver.scoredComparisons(dirty(s, dir), settings)
-      scored
-        .select(
-          col("unique_id_l"), col("unique_id_r"),
-          col("gamma_name"), col("gamma_acctbal"),
-          round(col("match_probability"), 6).as("match_probability"))
-        .orderBy("unique_id_l", "unique_id_r")
+      FellegiSunter.patternSummary(scored, settings.comparisons)
     },
-    None)
+    Some(s"""WITH d AS ($dirtySql),
+             g AS (SELECT CASE WHEN l.name = r.name THEN 2
+                               WHEN levenshtein(l.name, r.name) <= 2 THEN 1
+                               ELSE 0 END AS gamma_name,
+                          CASE WHEN l.acctbal = r.acctbal THEN 1 ELSE 0 END AS gamma_acctbal
+                   FROM d l JOIN d r
+                     ON (l.bucket = r.bucket
+                         OR (l.nation = r.nation AND l.segment = r.segment
+                             AND l.digits = r.digits))
+                        AND l.unique_id < r.unique_id)
+             SELECT gamma_name, gamma_acctbal,
+                    CAST(count(*) AS BIGINT) AS n_pairs,
+                    TRUE AS prob_constant, TRUE AS prob_in_unit,
+                    TRUE AS monotone_name, TRUE AS monotone_acctbal
+             FROM g GROUP BY 1, 2 ORDER BY 1, 2"""))
 
-  val all: Seq[QDef] = Seq(q21, q22, q23)
+  // ---------------------------------------------------------------------
+  // Second ER pass, transaction-shaped (the reference reruns Splink over
+  // rptd_originator_name / rptd_original_address derived from transactions,
+  // `/root/reference/03_aml_entity_resolution.py:115-133`): a per-txn dirty
+  // table — reported originator name mutated per transaction, reported
+  // address derived from the customer's nation — resolved by the SAME
+  // EntityResolver under different ErSettings (JW fuzzy name + exact
+  // address, address/date blocking). Proves config-driven operator reuse
+  // inside the oracle harness, not just in PipelinesSpec.
+  // ---------------------------------------------------------------------
+
+  private def txnEntities(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val c = Tables.load(s, dir, "customer")
+    val n = Tables.load(s, dir, "nation")
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .select(
+        col("o_orderkey").as("txn_id"),
+        when(col("o_orderkey") % 4 === 0, col("c_name"))
+          .when(col("o_orderkey") % 4 === 1, substring(col("c_name"), 1, 17))
+          .when(col("o_orderkey") % 4 === 2, upper(col("c_name")))
+          .otherwise(translate(col("c_name"), "#", "-")).as("name"),
+        concat(col("n_name"), lit(" "), (col("c_custkey") % 97).cast("string"))
+          .as("address"),
+        col("o_orderdate").as("odate"),
+        col("o_totalprice").as("amount"))
+  }
+
+  private val txnEntitiesSql =
+    """SELECT o_orderkey AS txn_id,
+              CASE o_orderkey % 4
+                WHEN 0 THEN c_name
+                WHEN 1 THEN substring(c_name, 1, 17)
+                WHEN 2 THEN upper(c_name)
+                ELSE translate(c_name, '#', '-') END AS name,
+              n_name || ' ' || CAST(c_custkey % 97 AS VARCHAR) AS address,
+              o_orderdate AS odate,
+              o_totalprice AS amount
+       FROM orders
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey"""
+
+  /** Second-pass settings: Jaro–Winkler fuzzy name (splink 2.x's default
+    * fuzzy comparison — our codegen'd expression is bit-identical to
+    * DuckDB's jaro_winkler_similarity, so the gamma is fully
+    * oracle-checkable) + exact reported address. Blocking keys are chosen
+    * for 100 TB shape: rule 1 (same address + same mutation-invariant name
+    * digits) keys blocks to roughly one originator, rule 2 (same day +
+    * similar amount — the classic AML heuristic) cells stay O(1), so the
+    * pair count grows linearly with transactions, never quadratically —
+    * blocking on address or date alone produced ~16M pairs at sf0.1 and
+    * would be unbounded at scale. */
+  private val txnSettings = ErSettings(
+    uniqueId = "txn_id",
+    blockingRules = Seq(
+      "l.address = r.address AND substring(l.name, 10, 8) = substring(r.name, 10, 8)",
+      "l.odate = r.odate AND floor(l.amount / 1000) = floor(r.amount / 1000)"),
+    comparisons = Seq(
+      ComparisonColumn("name", fuzzy = Some(JaroWinklerLevel(0.9))),
+      ComparisonColumn("address")),
+    maxIter = 8, tol = 1e-5)
+
+  /** Second-pass blocking + comparison vectors over the transaction-shaped
+    * table — same operators as q21/q22, different config and shape. */
+  private val q46 = QDef(
+    "q46_er_txn_gamma",
+    (s, dir) => Comparison
+      .withGammas(Blocking.pairs(txnEntities(s, dir), txnSettings),
+        txnSettings.comparisons)
+      .select(col("txn_id_l"), col("txn_id_r"),
+        col("gamma_name"), col("gamma_address"))
+      .orderBy("txn_id_l", "txn_id_r"),
+    Some(s"""WITH t AS ($txnEntitiesSql),
+             p AS (SELECT l.txn_id AS txn_id_l, r.txn_id AS txn_id_r,
+                          l.name AS nl, r.name AS nr,
+                          l.address AS al, r.address AS ar
+                   FROM t l JOIN t r
+                     ON ((l.address = r.address
+                          AND substring(l.name, 10, 8) = substring(r.name, 10, 8))
+                         OR (l.odate = r.odate
+                             AND floor(l.amount / 1000) = floor(r.amount / 1000)))
+                        AND l.txn_id < r.txn_id)
+             SELECT txn_id_l, txn_id_r,
+                    CASE WHEN nl = nr THEN 2
+                         WHEN jaro_winkler_similarity(nl, nr) >= 0.9 THEN 1
+                         ELSE 0 END AS gamma_name,
+                    CASE WHEN al = ar THEN 1 ELSE 0 END AS gamma_address
+             FROM p ORDER BY txn_id_l, txn_id_r"""))
+
+  /** Second-pass EM fit + scoring (config-driven reuse of the full
+    * EntityResolver), reported as the oracle-checkable pattern summary —
+    * see q23 for the assertion semantics. */
+  private val q47 = QDef(
+    "q47_er_txn_scores",
+    (s, dir) => {
+      val (scored, _) = EntityResolver.scoredComparisons(txnEntities(s, dir), txnSettings)
+      FellegiSunter.patternSummary(scored, txnSettings.comparisons)
+    },
+    Some(s"""WITH t AS ($txnEntitiesSql),
+             g AS (SELECT CASE WHEN l.name = r.name THEN 2
+                               WHEN jaro_winkler_similarity(l.name, r.name) >= 0.9 THEN 1
+                               ELSE 0 END AS gamma_name,
+                          CASE WHEN l.address = r.address THEN 1 ELSE 0 END AS gamma_address
+                   FROM t l JOIN t r
+                     ON ((l.address = r.address
+                          AND substring(l.name, 10, 8) = substring(r.name, 10, 8))
+                         OR (l.odate = r.odate
+                             AND floor(l.amount / 1000) = floor(r.amount / 1000)))
+                        AND l.txn_id < r.txn_id)
+             SELECT gamma_name, gamma_address,
+                    CAST(count(*) AS BIGINT) AS n_pairs,
+                    TRUE AS prob_constant, TRUE AS prob_in_unit,
+                    TRUE AS monotone_name, TRUE AS monotone_address
+             FROM g GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  val all: Seq[QDef] = Seq(q21, q22, q23, q46, q47)
 }

@@ -69,24 +69,104 @@ object ExtQueries {
             WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.5
             ORDER BY id_l, id_r"""))
 
-  /** MinHash+LSH near-dup (16 perms, 4 bands): hash-dependent → rows-only;
-    * recall vs exact Jaccard is unit-tested (DedupSpec). */
+  /** MinHash+LSH near-dup (16 perms, 4 bands), oracle-guarded: the LSH
+    * pipeline's verified pairs are full-outer-joined with the exact-Jaccard
+    * pairs, so the DuckDB oracle (the exact set + `found_by_lsh=TRUE,
+    * is_true_pair=TRUE`) catches BOTH a recall regression (a missed pair
+    * surfaces as `found_by_lsh=false`) and a false positive (an extra row
+    * with `is_true_pair=false`). The bucket structure itself is
+    * xxhash64-dependent (not reproducible in DuckDB) — this containment
+    * formulation is how a hash-dependent operator gets a full
+    * value-hash-checked CORRECTNESS row. */
   private val q26 = QDef(
     "q26_minhash_lsh",
-    (s, dir) => TextDedup
-      .minhashLshPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
-        ShingleN, numPerm = 16, bands = 4, threshold = 0.5)
-      .orderBy("id_l", "id_r"),
-    None)
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val exact = TextDedup.jaccardPairs(docs, "doc_id", "text", ShingleN, 0.5)
+        .select(col("id_l"), col("id_r"), col("jaccard").as("j_exact"))
+      val lsh = TextDedup.minhashLshPairs(docs, "doc_id", "text",
+          ShingleN, numPerm = 16, bands = 4, threshold = 0.5)
+        .select(col("id_l"), col("id_r"), col("jaccard").as("j_lsh"))
+      exact.join(lsh, Seq("id_l", "id_r"), "full_outer")
+        .select(col("id_l"), col("id_r"),
+          coalesce(col("j_exact"), col("j_lsh")).as("jaccard"),
+          col("j_lsh").isNotNull.as("found_by_lsh"),
+          col("j_exact").isNotNull.as("is_true_pair"))
+        .orderBy("id_l", "id_r")
+    },
+    Some("""WITH w AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '\s+')) AS w,
+                     generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS pos
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT a.doc_id,
+                     a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w || ' ' || e.w AS sh
+              FROM w a
+              JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+              JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+              JOIN w d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
+              JOIN w e ON e.doc_id = a.doc_id AND e.pos = a.pos + 4),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT x.doc_id AS id_l, y.doc_id AS id_r, count(*) AS common
+              FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+              GROUP BY 1, 2)
+            SELECT id_l, id_r,
+                   CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard,
+                   TRUE AS found_by_lsh, TRUE AS is_true_pair
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_l
+            JOIN sizes sb ON sb.doc_id = id_r
+            WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.5
+            ORDER BY id_l, id_r"""))
 
-  /** SimHash near-dup (64-bit, 16-bit chunk blocking, Hamming ≤ 6):
-    * hash-dependent → rows-only; invariants unit-tested. */
+  /** SimHash near-dup (64-bit, pigeonhole chunk blocking, Hamming ≤ 6),
+    * oracle-checked via containment assertions (fingerprints are
+    * xxhash64-dependent, so DuckDB cannot enumerate the pair set): every
+    * identical-text pair MUST be found (identical text → identical
+    * fingerprint → Hamming 0; the found-count is genuinely computed on both
+    * engines), every exact 5-gram-Jaccard ≥ 0.5 pair must be within
+    * Hamming 6, and no reported pair may have unigram Jaccard < 0.2
+    * (a wildly-dissimilar pair would mean broken blocking or hashing). */
   private val q27 = QDef(
     "q27_simhash",
-    (s, dir) => TextDedup
-      .simhashPairs(Tables.load(s, dir, "documents"), "doc_id", "text", maxDist = 6)
-      .orderBy("id_l", "id_r"),
-    None)
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      // the simhash pipeline is read by three assertions — truncate once
+      val sim = TextDedup.simhashPairs(docs, "doc_id", "text", maxDist = 6)
+        .localCheckpoint()
+      val d = docs.select(col("doc_id"), col("text"))
+      val ed = d.as("x").join(d.as("y"),
+          col("x.text") === col("y.text") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_l"), col("y.doc_id").as("id_r"))
+      val jac05 = TextDedup.jaccardPairs(docs, "doc_id", "text", ShingleN, 0.5)
+        .select("id_l", "id_r")
+      val uni = docs.select(col("doc_id").as("id"),
+        array_distinct(TextDedup.words(col("text"))).as("w"))
+      val simJ = sim
+        .join(uni.select(col("id").as("id_l"), col("w").as("wl")), "id_l")
+        .join(uni.select(col("id").as("id_r"), col("w").as("wr")), "id_r")
+        .select((size(array_intersect(col("wl"), col("wr"))).cast("double") /
+          size(array_union(col("wl"), col("wr")))).as("j"))
+      val a1 = ed.join(sim, Seq("id_l", "id_r"), "left_semi")
+        .agg(count(lit(1)).as("n_exact_dup_pairs_found"))
+      val a2 = ed.join(sim, Seq("id_l", "id_r"), "left_anti")
+        .agg(count(lit(1)).as("n_exact_dup_pairs_missed"))
+      val a3 = jac05.join(sim, Seq("id_l", "id_r"), "left_anti")
+        .agg(count(lit(1)).as("n_jaccard05_pairs_missed"))
+      val a4 = simJ.agg(count(when(col("j") < 0.2, 1)).as("n_low_overlap_pairs"))
+      a1.crossJoin(a2).crossJoin(a3).crossJoin(a4)
+    },
+    Some("""WITH ed AS (
+              SELECT x.doc_id AS id_l, y.doc_id AS id_r
+              FROM documents x JOIN documents y
+                ON x.text = y.text AND x.doc_id < y.doc_id)
+            SELECT CAST(count(*) AS BIGINT) AS n_exact_dup_pairs_found,
+                   CAST(0 AS BIGINT) AS n_exact_dup_pairs_missed,
+                   CAST(0 AS BIGINT) AS n_jaccard05_pairs_missed,
+                   CAST(0 AS BIGINT) AS n_low_overlap_pairs
+            FROM ed"""))
 
   // ---------- similarity search ----------
 
@@ -118,27 +198,73 @@ object ExtQueries {
             SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
             FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
 
-  /** Embedding near-dup pairs over a deterministic subset (vec_id % 20 = 0)
-    * — the brute-force verifier; the scale path is LSH bucketing (q30). */
+  /** DuckDB rendering of a vector-cosine over `DOUBLE[]` expressions —
+    * left-to-right IEEE arithmetic identical to the codegen'd `cosine_sim`
+    * expression (bit-equality proven by q28). */
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  /** DuckDB mirror of [[Similarity.lshBucket]] over `ve`: sum of 2^i for
+    * each hyperplane with a non-negative projection. The plane literals are
+    * printed with Double.toString, which round-trips to the identical
+    * double, so both engines compute bit-identical projections and
+    * therefore identical buckets — the oracle replicates the bucketing
+    * semantics exactly rather than assuming any recall. */
+  private def bucketSql(planes: Seq[Array[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      val lits = p.mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(ve, $lits) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  // 8 bands × 8 planes: candidate pairs ≈ 6% of all pairs on isotropic
+  // random vectors (equi-join, no cross product); recall at the threshold
+  // is parameter-tunable and is spec-tested on planted near-dups — the
+  // oracle below mirrors the banding itself, so the gate checks engine
+  // equivalence independent of recall. Threshold 0.45 ≈ the top decile of
+  // pair similarity in the synthetic corpus (max pair cosine: 0.51 at
+  // sf0.01, 0.60 at sf0.1 — no planted duplicates exist in it).
+  private val NdBands = 8
+  private val NdRowsPerBand = 8
+  private val NdThreshold = 0.45
+
+  /** Embedding near-dup pairs via banded hyperplane LSH — the 100 TB scale
+    * path: candidates from an equi-join on (band, bucket), exact cosine
+    * verification of candidates only, no O(n²) cross product anywhere
+    * (the r1-registered all-pairs BNLJ formulation is retained only as the
+    * SimilaritySpec baseline). The oracle mirrors the full banded-bucket
+    * semantics in SQL (hyperplanes are literal arrays, not hashes), so this
+    * is a complete value-hash check, not a containment bound. */
   private val q29 = QDef(
     "q29_cosine_neardup",
     (s, dir) => Similarity
-      .neardupPairs(embeddings(s, dir).filter(col("vec_id") % 20 === 0),
-        "vec_id", "embedding", 0.3)
+      .neardupPairsBanded(embeddings(s, dir), "vec_id", "embedding",
+        NdThreshold, bands = NdBands, rowsPerBand = NdRowsPerBand, dim = 64)
       .orderBy("id_l", "id_r"),
-    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve
-                       FROM embeddings WHERE vec_id % 20 = 0)
-            SELECT a.vec_id AS id_l, b.vec_id AS id_r,
-                   list_dot_product(a.ve, b.ve) /
-                     (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))) AS cosine
-            FROM v a JOIN v b ON a.vec_id < b.vec_id
-            WHERE list_dot_product(a.ve, b.ve) /
-                    (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))) >= 0.3
-            ORDER BY id_l, id_r"""))
+    Some {
+      val planes = Similarity.hyperplanes(NdBands * NdRowsPerBand, 64)
+      val bandArms = (0 until NdBands).map { b =>
+        val slice = planes.slice(b * NdRowsPerBand, (b + 1) * NdRowsPerBand)
+        s"SELECT vec_id AS id, $b AS band, ${bucketSql(slice)} AS bucket FROM v"
+      }.mkString(" UNION ALL ")
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+          bk AS ($bandArms),
+          cand AS (SELECT DISTINCT a.id AS id_l, b.id AS id_r
+                   FROM bk a JOIN bk b
+                     ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+          p AS (SELECT id_l, id_r, ${cosSql("va.ve", "vb.ve")} AS cosine
+                FROM cand
+                JOIN v va ON va.vec_id = id_l
+                JOIN v vb ON vb.vec_id = id_r)
+          SELECT id_l, id_r, cosine FROM p
+          WHERE cosine >= $NdThreshold ORDER BY id_l, id_r"""
+    })
 
   /** Hyperplane-LSH bucketed ANN (8 planes → 256 buckets): the 100 TB path —
-    * bucket equi-join instead of cross product. Hash-layout dependent →
-    * rows-only; recall vs q28 unit-tested (SimilaritySpec). */
+    * bucket equi-join instead of cross product. The oracle mirrors the
+    * bucket assignment + in-bucket ranking in SQL (plane literals again),
+    * so queries whose bucket holds fewer than k neighbors are checked
+    * exactly too; recall vs q28's brute force is unit-tested separately
+    * (SimilaritySpec). */
   private val q30 = QDef(
     "q30_ann_lsh",
     (s, dir) => {
@@ -147,11 +273,28 @@ object ExtQueries {
         k = 5, numPlanes = 8, dim = 64)
         .orderBy("query_id", "rank")
     },
-    None)
+    Some {
+      val planes = Similarity.hyperplanes(8, 64)
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+          b AS (SELECT vec_id, ve, ${bucketSql(planes)} AS bucket FROM v),
+          q AS (SELECT vec_id AS query_id, ve AS qv, bucket FROM b WHERE vec_id < 8),
+          c AS (SELECT vec_id AS neighbor_id, ve AS nv, bucket FROM b),
+          sc AS (SELECT query_id, neighbor_id, ${cosSql("qv", "nv")} AS cosine
+                 FROM c JOIN q USING (bucket)
+                 WHERE query_id <> neighbor_id),
+          r AS (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+                FROM sc)
+          SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+          FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+    })
 
-  /** IVF-style ANN (training-free inverted lists, probe 4 of ~25 lists):
-    * the second scale path beside hyperplane LSH. Probe-all == brute-force
-    * equivalence is unit-tested (IvfSpec) → registered rows-only. */
+  /** IVF-style ANN (training-free inverted lists, probe the 4 nearest of
+    * ~n/20 lists): the second scale path beside hyperplane LSH. Nothing here
+    * is hash-dependent — centroid choice, nearest-centroid assignment, probe
+    * selection and in-list ranking are all plain arithmetic — so the oracle
+    * mirrors the complete selective-probe pipeline in SQL; the probe-all ==
+    * brute-force degenerate case is additionally unit-tested (ScaleSpec). */
   private val q40 = QDef(
     "q40_ann_ivf",
     (s, dir) => {
@@ -160,7 +303,28 @@ object ExtQueries {
         k = 5, stride = 20, nProbe = 4)
         .orderBy("query_id", "rank")
     },
-    None)
+    Some(s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+             cent AS (SELECT vec_id AS list_id, ve AS cv FROM v WHERE vec_id % 20 = 0),
+             asg AS (SELECT vec_id, ve, list_id FROM (
+                       SELECT v.vec_id, v.ve, cent.list_id,
+                              row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY ${cosSql("v.ve", "cent.cv")} DESC, cent.list_id) AS rn
+                       FROM v CROSS JOIN cent) WHERE rn = 1),
+             q AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < 8),
+             probes AS (SELECT query_id, qv, list_id FROM (
+                          SELECT q.query_id, q.qv, cent.list_id,
+                                 row_number() OVER (PARTITION BY q.query_id
+                                   ORDER BY ${cosSql("q.qv", "cent.cv")} DESC, cent.list_id) AS rn
+                          FROM q CROSS JOIN cent) WHERE rn <= 4),
+             sc AS (SELECT query_id, vec_id AS neighbor_id,
+                           ${cosSql("qv", "ve")} AS cosine
+                    FROM probes JOIN asg USING (list_id)
+                    WHERE query_id <> vec_id),
+             r AS (SELECT *, row_number() OVER (
+                     PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+                   FROM sc)
+             SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+             FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
 
   // ---------- text analysis ----------
 

@@ -52,9 +52,14 @@ object GraphQueries {
   /** Directed pseudo-transaction graph derived from orders. The beneficiary
     * key is `1 + (o_orderkey*7919) mod max(c_custkey)` — deterministic and
     * SQL-expressible on both engines. */
+  // one driver-side scalar per dataset dir (txnGraph is built by several
+  // registered queries; without the memo each build re-runs a max() scan)
+  private val nCustCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+
   private[graft] def txnGraph(s: SparkSession, dir: String): PropertyGraph = {
     val c = Tables.load(s, dir, "customer")
-    val nCust: Long = c.agg(max(col("c_custkey"))).head().getLong(0)
+    val nCust: Long = nCustCache.getOrElseUpdate(dir,
+      c.agg(max(col("c_custkey"))).head().getLong(0))
     val verts = c.select(
       col("c_custkey").as("id"),
       col("c_name").as("name"),
@@ -253,5 +258,122 @@ object GraphQueries {
              FROM customer c LEFT JOIN cnt ON c.c_custkey = cnt.id
              ORDER BY id"""))
 
-  val all: Seq[QDef] = Seq(q15, q16, q17, q18, q19, q20, q42)
+  /** The reference's exact 5-edge structuring motif
+    * (`01_aml_network_analysis.py:308-311`): two 2-hop chains (a→b→c and
+    * d→f→c) converging on c, which forwards to g — run over the high-value
+    * slice of the pseudo-txn graph, then self-joined on g where the
+    * combined final-hop amounts are large (`:317-319`), consumed
+    * `selectExpr("graph1.*")`-style (`:321`), and resolved back to entity
+    * names as the reference's two UNION ALL DISTINCT chains (`:331-358`;
+    * a `chain` tag replaces the reference's positional union so the output
+    * is totally ordered for hashing). Vertex names in the motif may
+    * coincide (GraphFrames semantics — no implicit distinctness), which the
+    * oracle mirrors. */
+  private val q44 = QDef(
+    "q44_motif_structuring5",
+    (s, dir) => {
+      val g0 = txnGraph(s, dir)
+      val g = PropertyGraph(g0.vertices, g0.edges.filter(col("amount") > 450000))
+      val m = g.find("(a)-[e1]->(b); (b)-[e2]->(c); (d)-[e3]->(f); (f)-[e5]->(c); (c)-[e6]->(g)")
+      val joined = m.as("graph1")
+        .join(m.as("graph2"), col("graph1.g.id") === col("graph2.g.id"))
+        .filter(col("graph1.e6.amount") + col("graph2.e6.amount") > 900000)
+        .selectExpr("graph1.*")
+      // id projection is tiny (6 longs/row) — checkpoint so the two name
+      // arms don't re-run the 5-way motif join
+      val ids = joined.select(
+        col("a.id").as("a_id"), col("b.id").as("b_id"), col("c.id").as("c_id"),
+        col("d.id").as("d_id"), col("f.id").as("f_id"), col("g.id").as("g_id"))
+        .localCheckpoint()
+      val names = g.vertices.select(col("id"), col("name"))
+      def resolve(tag: String, v0: String, v1: String, v2: String, v3: String) =
+        ids
+          .join(names.select(col("id").as("__i0"), col("name").as("l0_name")),
+            col(s"${v0}_id") === col("__i0"))
+          .join(names.select(col("id").as("__i1"), col("name").as("l1_name")),
+            col(s"${v1}_id") === col("__i1"))
+          .join(names.select(col("id").as("__i2"), col("name").as("l2_name")),
+            col(s"${v2}_id") === col("__i2"))
+          .join(names.select(col("id").as("__i3"), col("name").as("l3_name")),
+            col(s"${v3}_id") === col("__i3"))
+          .select(lit(tag).as("chain"),
+            col("l0_name"), col("l1_name"), col("l2_name"), col("l3_name"))
+          .distinct()
+      resolve("abcg", "a", "b", "c", "g")
+        .union(resolve("dfcg", "d", "f", "c", "g"))
+        .orderBy("chain", "l0_name", "l1_name", "l2_name", "l3_name")
+    },
+    Some(s"""WITH e0 AS ($txnEdgesSql),
+             e AS (SELECT * FROM e0 WHERE amount > 450000),
+             m AS (SELECT e1.src a, e1.dst b, e2.dst c, e3.src d, e3.dst f,
+                          e6.dst g, e6.amount am6
+                   FROM e e1
+                   JOIN e e2 ON e2.src = e1.dst
+                   JOIN e e5 ON e5.dst = e2.dst
+                   JOIN e e3 ON e3.dst = e5.src
+                   JOIN e e6 ON e6.src = e2.dst),
+             j AS (SELECT g1.* FROM m g1 JOIN m g2 ON g1.g = g2.g
+                   WHERE g1.am6 + g2.am6 > 900000),
+             nm AS (SELECT c_custkey AS id, c_name AS name FROM customer)
+             SELECT * FROM (
+               SELECT DISTINCT 'abcg' AS chain, n0.name AS l0_name,
+                      n1.name AS l1_name, n2.name AS l2_name, n3.name AS l3_name
+               FROM j JOIN nm n0 ON j.a = n0.id JOIN nm n1 ON j.b = n1.id
+                      JOIN nm n2 ON j.c = n2.id JOIN nm n3 ON j.g = n3.id
+               UNION ALL
+               SELECT DISTINCT 'dfcg', n0.name, n1.name, n2.name, n3.name
+               FROM j JOIN nm n0 ON j.d = n0.id JOIN nm n1 ON j.f = n1.id
+                      JOIN nm n2 ON j.c = n2.id JOIN nm n3 ON j.g = n3.id)
+             ORDER BY chain, l0_name, l1_name, l2_name, l3_name"""))
+
+  /** The reference's exact 4-cycle round-tripping motif
+    * (`01_aml_network_analysis.py:376-377`) with its name-resolution +
+    * aggregated-amount consumption (`:389-399`): original entity, three
+    * intermediates, and `int(e1)+int(e2)+int(e3)+int(e4)` as
+    * agg_txn_amount. All rotations of a cycle appear, as in GraphFrames;
+    * txn ids are carried so the output is totally ordered. */
+  private val q45 = QDef(
+    "q45_motif_roundtrip4",
+    (s, dir) => txnGraph(s, dir)
+      .find("(a)-[e1]->(b); (b)-[e2]->(c); (c)-[e3]->(d); (d)-[e4]->(a)")
+      .join(broadcast(Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("__i0"), col("c_name").as("original_entity"))),
+        col("a.id") === col("__i0"))
+      .join(broadcast(Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("__i1"), col("c_name").as("intermediate_entity_1"))),
+        col("b.id") === col("__i1"))
+      .join(broadcast(Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("__i2"), col("c_name").as("intermediate_entity_2"))),
+        col("c.id") === col("__i2"))
+      .join(broadcast(Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("__i3"), col("c_name").as("intermediate_entity_3"))),
+        col("d.id") === col("__i3"))
+      .select(
+        col("original_entity"), col("intermediate_entity_1"),
+        col("intermediate_entity_2"), col("intermediate_entity_3"),
+        col("e1.txn_id").as("txn1"), col("e2.txn_id").as("txn2"),
+        col("e3.txn_id").as("txn3"), col("e4.txn_id").as("txn4"),
+        (col("e1.amount").cast("int") + col("e2.amount").cast("int") +
+          col("e3.amount").cast("int") + col("e4.amount").cast("int"))
+          .cast("long").as("agg_txn_amount"))
+      .orderBy("txn1", "txn2", "txn3", "txn4"),
+    Some(s"""WITH e AS ($txnEdgesSql),
+             cyc AS (SELECT e1.src a, e1.dst b, e2.dst c, e3.dst d,
+                            e1.txn_id txn1, e2.txn_id txn2, e3.txn_id txn3, e4.txn_id txn4,
+                            CAST(CAST(trunc(e1.amount) AS INTEGER) + CAST(trunc(e2.amount) AS INTEGER) +
+                                 CAST(trunc(e3.amount) AS INTEGER) + CAST(trunc(e4.amount) AS INTEGER) AS BIGINT)
+                              AS agg_txn_amount
+                     FROM e e1
+                     JOIN e e2 ON e2.src = e1.dst
+                     JOIN e e3 ON e3.src = e2.dst
+                     JOIN e e4 ON e4.src = e3.dst AND e4.dst = e1.src),
+             nm AS (SELECT c_custkey AS id, c_name AS name FROM customer)
+             SELECT n0.name AS original_entity, n1.name AS intermediate_entity_1,
+                    n2.name AS intermediate_entity_2, n3.name AS intermediate_entity_3,
+                    txn1, txn2, txn3, txn4, agg_txn_amount
+             FROM cyc JOIN nm n0 ON cyc.a = n0.id JOIN nm n1 ON cyc.b = n1.id
+                      JOIN nm n2 ON cyc.c = n2.id JOIN nm n3 ON cyc.d = n3.id
+             ORDER BY txn1, txn2, txn3, txn4"""))
+
+  val all: Seq[QDef] = Seq(q15, q16, q17, q18, q19, q20, q42, q44, q45)
 }

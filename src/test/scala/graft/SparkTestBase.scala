@@ -13,5 +13,7 @@ trait SparkTestBase extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
+    // testdata events.parquet carries TIMESTAMP(NANOS) — see Tables.load
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .getOrCreate()
 }
