@@ -149,10 +149,17 @@ object FellegiSunter {
     var iter = 0
     var delta = Double.MaxValue
     while (iter < settings.maxIter && delta > settings.tol) {
-      // E-step: P(match | gamma pattern), weighted by pattern count
+      // E-step: P(match | gamma pattern), weighted by pattern count.
+      // Per-column masses are restricted to patterns where that column's
+      // gamma is observed (>= 0): null levels contribute nothing to the
+      // accumulators, so normalizing by the global sumP would deflate m/u
+      // away from summing to 1 whenever nulls are present (the bias splink
+      // avoids by normalizing over non-null comparisons only).
       var sumP = 0.0
       val mAcc = cs.map(c => c.name -> new Array[Double](c.numLevels)).toMap
       val uAcc = cs.map(c => c.name -> new Array[Double](c.numLevels)).toMap
+      val mMass = scala.collection.mutable.Map(cs.map(c => c.name -> 0.0): _*)
+      val uMass = scala.collection.mutable.Map(cs.map(c => c.name -> 0.0): _*)
       patterns.foreach { case (gvec, n) =>
         var a = params.lambda
         var b = 1.0 - params.lambda
@@ -164,14 +171,19 @@ object FellegiSunter {
         sumP += n * p
         cs.zipWithIndex.foreach { case (c, i) =>
           val g = gvec(i)
-          if (g >= 0) { mAcc(c.name)(g) += n * p; uAcc(c.name)(g) += n * (1 - p) }
+          if (g >= 0) {
+            mAcc(c.name)(g) += n * p; uAcc(c.name)(g) += n * (1 - p)
+            mMass(c.name) += n * p; uMass(c.name) += n * (1 - p)
+          }
         }
       }
-      // M-step
+      // M-step (an all-null column has zero observed mass — keep it neutral
+      // rather than dividing by zero)
+      def safe(x: Double): Double = if (x > 0) x else 1.0
       val newM = cs.map(c => c.name ->
-        mAcc(c.name).map(x => clamp(x / sumP))).toMap
+        mAcc(c.name).map(x => clamp(x / safe(mMass(c.name))))).toMap
       val newU = cs.map(c => c.name ->
-        uAcc(c.name).map(x => clamp(x / (total - sumP)))).toMap
+        uAcc(c.name).map(x => clamp(x / safe(uMass(c.name))))).toMap
       val newParams = FsParams(clamp(sumP / total), newM, newU)
       delta = math.abs(newParams.lambda - params.lambda) +
         cs.map(c =>
@@ -203,7 +215,9 @@ object FellegiSunter {
       .localCheckpoint()
     val base = pat
       .withColumn("prob_constant", col("__pmin") === col("__pmax"))
-      .withColumn("prob_in_unit", col("__pmin") > 0 && col("__pmax") < 1)
+      // closed bounds: on strongly-separated corpora the u-product can
+      // underflow so far that p rounds to exactly 1.0 in doubles
+      .withColumn("prob_in_unit", col("__pmin") >= 0 && col("__pmax") <= 1)
     comparisons.foldLeft(base) { (d, c) =>
       val lower = pat.select(
         comparisons.map(cc => col(s"gamma_${cc.name}").as(s"__l_${cc.name}")) :+

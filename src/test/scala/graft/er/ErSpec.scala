@@ -141,6 +141,31 @@ class FellegiSunterSpec extends SparkTestBase {
     assert(rows.filter(r => r._1 == "name" && r._2 == 2).head._5 > 1.0)
   }
 
+  test("EM with null gammas keeps per-column m/u normalized over observed levels") {
+    // null names on the noise records: their gamma_name is -1, which must
+    // not deflate the name column's m/u normalization
+    val withNulls = df.withColumn("name",
+      when(col("unique_id").isin(3L, 6L, 9L), lit(null: String))
+        .otherwise(col("name")))
+    val (_, params) = EntityResolver.scoredComparisons(withNulls, settings)
+    for (c <- Seq("name", "amount")) {
+      assert(math.abs(params.m(c).sum - 1.0) < 1e-6, s"m($c)=${params.m(c).toSeq}")
+      assert(math.abs(params.u(c).sum - 1.0) < 1e-6, s"u($c)=${params.u(c).toSeq}")
+    }
+  }
+
+  test("patternSummary: SQL-comparable counts plus EM-law assertions all hold") {
+    val (scored, _) = EntityResolver.scoredComparisons(df, settings)
+    val summary = FellegiSunter.patternSummary(scored, settings.comparisons)
+    assert(summary.columns.toSeq == Seq("gamma_name", "gamma_amount", "n_pairs",
+      "prob_constant", "prob_in_unit", "monotone_name", "monotone_amount"))
+    val rows = summary.as[(Int, Int, Long, Boolean, Boolean, Boolean, Boolean)].collect()
+    assert(rows.map(_._3).sum == scored.count())
+    rows.foreach { r =>
+      assert(r._4 && r._5 && r._6 && r._7, s"assertion failed for pattern $r")
+    }
+  }
+
   test("term-frequency adjustment weakens matches on common values") {
     val tfDf = Seq(
       (1L, "smith", 1L), (2L, "smith", 1L), (3L, "smith", 2L), (4L, "smith", 2L),

@@ -65,6 +65,21 @@ class DedupSpec extends SparkTestBase {
       .select("id_l", "id_r").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)))
   }
+
+  test("simhash chunk blocking has recall 1 at the requested distance (pigeonhole)") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (maxDist <- Seq(2, 6)) {
+      val fp = TextDedup.simhashAgg(corpus, "doc_id", "text")
+        .as[(Long, Long)].collect()
+      val brute = (for {
+        (i, fi) <- fp; (j, fj) <- fp
+        if i < j && java.lang.Long.bitCount(fi ^ fj) <= maxDist
+      } yield (i, j)).toSet
+      val blocked = TextDedup.simhashPairs(corpus, "doc_id", "text", maxDist)
+        .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+      assert(blocked == brute, s"maxDist=$maxDist")
+    }
+  }
 }
 
 class SimilaritySpec extends SparkTestBase {
@@ -140,6 +155,30 @@ class SimilaritySpec extends SparkTestBase {
       inter.toDouble / total
     }
     assert(recall(multi) >= recall(single))
+  }
+
+  test("banded near-dup is a subset of brute force with identical cosines") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Similarity.neardupPairs(emb, "vec_id", "embedding", 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    val banded = Similarity.neardupPairsBanded(emb, "vec_id", "embedding", 0.3,
+        bands = 8, rowsPerBand = 8, dim = 64)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(banded.subsetOf(brute))
+  }
+
+  test("banded near-dup finds every planted near-duplicate") {
+    // plant exact duplicates (cosine 1.0): identical vectors agree with
+    // every hyperplane, so they collide in all bands regardless of params
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding").filter(col("vec_id") < 100)
+    val planted = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+    val corpus = emb.union(planted)
+    val got = Similarity.neardupPairsBanded(corpus, "vec_id", "embedding", 0.99,
+        bands = 8, rowsPerBand = 8, dim = 64)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    assert((0L until 10L).forall(i => got.contains((i, i + 1000))))
   }
 
   test("hyperplanes are deterministic and in [-1,1)") {

@@ -122,6 +122,20 @@ class ConnectedComponentsSpec extends SparkTestBase {
       .select("id", "component").as[(String, String)].collect().toMap
     assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "z" -> "z"))
   }
+
+  test("reliable-checkpoint mode matches the localCheckpoint default") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-cc").toString
+    val rnd = new scala.util.Random(11)
+    val es = Seq.fill(2000)((rnd.nextInt(500).toLong, rnd.nextInt(500).toLong))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    val local = ConnectedComponents.runOnEdges(es)
+      .as[(Long, Long)].collect().toMap
+    val reliable = ConnectedComponents.runOnEdges(es, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(reliable == local)
+    // reliable mode actually wrote checkpoint data
+    assert(new java.io.File(dir).listFiles().nonEmpty)
+  }
 }
 
 class PregelSpec extends SparkTestBase {
@@ -140,6 +154,23 @@ class PregelSpec extends SparkTestBase {
       .select("id", "risk_score").as[(Long, Long)].collect().toMap
     // iter1: v2 = 10+20 = 30, v3 = 20+5 = 25; iter2: v2 = 10+20 = 30, v3 = 30+5 = 35
     assert(out == Map(1L -> 10L, 2L -> 30L, 3L -> 35L))
+  }
+
+  test("pregel reliable-checkpoint mode matches the localCheckpoint default") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-pregel").toString
+    val v = Seq((1L, 10L), (2L, 20L), (3L, 5L)).toDF("id", "risk")
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    def run(p: Pregel) = p
+      .withVertexColumn("risk_score", col("risk"),
+        coalesce(Pregel.msg + col("risk"), col("risk_score")))
+      .sendMsgToDst(Pregel.src("risk_score"))
+      .setMaxIter(2)
+      .run()
+      .select("id", "risk_score").as[(Long, Long)].collect().toMap
+    val local = run(PropertyGraph(v, e).pregel)
+    val reliable = run(PropertyGraph(v, e).pregel.setCheckpointDir(dir))
+    assert(reliable == local)
+    assert(new java.io.File(dir).listFiles().nonEmpty)
   }
 
   test("triangle count ignores direction and counts per member") {

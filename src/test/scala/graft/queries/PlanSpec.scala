@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.apache.spark.sql.execution.FormattedMode
+
+import graft.SparkTestBase
+
+/** Plan-quality regression gate: the physical-plan properties PLANS.md
+  * documents are asserted here so they cannot silently regress — no
+  * cartesian products anywhere, nested-loop joins only where a small
+  * broadcast side crossed with a single corpus scan is the intended shape,
+  * and filters reaching the parquet scans. Runs against sf0.001 (plan
+  * structure, not data volume, is under test).
+  */
+class PlanSpec extends SparkTestBase {
+  private val dir = "/root/testdata/sf0.001"
+
+  /** BNLJ is legitimate only where a deliberately-broadcast small side is
+    * crossed with one corpus scan: the brute-force top-k query set (q28),
+    * IVF centroid scoring (q40), and q27's assembly of four single-row
+    * assertion aggregates. Everything else must equi-join. */
+  private val bnljWhitelist = Set("q28_cosine_topk", "q40_ann_ivf", "q27_simhash")
+
+  private lazy val plans: Map[String, String] =
+    graft.SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, dir).queryExecution.explainString(FormattedMode)
+    }
+
+  test("no registered query plans a CartesianProduct") {
+    val bad = plans.filter(_._2.contains("CartesianProduct")).keys.toSeq.sorted
+    assert(bad.isEmpty, s"cartesian products in: $bad")
+  }
+
+  test("BroadcastNestedLoopJoin only on whitelisted broadcast-scan queries") {
+    val bad = plans.filter { case (n, p) =>
+      p.contains("BroadcastNestedLoopJoin") && !bnljWhitelist(n)
+    }.keys.toSeq.sorted
+    assert(bad.isEmpty, s"unexpected BNLJ in: $bad")
+  }
+
+  test("the registered near-dup scale path has no nested-loop join") {
+    assert(!plans("q29_cosine_neardup").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("filters are pushed down to the parquet scans") {
+    // the ANN query-set filters must reach the embeddings scan, not run
+    // post-read (q44's scans sit above an eager checkpoint, so its plan
+    // cannot witness pushdown here)
+    assert(plans("q28_cosine_topk").contains("LessThan(vec_id,8)"),
+      "vec_id filter not pushed in q28")
+    assert(plans("q30_ann_lsh").contains("LessThan(vec_id,8)"),
+      "vec_id filter not pushed in q30")
+    // and broadly: a healthy fraction of registered queries push something
+    val pushing = plans.count(_._2.matches("(?s).*PushedFilters: \\[[^\\]].*"))
+    assert(pushing >= 10, s"only $pushing queries push filters to their scans")
+  }
+}
