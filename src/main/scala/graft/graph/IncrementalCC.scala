@@ -1,0 +1,90 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental connected components: maintain a `(id, component)` assignment
+  * across arriving edge batches — the streaming-native form of the
+  * reference's batch `g.connectedComponents()` rebuild
+  * (`/root/reference/01_aml_network_analysis.py:144-147`), for its "as new
+  * transactions are discovered" aspiration (`:486`).
+  *
+  * Each [[step]] contracts the new batch through the current assignment and
+  * runs [[ConnectedComponents]] only on the **contracted representative
+  * graph** — edges between component ids — which after the first batches is
+  * far smaller than the cumulative edge set. Components are min-member-id
+  * normalized, and since each representative is already the minimum of its
+  * members, the contracted minimum equals the global minimum — so folding
+  * batches through [[step]] is **exactly** equal to one batch CC over the
+  * union of all edges (IncrementalCCSpec proves it; registered query
+  * q48 shares q16's recursive-CTE oracle).
+  *
+  * Scale shape per batch: one join of the batch edges against the assignment
+  * (shuffle on id), an O(log c) CC over contracted edges (c = components
+  * touched, not total nodes), and one join to remap the assignment. State is
+  * a single columnar table — checkpoint it via `checkpointDir` on a real
+  * cluster, or persist it with `foreachBatch` in Structured Streaming
+  * ([[graft.streaming.Streams.incrementalCCSink]]).
+  */
+object IncrementalCC {
+
+  /** An empty assignment with the right schema, derived from an edge frame. */
+  def emptyAssignment(edges: DataFrame): DataFrame =
+    edges.sparkSession.createDataFrame(
+      edges.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          edges.schema("src").dataType, nullable = false),
+        org.apache.spark.sql.types.StructField("component",
+          edges.schema("src").dataType, nullable = false))))
+
+  /** Merge one batch of edges `(src, dst)` into assignment `(id, component)`.
+    * Returns the updated assignment covering all previously-seen nodes plus
+    * the batch's nodes. Deterministic: component = min member id. */
+  def step(assign: DataFrame, batchEdges: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt = Checkpointer(batchEdges.sparkSession, checkpointDir)
+    val e = batchEdges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+
+    // 1. Map both endpoints through the current assignment (unseen node →
+    //    itself). Two left joins on the assignment, shuffled on id once each.
+    val aSrc = assign.select(col("id").as("src"), col("component").as("csrc"))
+    val aDst = assign.select(col("id").as("dst"), col("component").as("cdst"))
+    val contracted = e
+      .join(aSrc, Seq("src"), "left_outer")
+      .join(aDst, Seq("dst"), "left_outer")
+      .select(
+        coalesce(col("csrc"), col("src")).as("src"),
+        coalesce(col("cdst"), col("dst")).as("dst"))
+      .where(col("src") =!= col("dst"))
+
+    // 2. CC over the contracted representative graph only. Representatives
+    //    are minima of their members, so min(representatives) = min(members).
+    val compMap = ConnectedComponents
+      .runOnEdges(contracted, checkpointDir = checkpointDir)
+      .select(col("id").as("component"), col("component").as("newc"))
+
+    // 3. New nodes enter with themselves as component; then one join remaps
+    //    every row whose representative was merged.
+    val newNodes = e.select(explode(array(col("src"), col("dst"))).as("id"))
+      .distinct()
+      .join(assign.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+
+    ckpt(assign.union(newNodes)
+      .join(compMap, Seq("component"), "left_outer")
+      .select(col("id"),
+        coalesce(col("newc"), col("component")).as("component")))
+  }
+
+  /** Fold a sequence of edge batches from an empty assignment — the batch
+    * harness for the streaming sink and the q48 registered query. */
+  def runBatches(batches: Seq[DataFrame],
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(batches.nonEmpty, "need at least one edge batch")
+    batches.foldLeft(emptyAssignment(batches.head)) { (a, b) =>
+      step(a, b, checkpointDir)
+    }
+  }
+}

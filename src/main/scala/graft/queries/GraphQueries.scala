@@ -110,6 +110,28 @@ object GraphQueries {
                       FROM reach GROUP BY root)
              SELECT id, component FROM comp ORDER BY id"""))
 
+  /** Incremental connected components (streaming-native variant of q16):
+    * the same identity-graph edges arrive in three deterministic batches
+    * (`src mod 3`) and are folded through
+    * [[graft.graph.IncrementalCC.step]] — contracted-graph CC per batch, no
+    * full rebuild. Min-member normalization makes the fold exactly equal to
+    * one batch CC over the union, so the oracle is q16's recursive CTE
+    * verbatim. */
+  private val q48 = QDef(
+    "q48_incremental_cc",
+    (s, dir) => {
+      val g = sharedAttrGraph(s, dir)
+      val batches = (0 until 3).map(i =>
+        g.edges.where(pmod(col("src"), lit(3)) === i))
+      val assign = graft.graph.IncrementalCC.runBatches(batches)
+      g.vertices
+        .join(assign, Seq("id"), "left_outer")
+        .select(col("id"),
+          coalesce(col("component"), col("id")).as("component"))
+        .orderBy("id")
+    },
+    q16.oracle)
+
   /** Structuring/smurfing fan-in motif (reference 5-edge motif + threshold,
     * `:308-319`): two senders into one beneficiary with combined amount over
     * a threshold. Compiled to ordinary equi-joins; no rounding — both
@@ -375,5 +397,5 @@ object GraphQueries {
                       JOIN nm n2 ON cyc.c = n2.id JOIN nm n3 ON cyc.d = n3.id
              ORDER BY txn1, txn2, txn3, txn4"""))
 
-  val all: Seq[QDef] = Seq(q15, q16, q17, q18, q19, q20, q42, q44, q45)
+  val all: Seq[QDef] = Seq(q15, q16, q17, q18, q19, q20, q42, q44, q45, q48)
 }

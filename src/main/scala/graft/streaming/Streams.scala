@@ -63,6 +63,35 @@ object Streams {
         count(lit(1)).as("n_events"))
   }
 
+  /** Streaming exact deduplication: watermark + `dropDuplicates` on the key
+    * columns — Spark keeps one state-store row per key seen inside the
+    * watermark horizon, so state is bounded while late duplicates are still
+    * caught. The streaming twin of the batch exact-dedup operator
+    * (`graft.ext.TextDedup.dedupExact`); StreamsSpec proves MemoryStream
+    * output ≡ batch `dropDuplicates` over the same rows. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      tsCol: String = "ts", watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicates(keyCols :+ tsCol)
+
+  /** Incremental connected components as a streaming sink: each micro-batch
+    * of edges is folded into a driver-held assignment via
+    * [[graft.graph.IncrementalCC.step]] (contracted-graph CC, not a full
+    * rebuild). The assignment is checkpointed every batch, so the lineage
+    * chain never grows with the number of batches. Use with
+    * `edges.writeStream.foreachBatch(sink.update _)`; read `sink.current`
+    * between/after batches. */
+  final class IncrementalCCSink(checkpointDir: Option[String] = None) {
+    import graft.graph.IncrementalCC
+    @volatile private var assign: Option[DataFrame] = None
+    /** The latest `(id, component)` assignment (None before the first batch). */
+    def current: Option[DataFrame] = assign
+    def update(batch: DataFrame, batchId: Long): Unit = synchronized {
+      val a = assign.getOrElse(IncrementalCC.emptyAssignment(batch))
+      assign = Some(IncrementalCC.step(a, batch, checkpointDir))
+    }
+  }
+
   final case class SessionEvent(user_id: Long, ts: Timestamp)
   final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
   // public: Spark's product encoder codegen must be able to reach it

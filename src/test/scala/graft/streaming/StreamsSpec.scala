@@ -27,7 +27,7 @@ class StreamsSpec extends SparkTestBase {
 
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
-    val sq = Streams.windowedAgg(mem.toDF.toDF("ts", "event_type", "value"), Some("2 hours"))
+    val sq = Streams.windowedAgg(mem.toDF().toDF("ts", "event_type", "value"), Some("2 hours"))
       .writeStream.format("memory").queryName("win_agg").outputMode("complete").start()
     try {
       mem.addData((ts(5), "click", 1.0), (ts(20), "click", 2.0), (ts(70), "view", 8.0))
@@ -43,7 +43,7 @@ class StreamsSpec extends SparkTestBase {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, Double)]
     val sq = Streams.structuringAlerts(
-        mem.toDF.toDF("ts", "beneficiary", "amount"), threshold = 10000.0)
+        mem.toDF().toDF("ts", "beneficiary", "amount"), threshold = 10000.0)
       .writeStream.format("memory").queryName("alerts").outputMode("complete").start()
     try {
       mem.addData(
@@ -97,6 +97,54 @@ class StreamsSpec extends SparkTestBase {
         .as[(Long, Long, Long, Long)].collect().toSet
       assert(streamed == batch,
         s"stream/batch divergence: missing=${batch -- streamed} extra=${streamed -- batch}")
+    } finally sq.stop()
+  }
+
+  test("streaming dedup agrees with batch dropDuplicates on the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (ts(1), 1L, "a"), (ts(1), 1L, "a"),   // exact duplicate
+      (ts(2), 1L, "a"),                     // same key, later ts -> kept
+      (ts(3), 2L, "b"), (ts(3), 2L, "b"), (ts(3), 2L, "b"))
+    val batch = rows.toDF("ts", "doc_id", "text")
+      .dropDuplicates(Seq("doc_id", "text", "ts"))
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq.sorted
+
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val sq = Streams.dedupStream(
+        mem.toDF().toDF("ts", "doc_id", "text"), Seq("doc_id", "text"))
+      .writeStream.format("memory").queryName("dedup_parity").outputMode("append").start()
+    try {
+      mem.addData(rows.take(3): _*)
+      sq.processAllAvailable()
+      mem.addData(rows.drop(3): _*) // second micro-batch repeats a key
+      sq.processAllAvailable()
+      val streamed = spark.table("dedup_parity")
+        .select("doc_id", "text").as[(Long, String)].collect().toSeq.sorted
+      assert(streamed == batch)
+    } finally sq.stop()
+  }
+
+  test("incremental CC sink over a stream of edges matches batch CC on all edges") {
+    implicit val sqlCtx = spark.sqlContext
+    val all = Seq((1L, 2L), (3L, 4L), (2L, 3L), (10L, 11L), (4L, 10L))
+    val sink = new Streams.IncrementalCCSink()
+    val mem = MemoryStream[(Long, Long)]
+    val sq = mem.toDF().toDF("src", "dst")
+      .writeStream.foreachBatch(sink.update _).start()
+    try {
+      all.grouped(2).foreach { chunk =>
+        mem.addData(chunk: _*)
+        sq.processAllAvailable()
+      }
+      val streamed = sink.current.get
+        .select("id", "component").as[(Long, Long)].collect().toSet
+      val batch = graft.graph.ConnectedComponents
+        .runOnEdges(all.toDF("src", "dst"))
+        .select("id", "component").as[(Long, Long)].collect().toSet
+      assert(streamed == batch)
+      // every edge eventually bridges: one component rooted at the global min
+      assert(streamed.map(_._2) == Set(1L))
     } finally sq.stop()
   }
 
