@@ -39,6 +39,10 @@ final case class LevenshteinLevel(maxDistance: Int) extends FuzzyLevel
 final case class NumericToleranceLevel(tolerance: Double) extends FuzzyLevel
 /** Phonetic match via Soundex codes (splink-style phonetic level). */
 case object SoundexLevel extends FuzzyLevel
+/** Phonetic match via Double Metaphone primary codes — splink's stronger
+  * phonetic level; an `includeAlternate` match also accepts the secondary
+  * (ethnic-variant) code on either side. */
+final case class DoubleMetaphoneLevel(includeAlternate: Boolean = false) extends FuzzyLevel
 
 /** Settings mirroring the splink settings dict the reference passes
   * (`link_type: dedupe_only`, `blocking_rules`, `comparison_columns`). */
@@ -97,6 +101,19 @@ object Comparison {
           base.when(abs(l - r) <= tol, lit(1)).otherwise(lit(0))
         case Some(SoundexLevel) =>
           base.when(soundex(l) === soundex(r), lit(1)).otherwise(lit(0))
+        case Some(DoubleMetaphoneLevel(alt)) =>
+          val pri = call_function("double_metaphone", l) ===
+            call_function("double_metaphone", r)
+          val cond =
+            if (!alt) pri
+            else pri ||
+              call_function("double_metaphone_alt", l) ===
+                call_function("double_metaphone_alt", r) ||
+              call_function("double_metaphone", l) ===
+                call_function("double_metaphone_alt", r) ||
+              call_function("double_metaphone_alt", l) ===
+                call_function("double_metaphone", r)
+          base.when(cond, lit(1)).otherwise(lit(0))
       }
       d.withColumn(s"gamma_${c.name}", gamma)
     }

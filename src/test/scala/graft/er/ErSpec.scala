@@ -91,6 +91,37 @@ class FellegiSunterSpec extends SparkTestBase {
     assert(g == Seq((2, 2), (1, 1), (0, 0)))
   }
 
+  test("double-metaphone fuzzy level: phonetic variants agree, strangers do not") {
+    // codegen'd SQL function matches commons-codec directly
+    val enc = new org.apache.commons.codec.language.DoubleMetaphone
+    val names = Seq("smith", "smyth", "catherine", "kathryn", "jones", "alice")
+    val viaSql = names.toDF("s")
+      .selectExpr("double_metaphone(s)", "double_metaphone_alt(s)")
+      .as[(String, String)].collect().toSeq
+    assert(viaSql == names.map(n =>
+      (enc.doubleMetaphone(n), enc.doubleMetaphone(n, true))))
+
+    val d = Seq(
+      (1L, "smith", 2L, "smith"),      // exact
+      (3L, "smith", 4L, "smyth"),      // phonetic variant -> fuzzy level
+      (5L, "catherine", 6L, "kathryn"),// phonetic variant -> fuzzy level
+      (7L, "smith", 8L, "alice"),      // disagree
+      (9L, null.asInstanceOf[String], 10L, "smith") // null -> -1
+    ).toDF("unique_id_l", "name_l", "unique_id_r", "name_r")
+    val cs = Seq(ComparisonColumn("name", fuzzy = Some(DoubleMetaphoneLevel())))
+    val g = Comparison.withGammas(d, cs).orderBy("unique_id_l")
+      .select("gamma_name").as[Int].collect().toSeq
+    assert(g == Seq(2, 1, 1, 0, -1))
+
+    // includeAlternate only widens the match set
+    val csAlt = Seq(ComparisonColumn("name",
+      fuzzy = Some(DoubleMetaphoneLevel(includeAlternate = true))))
+    val gAlt = Comparison.withGammas(d, csAlt).orderBy("unique_id_l")
+      .select("gamma_name").as[Int].collect().toSeq
+    assert(g.zip(gAlt).forall { case (a, b) => b >= a || a == 2 },
+      s"alternate must not lose matches: $g vs $gAlt")
+  }
+
   test("EM separates true duplicates from noise pairs") {
     val (scored, params) = EntityResolver.scoredComparisons(df, settings)
     val byPair = scored
