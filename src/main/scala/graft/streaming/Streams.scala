@@ -63,6 +63,32 @@ object Streams {
         count(lit(1)).as("n_events"))
   }
 
+  /** Streaming fan-in structuring pairs — the q17 motif
+    * (`(a)-[e1]->(m); (b)-[e2]->(m)`, reference
+    * `01_aml_network_analysis.py:308-319`) as a watermarked stream-stream
+    * self-join: two senders into one beneficiary within `within` of each
+    * other, combined amount over `minTotal`. The event-time range bound plus
+    * the watermark lets Spark evict join state older than
+    * watermark + within, so state is bounded at any scale. The same plan
+    * runs on a batch frame (StreamsSpec proves stream ≡ batch). */
+  def fanInPairs(txns: DataFrame, minTotal: Double, within: String = "1 hour",
+      watermark: String = "2 hours", streaming: Boolean = true): DataFrame = {
+    def side(p: String): DataFrame = {
+      val base = if (streaming) txns.withWatermark("ts", watermark) else txns
+      base.select(col("sender").as(s"${p}_id"), col("beneficiary").as(s"${p}_ben"),
+        col("amount").as(s"${p}_amount"), col("txn_id").as(s"${p}_txn"),
+        col("ts").as(s"${p}_ts"))
+    }
+    side("a").join(side("b"),
+        col("a_ben") === col("b_ben") && col("a_id") < col("b_id") &&
+          col("b_ts") >= col("a_ts") - expr(s"interval $within") &&
+          col("b_ts") <= col("a_ts") + expr(s"interval $within"))
+      .where(col("a_amount") + col("b_amount") > minTotal)
+      .select(col("a_id"), col("b_id"), col("a_ben").as("m_id"),
+        col("a_txn"), col("b_txn"),
+        (col("a_amount") + col("b_amount")).as("total"))
+  }
+
   /** Streaming exact deduplication: watermark + `dropDuplicates` on the key
     * columns — Spark keeps one state-store row per key seen inside the
     * watermark horizon, so state is bounded while late duplicates are still

@@ -100,6 +100,37 @@ class StreamsSpec extends SparkTestBase {
     } finally sq.stop()
   }
 
+  test("stream-stream fan-in join matches the batch motif on the same transactions") {
+    implicit val sqlCtx = spark.sqlContext
+    // (ts, sender, beneficiary, amount, txn_id)
+    val txns = Seq(
+      (ts(0), 1L, 100L, 6000.0, 11L),
+      (ts(10), 2L, 100L, 7000.0, 12L),   // pairs with txn 11: 13k > 10k
+      (ts(200), 3L, 100L, 9000.0, 13L),  // > 1h from both -> no pair
+      (ts(5), 4L, 200L, 2000.0, 14L),
+      (ts(6), 5L, 200L, 1000.0, 15L))    // 3k < 10k -> filtered
+    val cols = Seq("ts", "sender", "beneficiary", "amount", "txn_id")
+    val batch = Streams.fanInPairs(txns.toDF(cols: _*), 10000.0, streaming = false)
+      .select("a_id", "b_id", "m_id", "a_txn", "b_txn", "total")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    assert(batch == Set((1L, 2L, 100L, 11L, 12L, 13000.0)))
+
+    val mem = MemoryStream[(Timestamp, Long, Long, Double, Long)]
+    val sq = Streams.fanInPairs(mem.toDF().toDF(cols: _*), 10000.0)
+      .writeStream.format("memory").queryName("fanin").outputMode("append").start()
+    try {
+      txns.grouped(2).foreach { chunk =>   // arrive across micro-batches
+        mem.addData(chunk: _*)
+        sq.processAllAvailable()
+      }
+      val streamed = spark.table("fanin")
+        .select("a_id", "b_id", "m_id", "a_txn", "b_txn", "total")
+        .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+      assert(streamed == batch,
+        s"stream/batch divergence: missing=${batch -- streamed} extra=${streamed -- batch}")
+    } finally sq.stop()
+  }
+
   test("streaming dedup agrees with batch dropDuplicates on the same rows") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq(
