@@ -207,4 +207,37 @@ object TextDedup {
       .dropDuplicates("id_l", "id_r")
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Train→test contamination check (the GPT-3-style n-gram-overlap
+    * decontamination pass an LLM training pipeline runs before evaluation):
+    * a test document is contaminated when it shares at least `minOverlap`
+    * distinct word n-grams with any training document. One shingle
+    * inverted-index equi-join — never an all-pairs product — then a per-test
+    * -doc aggregate. Use a shingle width that makes shingles near-unique
+    * (GPT-3 used 13-grams); at 100 TB, join on `xxhash64(sh)` and drop
+    * shingles whose train document frequency exceeds a cap to bound hot
+    * keys (`maxTrainDf`). */
+  def contamination(train: DataFrame, test: DataFrame, idCol: String,
+      textCol: String, n: Int, minOverlap: Long = 1L,
+      maxTrainDf: Option[Long] = None): DataFrame = {
+    val tr0 = shingleRows(train, idCol, textCol, n)
+      .select(col("id").as("train_id"), col("sh"))
+    val tr = maxTrainDf.fold(tr0) { cap =>
+      import org.apache.spark.sql.expressions.Window
+      tr0.withColumn("__df", count(lit(1)).over(Window.partitionBy("sh")))
+        .filter(col("__df") <= cap).drop("__df")
+    }
+    val hits = shingleRows(test, idCol, textCol, n)
+      .join(tr, "sh")
+      .groupBy(col("id"))
+      .agg(countDistinct(col("sh")).as("n_overlap_shingles"),
+        countDistinct(col("train_id")).as("n_train_docs"))
+    test.select(col(idCol).as("id")).distinct()
+      .join(hits, Seq("id"), "left_outer")
+      .select(col("id").as(idCol),
+        coalesce(col("n_overlap_shingles"), lit(0L)).as("n_overlap_shingles"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        (coalesce(col("n_overlap_shingles"), lit(0L)) >= minOverlap)
+          .as("contaminated"))
+  }
 }

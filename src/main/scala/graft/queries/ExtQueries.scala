@@ -538,7 +538,41 @@ object ExtQueries {
             SELECT doc_id, term, tf, df, CAST(rank AS BIGINT) AS rank
             FROM r WHERE rank <= 3 ORDER BY doc_id, rank"""))
 
+  /** Train→test decontamination (GPT-3 Appendix C style): the 10%-of-docs
+    * test split is checked for 13-gram overlap against the training split —
+    * one shingle inverted-index equi-join, per-test-doc overlap counts.
+    * Exact-integer output; the oracle builds the same 13-gram shingles via
+    * list slicing. */
+  private val q49 = QDef(
+    "q49_contamination",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      TextDedup.contamination(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", n = 13)
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+                       FROM documents),
+            sh0 AS (SELECT doc_id, array_to_string(ws[p : p+12], ' ') AS sh
+                    FROM d, unnest(generate_series(1, greatest(len(ws)-12, 0))) AS t(p)),
+            sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+            tr AS (SELECT doc_id AS train_id, sh FROM sh WHERE doc_id % 10 <> 0),
+            te AS (SELECT doc_id, sh FROM sh WHERE doc_id % 10 = 0),
+            hits AS (SELECT te.doc_id AS hid,
+                            CAST(count(DISTINCT te.sh) AS BIGINT) AS n_overlap_shingles,
+                            CAST(count(DISTINCT tr.train_id) AS BIGINT) AS n_train_docs
+                     FROM te JOIN tr ON te.sh = tr.sh GROUP BY te.doc_id),
+            ids AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 10 = 0)
+            SELECT ids.doc_id,
+                   coalesce(h.n_overlap_shingles, 0) AS n_overlap_shingles,
+                   coalesce(h.n_train_docs, 0) AS n_train_docs,
+                   coalesce(h.n_overlap_shingles, 0) >= 1 AS contaminated
+            FROM ids LEFT JOIN hits h ON ids.doc_id = h.hid
+            ORDER BY ids.doc_id"""))
+
   val all: Seq[QDef] = Seq(
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q40, q41)
+    q38, q40, q41, q49)
 }

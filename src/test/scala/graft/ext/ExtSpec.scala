@@ -80,6 +80,39 @@ class DedupSpec extends SparkTestBase {
       assert(blocked == brute, s"maxDist=$maxDist")
     }
   }
+
+  test("contamination: planted train/test overlap is found, clean and short docs are not") {
+    val train = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "one two three four five six seven"),
+      (12L, "unrelated training content goes here today")
+    ).toDF("doc_id", "text")
+    val test = Seq(
+      (20L, "alpha beta gamma delta epsilon zeta extra tail"), // contains train 3-grams
+      (21L, "totally clean evaluation document with fresh words"),
+      (22L, "tiny")                                            // < n words
+    ).toDF("doc_id", "text")
+    val got = TextDedup.contamination(train, test, "doc_id", "text", n = 3)
+      .select("doc_id", "n_overlap_shingles", "n_train_docs", "contaminated")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map { case (id, a, b, c) => id -> ((a, b, c)) }.toMap
+    assert(got(20L) == ((4L, 1L, true))) // 4 shared trigrams from train doc 10
+    assert(got(21L) == ((0L, 0L, false)))
+    assert(got(22L) == ((0L, 0L, false)))
+  }
+
+  test("contamination: maxTrainDf drops boilerplate shingles shared by many train docs") {
+    val boiler = "standard legal disclaimer text applies"
+    val train = (1L to 5L).map(i => (i, s"$boiler variant $i")).toDF("doc_id", "text")
+    val test = Seq((20L, s"$boiler in a test document")).toDF("doc_id", "text")
+    val noCap = TextDedup.contamination(train, test, "doc_id", "text", n = 3)
+      .select("contaminated").as[Boolean].head()
+    val capped = TextDedup.contamination(train, test, "doc_id", "text", n = 3,
+        maxTrainDf = Some(2L))
+      .select("contaminated").as[Boolean].head()
+    assert(noCap && !capped,
+      "the df cap must drop shingles occurring in > cap train docs")
+  }
 }
 
 class SimilaritySpec extends SparkTestBase {
