@@ -68,6 +68,11 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       .withColumn("count", coalesce(col("count"), lit(0L)))
   }
 
+  /** Landmark BFS hop distances over undirected edges (GraphFrames
+    * `shortestPaths` surface, relational output). See [[ShortestPaths]]. */
+  def shortestPaths(landmarks: Seq[Long], maxIter: Int = 20): DataFrame =
+    ShortestPaths.run(this, landmarks, maxIter)
+
   /** PageRank with damping 0.85 as a [[Pregel]] composition (out-degree
     * weighted push, fixed iterations — the GraphFrames/GraphX formulation;
     * dangling mass is not redistributed). */

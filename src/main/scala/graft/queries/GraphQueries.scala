@@ -132,6 +132,29 @@ object GraphQueries {
     },
     q16.oracle)
 
+  /** Landmark shortest paths (GraphFrames `shortestPaths` surface) on the
+    * identity graph: BFS hop distance from every reachable vertex to
+    * landmarks 1 and 7. Oracle: bounded recursive-CTE walk + min per
+    * (node, landmark) — both engines cap depth at 20 hops, far above the
+    * graph's diameter. */
+  private val q50 = QDef(
+    "q50_shortest_paths",
+    (s, dir) => graft.graph.ShortestPaths
+      .run(sharedAttrGraph(s, dir), Seq(1L, 7L), maxIter = 20)
+      .orderBy("id", "landmark"),
+    Some(s"""WITH RECURSIVE
+             e AS ($sharedAttrEdgesSql),
+             eb AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+             walk(landmark, node, d) AS (
+               SELECT CAST(landmark AS BIGINT), CAST(landmark AS BIGINT), 0
+               FROM (VALUES (1), (7)) t(landmark)
+               UNION
+               SELECT w.landmark, eb.dst, w.d + 1
+               FROM walk w JOIN eb ON w.node = eb.src WHERE w.d < 20)
+             SELECT node AS id, landmark, CAST(min(d) AS BIGINT) AS dist
+             FROM walk GROUP BY node, landmark
+             ORDER BY id, landmark"""))
+
   /** Structuring/smurfing fan-in motif (reference 5-edge motif + threshold,
     * `:308-319`): two senders into one beneficiary with combined amount over
     * a threshold. Compiled to ordinary equi-joins; no rounding — both
@@ -397,5 +420,5 @@ object GraphQueries {
                       JOIN nm n2 ON cyc.c = n2.id JOIN nm n3 ON cyc.d = n3.id
              ORDER BY txn1, txn2, txn3, txn4"""))
 
-  val all: Seq[QDef] = Seq(q15, q16, q17, q18, q19, q20, q42, q44, q45, q48)
+  val all: Seq[QDef] = Seq(q15, q16, q17, q18, q19, q20, q42, q44, q45, q48, q50)
 }

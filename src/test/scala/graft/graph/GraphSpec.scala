@@ -208,3 +208,36 @@ class PregelSpec extends SparkTestBase {
     assert(g.outDegrees.as[(Long, Long)].collect().toMap == Map(1L -> 2L, 2L -> 1L))
   }
 }
+
+class ShortestPathsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("landmark BFS distances on a path-plus-branch graph, unreachable absent") {
+    // 1-2-3-4 chain, 3-5 branch, isolated pair 10-11
+    val v = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L).toDF("id")
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (3L, 5L), (10L, 11L)).toDF("src", "dst")
+    val got = PropertyGraph(v, e).shortestPaths(Seq(1L, 10L))
+      .select("id", "landmark", "dist").as[(Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 0L), (2L, 1L, 1L), (3L, 1L, 2L), (4L, 1L, 3L), (5L, 1L, 3L),
+      (10L, 10L, 0L), (11L, 10L, 1L)))
+  }
+
+  test("edges count as undirected and multiple landmarks resolve independently") {
+    val v = Seq(1L, 2L, 3L).toDF("id")
+    val e = Seq((3L, 2L), (2L, 1L)).toDF("src", "dst") // reversed directions
+    val got = PropertyGraph(v, e).shortestPaths(Seq(1L, 3L))
+      .select("id", "landmark", "dist").as[(Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 0L), (2L, 1L, 1L), (3L, 1L, 2L),
+      (3L, 3L, 0L), (2L, 3L, 1L), (1L, 3L, 2L)))
+  }
+
+  test("maxIter truncates the frontier expansion") {
+    val v = (1L to 6L).toDF("id")
+    val e = (1L until 6L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = PropertyGraph(v, e).shortestPaths(Seq(1L), maxIter = 2)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L)) // dist <= 2 only
+  }
+}
