@@ -101,6 +101,45 @@ final class Pregel private[graph] (g: PropertyGraph) {
   }
 }
 
+/** One-shot message round (GraphFrames `aggregateMessages` surface): join
+  * triplets, send expressions to src/dst, aggregate per recipient — a
+  * single Pregel superstep without the update loop. Message/agg expressions
+  * use the same [[Pregel.src]]/[[Pregel.dst]]/[[Pregel.edge]]/[[Pregel.msg]]
+  * accessors. Returns `(id, <agg alias>)` for every vertex that received at
+  * least one message. Same scale shape as a superstep: edges join only the
+  * referenced vertex sides, one hash aggregate on the recipient id. */
+final class AggregateMessages private[graph] (g: PropertyGraph) {
+  private var toDst: Option[Column] = None
+  private var toSrc: Option[Column] = None
+
+  def sendToDst(msg: Column): AggregateMessages = { toDst = Some(msg); this }
+  def sendToSrc(msg: Column): AggregateMessages = { toSrc = Some(msg); this }
+
+  def agg(aggExpr: Column): DataFrame = {
+    require(toDst.nonEmpty || toSrc.nonEmpty,
+      "at least one of sendToDst/sendToSrc is required")
+    val eCols = g.edges.columns.toSeq
+    val vCols = g.vertices.columns.toSeq
+    def references(marker: String): Boolean =
+      (toDst.toSeq ++ toSrc.toSeq).exists(_.toString.contains(marker))
+    val vs = g.vertices.select(struct(vCols.map(col): _*).as(Pregel.SrcMarker))
+    val vd = g.vertices.select(struct(vCols.map(col): _*).as(Pregel.DstMarker))
+    var triplets = g.edges
+      .select(struct(eCols.map(col): _*).as(Pregel.EdgeMarker))
+    if (references(Pregel.SrcMarker)) triplets = triplets.join(vs,
+      col(s"${Pregel.EdgeMarker}.src") === col(s"${Pregel.SrcMarker}.id"))
+    if (references(Pregel.DstMarker)) triplets = triplets.join(vd,
+      col(s"${Pregel.EdgeMarker}.dst") === col(s"${Pregel.DstMarker}.id"))
+    val sends = Seq(
+      toDst.map(m => triplets.select(
+        col(s"${Pregel.EdgeMarker}.dst").as("id"), m.as("_pregel_msg"))),
+      toSrc.map(m => triplets.select(
+        col(s"${Pregel.EdgeMarker}.src").as("id"), m.as("_pregel_msg")))
+    ).flatten.reduce(_ union _)
+    sends.groupBy("id").agg(aggExpr)
+  }
+}
+
 object Pregel {
   private[graph] val SrcMarker = "__pregel_src__"
   private[graph] val DstMarker = "__pregel_dst__"

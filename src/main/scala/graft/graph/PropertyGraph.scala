@@ -48,6 +48,10 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * See [[Pregel]]. */
   def pregel: Pregel = new Pregel(this)
 
+  /** One-shot message round (GraphFrames `aggregateMessages` surface).
+    * See [[AggregateMessages]]. */
+  def aggregateMessages: AggregateMessages = new AggregateMessages(this)
+
   /** Per-vertex triangle count (direction-ignored, each triangle counted
     * once per member, GraphFrames `triangleCount` semantics): canonicalize
     * edges undirected, enumerate ordered triangles a<b<c via two joins,

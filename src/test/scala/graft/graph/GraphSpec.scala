@@ -241,3 +241,41 @@ class ShortestPathsSpec extends SparkTestBase {
     assert(got == Set(1L, 2L, 3L)) // dist <= 2 only
   }
 }
+
+class AggregateMessagesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val g = PropertyGraph(
+    Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "w"),
+    Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst"))
+
+  test("sum of source weights into destinations matches the SQL formulation") {
+    val got = g.aggregateMessages
+      .sendToDst(Pregel.src("w"))
+      .agg(sum(Pregel.msg).as("in_w"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(2L -> 10L, 3L -> 30L)) // 3 receives 10 + 20
+  }
+
+  test("sending both directions computes undirected degree") {
+    val got = g.aggregateMessages
+      .sendToDst(lit(1L)).sendToSrc(lit(1L))
+      .agg(count(Pregel.msg).as("degree"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // and agrees with the dedicated degrees operator on this graph
+    val deg = g.degrees.as[(Long, Long)].collect().toMap
+    assert(got == deg)
+  }
+
+  test("edge attributes are readable in message expressions") {
+    val ge = PropertyGraph(
+      Seq(Tuple1(1L), Tuple1(2L)).toDF("id"),
+      Seq((1L, 2L, 5.0), (1L, 2L, 7.0)).toDF("src", "dst", "amount"))
+    val got = ge.aggregateMessages
+      .sendToDst(Pregel.edge("amount"))
+      .agg(sum(Pregel.msg).as("inflow"))
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(2L -> 12.0))
+  }
+}
