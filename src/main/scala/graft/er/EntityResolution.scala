@@ -136,6 +136,40 @@ object FellegiSunter {
     a / (a + b)
   }
 
+  /** Pool-adjacent-violators step making the likelihood ratio m/u
+    * non-decreasing in the gamma level (higher agreement must never be
+    * weaker match evidence — the ordering splink effectively assumes, and
+    * what makes the fitted match probability provably monotone in every
+    * gamma coordinate rather than empirically so). Violating adjacent
+    * levels are pooled: each level keeps its total mass m+u but takes the
+    * pooled block's m:u ratio, so per-block (and hence global) m and u sums
+    * are preserved exactly and renormalization is untouched. */
+  private[er] def isotonic(mIn: Array[Double], uIn: Array[Double]): (Array[Double], Array[Double]) = {
+    final case class Block(var m: Double, var u: Double, var start: Int, var end: Int) {
+      def ratio: Double =
+        if (u > 0) m / u else if (m > 0) Double.PositiveInfinity else 0.0
+    }
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[Block]
+    for (g <- mIn.indices) {
+      blocks += Block(mIn(g), uIn(g), g, g)
+      while (blocks.length >= 2 && blocks(blocks.length - 2).ratio > blocks.last.ratio) {
+        val b = blocks.remove(blocks.length - 1)
+        val a = blocks.last
+        a.m += b.m; a.u += b.u; a.end = b.end
+      }
+    }
+    val outM = new Array[Double](mIn.length)
+    val outU = new Array[Double](uIn.length)
+    blocks.foreach { b =>
+      val t = b.m + b.u
+      for (g <- b.start to b.end) {
+        val tg = mIn(g) + uIn(g)
+        if (t > 0) { outM(g) = tg * b.m / t; outU(g) = tg * b.u / t }
+      }
+    }
+    (outM, outU)
+  }
+
   /** EM fit over the agreement-pattern contingency table (the classic
     * Fellegi–Sunter formulation, and how splink scales its EM): ONE Spark
     * job aggregates the pair table down to (gamma vector → count) — at most
@@ -195,12 +229,18 @@ object FellegiSunter {
         }
       }
       // M-step (an all-null column has zero observed mass — keep it neutral
-      // rather than dividing by zero)
+      // rather than dividing by zero). The isotonic pass runs LAST — after
+      // clamping — because it preserves array sums exactly, so the final
+      // per-column m/u ratios are non-decreasing in the gamma level with no
+      // later adjustment that could reintroduce a violation.
       def safe(x: Double): Double = if (x > 0) x else 1.0
-      val newM = cs.map(c => c.name ->
-        mAcc(c.name).map(x => clamp(x / safe(mMass(c.name))))).toMap
-      val newU = cs.map(c => c.name ->
-        uAcc(c.name).map(x => clamp(x / safe(uMass(c.name))))).toMap
+      val ordered = cs.map { c =>
+        val m = mAcc(c.name).map(x => clamp(x / safe(mMass(c.name))))
+        val u = uAcc(c.name).map(x => clamp(x / safe(uMass(c.name))))
+        c.name -> isotonic(m, u)
+      }.toMap
+      val newM = cs.map(c => c.name -> ordered(c.name)._1).toMap
+      val newU = cs.map(c => c.name -> ordered(c.name)._2).toMap
       val newParams = FsParams(clamp(sumP / total), newM, newU)
       delta = math.abs(newParams.lambda - params.lambda) +
         cs.map(c =>
@@ -216,9 +256,11 @@ object FellegiSunter {
     * EM-sanity assertions — the fitted match probability is constant within
     * a pattern (it is a function of the gamma vector only), lies strictly
     * inside (0, 1), and is monotone non-decreasing in every gamma
-    * coordinate (more agreement never lowers the match probability; the
-    * -1 null level carries no information and is excluded from the
-    * monotonicity chain). This is the oracle-checkable face of the EM fit:
+    * coordinate (more agreement never lowers the match probability — a
+    * *guarantee* of the isotonic M-step in [[fit]], not an empirical
+    * property of any particular data; the -1 null level carries no
+    * information and is excluded from the monotonicity chain). This is the
+    * oracle-checkable face of the EM fit:
     * the pattern counts are engine-comparable SQL, and any EM regression
     * flips an assertion column. */
   def patternSummary(scored: DataFrame, comparisons: Seq[ComparisonColumn]): DataFrame = {
@@ -246,8 +288,11 @@ object FellegiSunter {
         else col(s"gamma_${cc.name}") === col(s"__l_${cc.name}")
       }.reduce(_ && _)
       d.join(lower, cond, "left_outer")
+        // the isotonic M-step makes monotonicity exact in real arithmetic;
+        // the 1e-9 slack only absorbs last-ulp rounding when pooled levels
+        // share a likelihood ratio but not identical m/u values
         .withColumn(s"monotone_${c.name}",
-          coalesce(col("__pmin") >= col("__plower"), lit(true)))
+          coalesce(col("__pmin") >= col("__plower") - lit(1e-9), lit(true)))
         .drop(comparisons.map(cc => s"__l_${cc.name}") :+ "__plower": _*)
     }
       .select(gcols ++ Seq(col("n_pairs"), col("prob_constant"), col("prob_in_unit")) ++

@@ -11,10 +11,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (HDFS/S3) checkpoint directory and survives executor loss — the
   * reference's `spark.sparkContext.setCheckpointDir` pattern
   * (`/root/reference/01_aml_network_analysis.py:122,145`).
+  *
+  * The checkpoint dir is process-global SparkContext state, so it is only
+  * set here when unset: concurrent operators passing *different* dirs would
+  * otherwise race on it mid-iteration. If a dir is already configured (by
+  * the session owner or an earlier operator) reliable checkpoints go there;
+  * callers that need a specific location must set it on the context
+  * themselves before running.
   */
 private[graft] final case class Checkpointer(
     spark: SparkSession, dir: Option[String]) {
-  dir.foreach(spark.sparkContext.setCheckpointDir)
+  dir.foreach { d =>
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(d)
+  }
   def apply(df: DataFrame): DataFrame =
     if (dir.isDefined) df.checkpoint() else df.localCheckpoint()
 }

@@ -24,8 +24,9 @@ object ConnectedComponents {
 
   def run(g: PropertyGraph, maxIter: Int = 25,
       assumeDistinctEdges: Boolean = false,
-      checkpointDir: Option[String] = None): DataFrame = {
-    val assign = runOnEdges(g.edges, maxIter, assumeDistinctEdges, checkpointDir)
+      checkpointDir: Option[String] = None,
+      strict: Boolean = false): DataFrame = {
+    val assign = runOnEdges(g.edges, maxIter, assumeDistinctEdges, checkpointDir, strict)
     g.vertices
       .join(assign, Seq("id"), "left_outer")
       .withColumn("component", coalesce(col("component"), col("id")))
@@ -38,10 +39,15 @@ object ConnectedComponents {
     * shuffle (the algorithm needs distinct edges for the convergence
     * fingerprint, not for correctness). Pass `checkpointDir` on a real
     * cluster for executor-loss-durable lineage truncation ([[Checkpointer]]).
+    * Pass `strict = true` to throw instead of warn when `maxIter` rounds did
+    * not converge — a split assignment is silently wrong, and callers that
+    * fold it into persistent state ([[IncrementalCC]], streaming sinks) must
+    * refuse it rather than corrupt every subsequent result.
     */
   def runOnEdges(edges: DataFrame, maxIter: Int = 25,
       assumeDistinctEdges: Boolean = false,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      strict: Boolean = false): DataFrame = {
     val ckpt = Checkpointer(edges.sparkSession, checkpointDir)
     val base = edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst"))
@@ -60,11 +66,14 @@ object ConnectedComponents {
       e = next
       iter += 1
     }
-    if (!converged)
+    if (!converged) {
       // partial assignments are silently wrong (one component, several ids)
-      // — surface it; callers that can tolerate it should raise maxIter
-      System.err.println(s"[graft] WARN ConnectedComponents did not converge " +
-        s"after $maxIter iterations — component ids may be split")
+      val msg = s"ConnectedComponents did not converge after $maxIter " +
+        "iterations — component ids may be split"
+      if (strict) throw new IllegalStateException(msg)
+      // non-strict callers that can tolerate it should raise maxIter
+      System.err.println(s"[graft] WARN $msg")
+    }
 
     // At convergence the edge set is a star per component, every edge
     // pointing (member -> minimum id). Roots map to themselves.

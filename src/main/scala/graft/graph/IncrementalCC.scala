@@ -61,8 +61,10 @@ object IncrementalCC {
 
     // 2. CC over the contracted representative graph only. Representatives
     //    are minima of their members, so min(representatives) = min(members).
+    //    strict: a non-converged (split) assignment folded into persistent
+    //    state would corrupt every subsequent batch — refuse it instead.
     val compMap = ConnectedComponents
-      .runOnEdges(contracted, checkpointDir = checkpointDir)
+      .runOnEdges(contracted, checkpointDir = checkpointDir, strict = true)
       .select(col("id").as("component"), col("component").as("newc"))
 
     // 3. New nodes enter with themselves as component; then one join remaps

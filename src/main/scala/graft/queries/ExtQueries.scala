@@ -69,30 +69,51 @@ object ExtQueries {
             WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.5
             ORDER BY id_l, id_r"""))
 
-  /** MinHash+LSH near-dup (16 perms, 4 bands), oracle-guarded: the LSH
-    * pipeline's verified pairs are full-outer-joined with the exact-Jaccard
-    * pairs, so the DuckDB oracle (the exact set + `found_by_lsh=TRUE,
-    * is_true_pair=TRUE`) catches BOTH a recall regression (a missed pair
-    * surfaces as `found_by_lsh=false`) and a false positive (an extra row
-    * with `is_true_pair=false`). The bucket structure itself is
-    * xxhash64-dependent (not reproducible in DuckDB) — this containment
-    * formulation is how a hash-dependent operator gets a full
-    * value-hash-checked CORRECTNESS row. */
+  /** MinHash+LSH near-dup (16 perms, 4 bands), oracle-checked on the
+    * *guaranteed* directions only (16 perms at 4 bands catches a
+    * jaccard-0.5 pair with probability ~23%, so pinning full recall would
+    * encode a property of one corpus, not of the operator):
+    *
+    *  - every identical-text pair (with ≥ n words, so it shingles) MUST be
+    *    found — identical shingle sets give identical signatures, identical
+    *    band hashes, a guaranteed bucket collision, and verification
+    *    jaccard 1;
+    *  - no reported pair may fall outside the exact-Jaccard ≥ 0.5 set, and
+    *    reported jaccard values must equal the exact pipeline's bit-for-bit
+    *    — candidate verification runs the same integer-count arithmetic.
+    *
+    * Both counts are genuinely computed in Spark; DuckDB reproduces the
+    * identical-pair and exact-pair counts and pins the provable zeros.
+    * Probabilistic recall on *near*- (not exact-) duplicates is reported in
+    * DedupSpec as data, with tolerance, not hash-gated. */
   private val q26 = QDef(
     "q26_minhash_lsh",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val exact = TextDedup.jaccardPairs(docs, "doc_id", "text", ShingleN, 0.5)
         .select(col("id_l"), col("id_r"), col("jaccard").as("j_exact"))
+        .localCheckpoint()
       val lsh = TextDedup.minhashLshPairs(docs, "doc_id", "text",
           ShingleN, numPerm = 16, bands = 4, threshold = 0.5)
         .select(col("id_l"), col("id_r"), col("jaccard").as("j_lsh"))
-      exact.join(lsh, Seq("id_l", "id_r"), "full_outer")
-        .select(col("id_l"), col("id_r"),
-          coalesce(col("j_exact"), col("j_lsh")).as("jaccard"),
-          col("j_lsh").isNotNull.as("found_by_lsh"),
-          col("j_exact").isNotNull.as("is_true_pair"))
-        .orderBy("id_l", "id_r")
+        .localCheckpoint()
+      // identical-text pairs long enough to shingle (< n words → no
+      // shingles → outside both pipelines by construction)
+      val d = docs.select(col("doc_id"), col("text"))
+        .filter(size(TextDedup.words(col("text"))) >= ShingleN)
+      val ed = d.as("x").join(d.as("y"),
+          col("x.text") === col("y.text") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_l"), col("y.doc_id").as("id_r"))
+      val a1 = exact.agg(count(lit(1)).as("n_exact_pairs"))
+      val a2 = ed.join(lsh, Seq("id_l", "id_r"), "left_semi")
+        .agg(count(lit(1)).as("n_exact_dup_pairs_found"))
+      val a3 = ed.join(lsh, Seq("id_l", "id_r"), "left_anti")
+        .agg(count(lit(1)).as("n_exact_dup_pairs_missed"))
+      val a4 = lsh.join(exact, Seq("id_l", "id_r"), "left_anti")
+        .agg(count(lit(1)).as("n_false_positive_pairs"))
+      val a5 = lsh.join(exact, Seq("id_l", "id_r"))
+        .agg(count(when(col("j_lsh") =!= col("j_exact"), 1)).as("n_jaccard_mismatches"))
+      a1.crossJoin(a2).crossJoin(a3).crossJoin(a4).crossJoin(a5)
     },
     Some("""WITH w AS (
               SELECT doc_id,
@@ -111,61 +132,58 @@ object ExtQueries {
             inter AS (
               SELECT x.doc_id AS id_l, y.doc_id AS id_r, count(*) AS common
               FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
-              GROUP BY 1, 2)
-            SELECT id_l, id_r,
-                   CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard,
-                   TRUE AS found_by_lsh, TRUE AS is_true_pair
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = id_l
-            JOIN sizes sb ON sb.doc_id = id_r
-            WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.5
-            ORDER BY id_l, id_r"""))
+              GROUP BY 1, 2),
+            ep AS (
+              SELECT id_l, id_r
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = id_l
+              JOIN sizes sb ON sb.doc_id = id_r
+              WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.5),
+            ed AS (
+              SELECT x.doc_id AS id_l, y.doc_id AS id_r
+              FROM documents x JOIN documents y
+                ON x.text = y.text AND x.doc_id < y.doc_id
+              WHERE len(string_split_regex(lower(x.text), '\s+')) >= 5)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM ep) AS n_exact_pairs,
+                   (SELECT CAST(count(*) AS BIGINT) FROM ed) AS n_exact_dup_pairs_found,
+                   CAST(0 AS BIGINT) AS n_exact_dup_pairs_missed,
+                   CAST(0 AS BIGINT) AS n_false_positive_pairs,
+                   CAST(0 AS BIGINT) AS n_jaccard_mismatches"""))
 
   /** SimHash near-dup (64-bit, pigeonhole chunk blocking, Hamming ≤ 6),
-    * oracle-checked via containment assertions (fingerprints are
+    * oracle-checked on the *provable* assertions only (fingerprints are
     * xxhash64-dependent, so DuckDB cannot enumerate the pair set): every
-    * identical-text pair MUST be found (identical text → identical
-    * fingerprint → Hamming 0; the found-count is genuinely computed on both
-    * engines), every exact 5-gram-Jaccard ≥ 0.5 pair must be within
-    * Hamming 6, and no reported pair may have unigram Jaccard < 0.2
-    * (a wildly-dissimilar pair would mean broken blocking or hashing). */
+    * identical-text pair MUST be found — identical text → identical
+    * fingerprint → Hamming 0, and 7-chunk pigeonhole blocking has recall 1
+    * at Hamming ≤ 6 by construction. Both the found and missed counts are
+    * genuinely computed in Spark; DuckDB reproduces the identical-pair
+    * count and pins the provable zero. The *empirical* correlations
+    * (5-gram-Jaccard ≥ 0.5 pairs landing within Hamming 6, reported pairs
+    * having non-trivial unigram overlap) hold on this corpus but are not
+    * operator guarantees — DedupSpec reports them with tolerances. */
   private val q27 = QDef(
     "q27_simhash",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      // the simhash pipeline is read by three assertions — truncate once
+      // the simhash pipeline is read by both assertions — truncate once
       val sim = TextDedup.simhashPairs(docs, "doc_id", "text", maxDist = 6)
         .localCheckpoint()
       val d = docs.select(col("doc_id"), col("text"))
       val ed = d.as("x").join(d.as("y"),
           col("x.text") === col("y.text") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("id_l"), col("y.doc_id").as("id_r"))
-      val jac05 = TextDedup.jaccardPairs(docs, "doc_id", "text", ShingleN, 0.5)
-        .select("id_l", "id_r")
-      val uni = docs.select(col("doc_id").as("id"),
-        array_distinct(TextDedup.words(col("text"))).as("w"))
-      val simJ = sim
-        .join(uni.select(col("id").as("id_l"), col("w").as("wl")), "id_l")
-        .join(uni.select(col("id").as("id_r"), col("w").as("wr")), "id_r")
-        .select((size(array_intersect(col("wl"), col("wr"))).cast("double") /
-          size(array_union(col("wl"), col("wr")))).as("j"))
       val a1 = ed.join(sim, Seq("id_l", "id_r"), "left_semi")
         .agg(count(lit(1)).as("n_exact_dup_pairs_found"))
       val a2 = ed.join(sim, Seq("id_l", "id_r"), "left_anti")
         .agg(count(lit(1)).as("n_exact_dup_pairs_missed"))
-      val a3 = jac05.join(sim, Seq("id_l", "id_r"), "left_anti")
-        .agg(count(lit(1)).as("n_jaccard05_pairs_missed"))
-      val a4 = simJ.agg(count(when(col("j") < 0.2, 1)).as("n_low_overlap_pairs"))
-      a1.crossJoin(a2).crossJoin(a3).crossJoin(a4)
+      a1.crossJoin(a2)
     },
     Some("""WITH ed AS (
               SELECT x.doc_id AS id_l, y.doc_id AS id_r
               FROM documents x JOIN documents y
                 ON x.text = y.text AND x.doc_id < y.doc_id)
             SELECT CAST(count(*) AS BIGINT) AS n_exact_dup_pairs_found,
-                   CAST(0 AS BIGINT) AS n_exact_dup_pairs_missed,
-                   CAST(0 AS BIGINT) AS n_jaccard05_pairs_missed,
-                   CAST(0 AS BIGINT) AS n_low_overlap_pairs
+                   CAST(0 AS BIGINT) AS n_exact_dup_pairs_missed
             FROM ed"""))
 
   // ---------- similarity search ----------

@@ -185,6 +185,29 @@ class FellegiSunterSpec extends SparkTestBase {
     }
   }
 
+  test("isotonic M-step: ratios ordered, masses and sums preserved, sorted input untouched") {
+    // violating input: level-1 ratio dips below level 0's
+    val m = Array(0.5, 0.1, 0.4)
+    val u = Array(0.2, 0.5, 0.3)
+    val (mi, ui) = FellegiSunter.isotonic(m, u)
+    assert(math.abs(mi.sum - m.sum) < 1e-12 && math.abs(ui.sum - u.sum) < 1e-12)
+    m.indices.foreach(i =>
+      assert(math.abs(mi(i) + ui(i) - (m(i) + u(i))) < 1e-12, "per-level mass"))
+    val ratios = mi.zip(ui).map { case (a, b) => a / b }
+    assert(ratios.sliding(2).forall(p => p.head <= p.last + 1e-12), ratios.toSeq.toString)
+    // already-ordered input passes through unchanged
+    val (m2, u2) = FellegiSunter.isotonic(Array(0.1, 0.9), Array(0.9, 0.1))
+    assert(m2.toSeq == Seq(0.1, 0.9) && u2.toSeq == Seq(0.9, 0.1))
+    // fitted params are ratio-ordered even on adversarial mid-level data:
+    // the fuzzy level here is pure noise relative to exact agreement
+    val (_, params) = EntityResolver.scoredComparisons(df, settings)
+    for (c <- settings.comparisons) {
+      val rs = params.m(c.name).zip(params.u(c.name)).map { case (a, b) => a / b }
+      assert(rs.sliding(2).forall(p => p.head <= p.last + 1e-9),
+        s"${c.name}: ${rs.toSeq}")
+    }
+  }
+
   test("patternSummary: SQL-comparable counts plus EM-law assertions all hold") {
     val (scored, _) = EntityResolver.scoredComparisons(df, settings)
     val summary = FellegiSunter.patternSummary(scored, settings.comparisons)

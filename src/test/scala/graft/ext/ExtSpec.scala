@@ -81,6 +81,41 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("empirical near-dup correlations hold with tolerance (demoted from the q26/q27 oracles)") {
+    // These were once zero-pinned oracle columns; they are properties of
+    // the measured corpora, not operator guarantees (MinHash at 16 perms /
+    // 4 bands catches a jaccard-0.5 pair with ~23% probability; pigeonhole
+    // guarantees recall w.r.t. Hamming distance, not Jaccard), so they are
+    // asserted here with tolerances and reported as data.
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = TextDedup.jaccardPairs(corpus, "doc_id", "text", 5, 0.5)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    val lsh = TextDedup.minhashLshPairs(corpus, "doc_id", "text", 5, 16, 4, 0.5)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "verification guarantees lsh ⊆ exact at the same threshold")
+    val sim = TextDedup.simhashPairs(corpus, "doc_id", "text", 6)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    if (exact.nonEmpty) {
+      val lshRecall = lsh.size.toDouble / exact.size
+      val simRecall = exact.count(sim.contains).toDouble / exact.size
+      info(f"minhash-lsh recall vs exact jaccard>=0.5: $lshRecall%.2f (${lsh.size}/${exact.size})")
+      info(f"simhash hamming<=6 recall vs exact jaccard>=0.5: $simRecall%.2f")
+      assert(lshRecall >= 0.5 && simRecall >= 0.5)
+    }
+    // reported simhash pairs overwhelmingly share non-trivial unigram overlap
+    if (sim.nonEmpty) {
+      val uni = corpus
+        .select(col("doc_id"), array_distinct(TextDedup.words(col("text"))).as("w"))
+        .as[(Long, Seq[String])].collect().toMap
+      val lowOverlap = sim.count { case (l, r) =>
+        val (a, b) = (uni(l).toSet, uni(r).toSet)
+        a.intersect(b).size.toDouble / a.union(b).size < 0.2
+      }
+      info(s"simhash pairs with unigram jaccard < 0.2: $lowOverlap/${sim.size}")
+      assert(lowOverlap.toDouble / sim.size <= 0.1)
+    }
+  }
+
   test("contamination: planted train/test overlap is found, clean and short docs are not") {
     val train = Seq(
       (10L, "alpha beta gamma delta epsilon zeta"),

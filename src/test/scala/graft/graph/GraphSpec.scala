@@ -125,6 +125,10 @@ class ConnectedComponentsSpec extends SparkTestBase {
 
   test("reliable-checkpoint mode matches the localCheckpoint default") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-cc").toString
+    // the checkpoint dir is process-global; Checkpointer only sets it when
+    // unset, so pin it explicitly (the documented contract for callers that
+    // need a specific location)
+    spark.sparkContext.setCheckpointDir(dir)
     val rnd = new scala.util.Random(11)
     val es = Seq.fill(2000)((rnd.nextInt(500).toLong, rnd.nextInt(500).toLong))
       .filter { case (a, b) => a != b }.toDF("src", "dst")
@@ -135,6 +139,16 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(reliable == local)
     // reliable mode actually wrote checkpoint data
     assert(new java.io.File(dir).listFiles().nonEmpty)
+  }
+
+  test("strict mode throws on non-convergence instead of returning a split assignment") {
+    val es = (1L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
+    val ex = intercept[IllegalStateException] {
+      ConnectedComponents.runOnEdges(es, maxIter = 0, strict = true).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // non-strict still returns (possibly split) assignments for tolerant callers
+    assert(ConnectedComponents.runOnEdges(es, maxIter = 0).count() == 40L)
   }
 }
 
@@ -158,6 +172,8 @@ class PregelSpec extends SparkTestBase {
 
   test("pregel reliable-checkpoint mode matches the localCheckpoint default") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-pregel").toString
+    // pin the process-global dir (Checkpointer sets it only when unset)
+    spark.sparkContext.setCheckpointDir(dir)
     val v = Seq((1L, 10L), (2L, 20L), (3L, 5L)).toDF("id", "risk")
     val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
     def run(p: Pregel) = p

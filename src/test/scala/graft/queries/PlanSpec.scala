@@ -16,9 +16,10 @@ class PlanSpec extends SparkTestBase {
 
   /** BNLJ is legitimate only where a deliberately-broadcast small side is
     * crossed with one corpus scan: the brute-force top-k query set (q28),
-    * IVF centroid scoring (q40), and q27's assembly of four single-row
+    * IVF centroid scoring (q40), and q26/q27's assembly of single-row
     * assertion aggregates. Everything else must equi-join. */
-  private val bnljWhitelist = Set("q28_cosine_topk", "q40_ann_ivf", "q27_simhash")
+  private val bnljWhitelist =
+    Set("q28_cosine_topk", "q40_ann_ivf", "q26_minhash_lsh", "q27_simhash")
 
   private lazy val plans: Map[String, String] =
     graft.SparkEntry.queries.map { case (name, fn) =>
