@@ -204,8 +204,14 @@ object TextDedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_l"), col("b.id").as("id_r"),
         bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
-      .dropDuplicates("id_l", "id_r")
+      // verify BEFORE the pair dedup: hamming is a function of the pair, so
+      // filtering first is semantically identical, but it shrinks the
+      // dropDuplicates shuffle from every bucket-join candidate (hot buckets
+      // on templated corpora make that the dominant cost) to true pairs only
+      // — Catalyst cannot push this itself because it can't see the
+      // functional dependency through dropDuplicates' arbitrary-row pick
       .filter(col("hamming") <= maxDist)
+      .dropDuplicates("id_l", "id_r")
   }
 
   /** Train→test contamination check (the GPT-3-style n-gram-overlap
