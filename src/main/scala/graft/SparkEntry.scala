@@ -11,7 +11,8 @@ object SparkEntry {
     graft.queries.RelationalQueries.all ++
       graft.queries.GraphQueries.all ++
       graft.queries.ErQueries.all ++
-      graft.queries.ExtQueries.all
+      graft.queries.ExtQueries.all ++
+      graft.queries.TrainPrepQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The matching-attribute-entities query (SURVEY.md §7.2, reference

@@ -1,12 +1,13 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for corpus curation: n-gram-free language ID
-  * (stopword voting), quality scoring, token counting, and a rolling-hash
-  * document fingerprint. Pure scalar/higher-order expressions — codegen'd,
-  * shuffle-free, and expressible in ANSI SQL for the DuckDB oracle.
+  * (stopword voting), quality scoring, token counting, a rolling-hash
+  * document fingerprint, and Gopher-style repetition metrics. The scalar
+  * operators are pure codegen'd shuffle-free expressions; everything is
+  * expressible in ANSI SQL for the DuckDB oracle.
   */
 object TextAnalysis {
 
@@ -65,4 +66,65 @@ object TextAnalysis {
       transform(tokens(text), w => (ascii(w) * 7 + length(w)).cast("long")),
       lit(0L),
       (acc, c) => (acc * 31 + c) % 1000000007L)
+
+  /** Gopher-style repetition metrics (Rae et al. 2021 §A1.1, public): the
+    * fraction of tokens taken by the most frequent word, by the most
+    * frequent bigram, and the fraction of 5-gram occurrences that are
+    * repeats — the standard "document is degenerate boilerplate" filters a
+    * corpus-curation pipeline applies before training.
+    *
+    * Scale shape: three per-document hash aggregations over exploded
+    * tokens/shingles (map-side partial aggregation applies; nothing is ever
+    * corpus-global), joined back on the document id. All ratios are
+    * integer/integer divisions — exact on any engine. Documents too short
+    * to form an n-gram get fraction 0. The `repetitious` flag applies
+    * Gopher's published thresholds (0.2 / 0.18 / 0.30). */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ids = df.select(col(idCol).as("id"))
+    def topFraction(n: Int, outTotal: String, outFrac: String): DataFrame =
+      TextDedup.shingleRowsAll(df, idCol, textCol, n)
+        .groupBy(col("id"), col("sh")).agg(count(lit(1)).as("tf"))
+        .groupBy(col("id"))
+        .agg(sum(col("tf")).as(outTotal), max(col("tf")).as("__top"))
+        .withColumn(outFrac, col("__top").cast("double") / col(outTotal))
+        .drop("__top")
+    val dup5 = TextDedup.shingleRowsAll(df, idCol, textCol, 5)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("__n5"), countDistinct(col("sh")).as("__d5"))
+      .withColumn("dup_5gram_fraction",
+        (col("__n5") - col("__d5")).cast("double") / col("__n5"))
+      .select(col("id"), col("dup_5gram_fraction"))
+    ids
+      .join(topFraction(1, "n_words", "top_word_fraction"), Seq("id"), "left_outer")
+      .join(topFraction(2, "n_bigrams", "top_bigram_fraction"), Seq("id"), "left_outer")
+      .join(dup5, Seq("id"), "left_outer")
+      .select(
+        col("id").as(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("top_word_fraction"), lit(0.0)).as("top_word_fraction"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("top_bigram_fraction"), lit(0.0)).as("top_bigram_fraction"),
+        coalesce(col("dup_5gram_fraction"), lit(0.0)).as("dup_5gram_fraction"))
+      .withColumn("repetitious",
+        col("top_word_fraction") > 0.2 ||
+          col("top_bigram_fraction") > 0.18 ||
+          col("dup_5gram_fraction") > 0.3)
+  }
+
+  /** Corpus-wide heavy-hitter n-grams: occurrence and document-frequency
+    * counts per n-gram, top `k` by occurrences (ties broken by the n-gram
+    * string — a total order, so `limit` is deterministic). One shuffle on
+    * the n-gram with map-side combine, then a top-k sort — the exact
+    * baseline a Misra–Gries/count-min sketch approximates at 100 TB. */
+  def heavyHitterNgrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(desc("n_occurrences"), asc("ngram"))
+    TextDedup.shingleRowsAll(df, idCol, textCol, n)
+      .groupBy(col("sh").as("ngram"))
+      .agg(count(lit(1)).as("n_occurrences"), countDistinct(col("id")).as("n_docs"))
+      .orderBy(desc("n_occurrences"), asc("ngram"))
+      .limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
 }

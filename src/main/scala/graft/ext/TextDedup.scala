@@ -30,22 +30,31 @@ object TextDedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Distinct shingles as rows (id, sh): posexplode words + window `lead`
-    * — fully codegen'd, unlike the higher-order-function [[shingles]]
-    * (HOFs are CodegenFallback). Same shingle strings; equivalence is
-    * asserted in DedupSpec. One shuffle (by id) + one dedup. */
-  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("id").orderBy("pos")
+  /** Every shingle occurrence as rows (id, sh) — multiplicity preserved,
+    * for repetition statistics: posexplode words + window `lead` — fully
+    * codegen'd, unlike the higher-order-function [[shingles]] (HOFs are
+    * CodegenFallback). One shuffle (by id). */
+  def shingleRowsAll(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, "shingle width must be >= 1")
     val toks = df.select(col(idCol).as("id"), posexplode(words(col(textCol))))
       .withColumnRenamed("col", "w")
-    val leads = (1 until n).map(k => lead(col("w"), k).over(w).as(s"w$k"))
-    toks.select(Seq(col("id"), col("w")) ++ leads: _*)
-      .filter(col(s"w${n - 1}").isNotNull)
-      .select(col("id"),
-        concat_ws(" ", Seq(col("w")) ++ (1 until n).map(k => col(s"w$k")): _*).as("sh"))
-      .distinct()
+    if (n == 1) toks.select(col("id"), col("w").as("sh"))
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("id").orderBy("pos")
+      val leads = (1 until n).map(k => lead(col("w"), k).over(w).as(s"w$k"))
+      toks.select(Seq(col("id"), col("w")) ++ leads: _*)
+        .filter(col(s"w${n - 1}").isNotNull)
+        .select(col("id"),
+          concat_ws(" ", Seq(col("w")) ++ (1 until n).map(k => col(s"w$k")): _*).as("sh"))
+    }
   }
+
+  /** Distinct shingles as rows (id, sh) — the dedup-pipeline form of
+    * [[shingleRowsAll]]; same shingle strings as [[shingles]] (equivalence
+    * asserted in DedupSpec). */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shingleRowsAll(df, idCol, textCol, n).distinct()
 
   /** Exact dedup: canonical id = min id over identical text. One window
     * (single shuffle on the text key); at scale, hash the text first so the

@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.QDef
+import graft.engine.Tables
+import graft.ext.{Packing, Sampling, TextAnalysis}
+
+/** Training-data preparation coverage (north-star extensions beyond the
+  * reference surface): deterministic splitting/sampling, token-budget
+  * sequence packing, Gopher-style repetition filtering, and corpus-wide
+  * heavy-hitter n-grams — the curation steps between a cleaned corpus and
+  * example serialization. All registered with full DuckDB oracles (the
+  * operators deliberately use the SQL-mirrorable [[Sampling.arithHash]];
+  * xxhash64 variants are spec-tested instead).
+  */
+object TrainPrepQueries {
+
+  /** q51: stable train/val/test assignment — 80/10/10 by hash bucket.
+    * Adding documents never moves existing ones between splits (the
+    * reproducibility property `randomSplit` cannot give). */
+  private val q51 = QDef(
+    "q51_hash_split",
+    (s, dir) => Sampling
+      .hashSplit(Tables.load(s, dir, "documents"), "doc_id", seed = 7)
+      .select(col("doc_id"), col("bucket"), col("split"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   ((doc_id % 1000003 + 7) * 2654435761) % 1000000007 % 100 AS bucket,
+                   CASE WHEN ((doc_id % 1000003 + 7) * 2654435761) % 1000000007 % 100 < 80 THEN 'train'
+                        WHEN ((doc_id % 1000003 + 7) * 2654435761) % 1000000007 % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents ORDER BY doc_id"""))
+
+  /** q52: token-budget sequence packing (500-token packs, 8 shards),
+    * reported as the per-pack summary. The running sum is windowed per
+    * shard — shard-parallel, never a global single-partition window. */
+  private val q52 = QDef(
+    "q52_seq_packing",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val packed = Packing.packByBudget(docs, "doc_id",
+        TextAnalysis.wordCount(col("text")), budget = 500L, nShards = 8)
+      Packing.packSummary(packed, "doc_id").orderBy("shard", "pack_id")
+    },
+    Some("""WITH t AS (
+              SELECT doc_id, doc_id % 8 AS shard,
+                     CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS tokens
+              FROM documents),
+            c AS (
+              SELECT *, sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t),
+            p AS (
+              SELECT *, shard * 1000000000 +
+                        CAST(floor((cum - tokens) / 500) AS BIGINT) AS pack_id
+              FROM c)
+            SELECT shard, pack_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(tokens) AS BIGINT) AS total_tokens,
+                   min(doc_id) AS first_id, max(doc_id) AS last_id
+            FROM p GROUP BY shard, pack_id ORDER BY shard, pack_id"""))
+
+  /** q53: Gopher repetition metrics per document (top-word, top-bigram and
+    * duplicate-5-gram fractions + the published-threshold flag). Integer
+    * ratio arithmetic — bit-identical across engines. */
+  private val q53 = QDef(
+    "q53_repetition",
+    (s, dir) => TextAnalysis
+      .repetitionMetrics(Tables.load(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""WITH w AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '\s+')) AS w,
+                     generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS pos
+              FROM documents),
+            u1 AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+            ua AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                          CAST(max(c) AS DOUBLE) / sum(c) AS top_word_fraction
+                   FROM u1 GROUP BY doc_id),
+            b0 AS (SELECT a.doc_id, a.w || ' ' || b.w AS sh
+                   FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+            b1 AS (SELECT doc_id, sh, count(*) AS c FROM b0 GROUP BY doc_id, sh),
+            ba AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                          CAST(max(c) AS DOUBLE) / sum(c) AS top_bigram_fraction
+                   FROM b1 GROUP BY doc_id),
+            s0 AS (SELECT a.doc_id,
+                          a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w || ' ' || e.w AS sh
+                   FROM w a
+                   JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                   JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+                   JOIN w d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
+                   JOIN w e ON e.doc_id = a.doc_id AND e.pos = a.pos + 4),
+            sa AS (SELECT doc_id,
+                          CAST(count(*) - count(DISTINCT sh) AS DOUBLE) / count(*)
+                            AS dup_5gram_fraction
+                   FROM s0 GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(ua.n_words, 0) AS n_words,
+                   coalesce(ua.top_word_fraction, 0.0) AS top_word_fraction,
+                   coalesce(ba.n_bigrams, 0) AS n_bigrams,
+                   coalesce(ba.top_bigram_fraction, 0.0) AS top_bigram_fraction,
+                   coalesce(sa.dup_5gram_fraction, 0.0) AS dup_5gram_fraction,
+                   coalesce(ua.top_word_fraction, 0.0) > 0.2
+                     OR coalesce(ba.top_bigram_fraction, 0.0) > 0.18
+                     OR coalesce(sa.dup_5gram_fraction, 0.0) > 0.3 AS repetitious
+            FROM documents d
+            LEFT JOIN ua ON d.doc_id = ua.doc_id
+            LEFT JOIN ba ON d.doc_id = ba.doc_id
+            LEFT JOIN sa ON d.doc_id = sa.doc_id
+            ORDER BY d.doc_id"""))
+
+  /** q54: corpus-wide top-20 bigrams with occurrence + document-frequency
+    * counts — the exact heavy-hitter baseline (total tie-break order makes
+    * the limit deterministic). */
+  private val q54 = QDef(
+    "q54_heavy_ngrams",
+    (s, dir) => TextAnalysis
+      .heavyHitterNgrams(Tables.load(s, dir, "documents"), "doc_id", "text",
+        n = 2, k = 20)
+      .orderBy("rank"),
+    Some("""WITH w AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '\s+')) AS w,
+                     generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS pos
+              FROM documents),
+            b AS (SELECT a.doc_id, a.w || ' ' || b.w AS sh
+                  FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+            g AS (SELECT sh AS ngram,
+                         CAST(count(*) AS BIGINT) AS n_occurrences,
+                         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+                  FROM b GROUP BY sh),
+            r AS (SELECT *, row_number() OVER (ORDER BY n_occurrences DESC, ngram)
+                         AS rank
+                  FROM g)
+            SELECT ngram, n_occurrences, n_docs, CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 20 ORDER BY rank"""))
+
+  /** q55: deterministic stratified sampling by language — per-stratum keep
+    * quotas applied by hash bucket, `sampleBy` semantics with zero RNG. */
+  private val q55 = QDef(
+    "q55_stratified_sample",
+    (s, dir) => Sampling
+      .stratifiedSample(Tables.load(s, dir, "documents"), "doc_id", "lang",
+        quotas = Map("en" -> 60, "es" -> 30, "fr" -> 15, "de" -> 5, "zh" -> 25),
+        seed = 11)
+      .select(col("doc_id"), col("lang"),
+        pmod(Sampling.arithHash(col("doc_id"), 11), lit(100L)).as("bucket"))
+      .orderBy("doc_id"),
+    Some("""WITH b AS (
+              SELECT doc_id, lang,
+                     ((doc_id % 1000003 + 11) * 2654435761) % 1000000007 % 100 AS bucket
+              FROM documents)
+            SELECT doc_id, lang, bucket
+            FROM b
+            WHERE bucket < CASE lang WHEN 'en' THEN 60 WHEN 'es' THEN 30
+                                     WHEN 'fr' THEN 15 WHEN 'de' THEN 5
+                                     WHEN 'zh' THEN 25 ELSE 0 END
+            ORDER BY doc_id"""))
+
+  val all: Seq[QDef] = Seq(q51, q52, q53, q54, q55)
+}

@@ -1,0 +1,127 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class SamplingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("hashSplit: boundaries respected, stable per id, independent of cohort") {
+    val a = (1L to 400L).toDF("id")
+    val split = Sampling.hashSplit(a, "id", seed = 7)
+      .select("id", "bucket", "split").as[(Long, Long, String)].collect()
+    split.foreach { case (_, b, s) =>
+      val expect = if (b < 80) "train" else if (b < 90) "val" else "test"
+      assert(s == expect, s"bucket $b -> $s")
+    }
+    assert(split.map(_._3).toSet == Set("train", "val", "test"))
+    // the same id keeps its split in a different cohort (growing the corpus
+    // never reassigns existing rows — the non-randomSplit property)
+    val sub = Sampling.hashSplit((1L to 50L).toDF("id"), "id", seed = 7)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val full = split.map(t => t._1 -> t._3).toMap
+    sub.foreach { case (id, s) => assert(full(id) == s) }
+  }
+
+  test("hashSplit: xxhash64 variant lands near the requested fractions") {
+    val ids = (1L to 5000L).toDF("id")
+    val frac = Sampling.hashSplit(ids, "id", seed = 3, hash = Sampling.xxHash)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+      .view.mapValues(_.toDouble / 5000).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.05, frac.toString)
+    assert(math.abs(frac("val") - 0.1) < 0.03, frac.toString)
+    assert(math.abs(frac("test") - 0.1) < 0.03, frac.toString)
+  }
+
+  test("hashSplit rejects non-cumulative boundaries") {
+    val ids = (1L to 5L).toDF("id")
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(ids, "id", 1, boundaries = Seq("a" -> 90, "b" -> 80))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(ids, "id", 1, boundaries = Seq("a" -> 50))
+    }
+  }
+
+  test("stratifiedSample keeps only bucket<quota rows and drops unknown strata") {
+    val d = (1L to 300L).map(i => (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "xx"))
+      .toDF("id", "lang")
+    val kept = Sampling.stratifiedSample(d, "id", "lang",
+        Map("en" -> 100, "de" -> 0), seed = 5)
+      .select("id", "lang").as[(Long, String)].collect()
+    assert(kept.forall(_._2 == "en"), "de has quota 0 and xx is unlisted")
+    assert(kept.length == 100, "en quota 100/100 keeps every en row")
+  }
+}
+
+class PackingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("single-shard packing matches the hand-computed greedy fold") {
+    val d = Seq((0L, 4L), (1L, 5L), (2L, 3L), (3L, 9L), (4L, 2L), (5L, 8L))
+      .toDF("id", "tok")
+    val got = Packing.packByBudget(d, "id", col("tok"), budget = 10L, nShards = 1)
+      .select("id", "pack_id", "cum_tokens").as[(Long, Long, Long)].collect()
+      .sortBy(_._1)
+    // cum: 4,9,12,21,23,31 -> pack index floor(pre/10): 0,0,0,1,2,2
+    assert(got.map(_._2).toSeq == Seq(0L, 0L, 0L, 1L, 2L, 2L))
+    assert(got.map(_._3).toSeq == Seq(4L, 9L, 12L, 21L, 23L, 31L))
+    val packs = Packing.packSummary(
+        Packing.packByBudget(d, "id", col("tok"), 10L, 1), "id")
+      .select("pack_id", "n_docs", "total_tokens").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(packs.toSeq == Seq((0L, 3L, 12L), (1L, 1L, 9L), (2L, 2L, 10L)))
+  }
+
+  test("packs overflow by at most one document and ids are disjoint across shards") {
+    val d = (0L until 500L).map(i => (i, 1L + i % 40)).toDF("id", "tok")
+    val packed = Packing.packByBudget(d, "id", col("tok"), budget = 100L, nShards = 4)
+    val maxTok = 40L
+    val bad = Packing.packSummary(packed, "id")
+      .filter(col("total_tokens") > lit(100L + maxTok)).count()
+    assert(bad == 0, "a pack may only overflow by the crossing document")
+    val shardsPerPack = packed.groupBy("pack_id")
+      .agg(countDistinct("shard").as("s")).filter(col("s") > 1).count()
+    assert(shardsPerPack == 0, "pack ids must never collide across shards")
+  }
+}
+
+class RepetitionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("repetition metrics match hand computation and flag degenerate docs") {
+    val d = Seq(
+      (1L, "a a a a b"),                           // degenerate
+      (2L, "the quick brown fox jumps over dogs"), // clean
+      (3L, "x")                                    // too short for n-grams
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionMetrics(d, "doc_id", "text")
+      .as[(Long, Long, Double, Long, Double, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    // doc 1: 5 words, top word a=4 -> 0.8; bigrams: "a a"x3,"a b"x1 -> 0.75;
+    // one 5-gram, distinct -> dup 0.0; flagged
+    assert(got(1L) == ((1L, 5L, 0.8, 4L, 0.75, 0.0, true)))
+    // doc 2: all words distinct -> minimal fractions, not flagged
+    val c = got(2L)
+    assert(c._3 == 1.0 / 7 && c._5 == 1.0 / 6 && c._6 == 0.0 && !c._7)
+    // doc 3: a single word IS 100% of tokens (flagged, Gopher semantics);
+    // no bigrams/5-grams -> zero fractions
+    assert(got(3L) == ((3L, 1L, 1.0, 0L, 0.0, 0.0, true)))
+  }
+
+  test("heavy-hitter ngrams rank by count with deterministic tie-break") {
+    val d = Seq(
+      (1L, "to be or not to be"),
+      (2L, "to be is to do"),
+      (3L, "do be do be do")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.heavyHitterNgrams(d, "doc_id", "text", n = 2, k = 3)
+      .select("ngram", "n_occurrences", "n_docs", "rank")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._4)
+    // "to be" x3 (docs 1,2); "do be" x2 (doc 3); "be do" x2 (doc 3) —
+    // ties broken by ngram string ascending
+    assert(got.toSeq == Seq(
+      ("to be", 3L, 2L, 1L), ("be do", 2L, 1L, 2L), ("do be", 2L, 1L, 3L)))
+  }
+}
