@@ -59,57 +59,91 @@ object Motif {
     def eStruct(name: String): DataFrame =
       g.edges.select(struct(eCols.map(col): _*).as(name))
 
-    var anonId = 0
+    var anonId = 0 // shared across bushy halves so anonymous names never collide
     def fresh(prefix: String): String = { anonId += 1; s"__${prefix}_$anonId" }
 
-    var bound = Set.empty[String] // names materialized as struct columns
-    var df: DataFrame = null
+    val positive = terms.filterNot(_.negated)
     // user-visible output order = first appearance in the pattern (a, e, b, …)
-    val order: Seq[String] = terms.filterNot(_.negated).flatMap {
+    val order: Seq[String] = positive.flatMap {
       case Term(_, a, None, _) => a.toSeq
       case Term(_, a, Some(e), b) => a.toSeq ++ e.toSeq ++ b.toSeq
     }.distinct
 
-    def remember(name: String): Unit = bound += name
-
-    // Join a vertex struct for `name` constrained to endpoint `edgeName.ep`,
-    // or add the equality predicate if `name` is already bound.
-    def bindEndpoint(nameOpt: Option[String], edgeName: String, ep: String): Unit =
-      nameOpt match {
-        case None => () // anonymous endpoint: no struct, no constraint
-        case Some(name) if bound(name) =>
-          df = df.filter(col(s"$edgeName.$ep") === col(s"$name.id"))
-        case Some(name) =>
-          df = df.join(vStruct(name), col(s"$name.id") === col(s"$edgeName.$ep"))
-          remember(name)
-      }
-
-    terms.filterNot(_.negated).foreach {
-      case Term(_, srcOpt, None, _) =>
-        // bare vertex term "(a)": bind unconstrained (cartesian with the rest)
-        srcOpt.foreach { name =>
-          if (!bound(name)) {
-            df = if (df == null) vStruct(name) else df.crossJoin(vStruct(name))
+    /** Compile a term run into a left-deep equi-join chain; returns the
+      * DataFrame plus the set of names bound as struct columns. */
+    def compile(run: Seq[Term], preBound: Set[String]): (DataFrame, Set[String]) = {
+      var bound = preBound
+      var df: DataFrame = null
+      def remember(name: String): Unit = bound += name
+      // Join a vertex struct for `name` constrained to endpoint
+      // `edgeName.ep`, or add the equality predicate if already bound.
+      def bindEndpoint(nameOpt: Option[String], edgeName: String, ep: String): Unit =
+        nameOpt match {
+          case None => () // anonymous endpoint: no struct, no constraint
+          case Some(name) if bound(name) =>
+            df = df.filter(col(s"$edgeName.$ep") === col(s"$name.id"))
+          case Some(name) =>
+            df = df.join(vStruct(name), col(s"$name.id") === col(s"$edgeName.$ep"))
             remember(name)
-          }
         }
-      case Term(_, srcOpt, Some(edgeOpt), dstOpt) =>
-        val eName = edgeOpt.getOrElse(fresh("e"))
-        require(!bound(eName), s"edge name '$eName' used more than once")
-        val ePart = eStruct(eName)
-        // equi-join predicates available from already-bound vertices
-        val conds = Seq(
-          srcOpt.filter(bound).map(a => col(s"$eName.src") === col(s"$a.id")),
-          dstOpt.filter(bound).map(b => col(s"$eName.dst") === col(s"$b.id"))
-        ).flatten
-        df =
-          if (df == null) ePart
-          else if (conds.isEmpty) df.crossJoin(ePart)
-          else df.join(ePart, conds.reduce(_ && _))
-        remember(eName)
-        bindEndpoint(srcOpt, eName, "src")
-        bindEndpoint(dstOpt, eName, "dst")
+      run.foreach {
+        case Term(_, srcOpt, None, _) =>
+          // bare vertex term "(a)": bind unconstrained (cartesian with the rest)
+          srcOpt.foreach { name =>
+            if (!bound(name)) {
+              df = if (df == null) vStruct(name) else df.crossJoin(vStruct(name))
+              remember(name)
+            }
+          }
+        case Term(_, srcOpt, Some(edgeOpt), dstOpt) =>
+          val eName = edgeOpt.getOrElse(fresh("e"))
+          require(!bound(eName), s"edge name '$eName' used more than once")
+          val ePart = eStruct(eName)
+          // equi-join predicates available from already-bound vertices
+          val conds = Seq(
+            srcOpt.filter(bound).map(a => col(s"$eName.src") === col(s"$a.id")),
+            dstOpt.filter(bound).map(b => col(s"$eName.dst") === col(s"$b.id"))
+          ).flatten
+          df =
+            if (df == null) ePart
+            else if (conds.isEmpty) df.crossJoin(ePart)
+            else df.join(ePart, conds.reduce(_ && _))
+          remember(eName)
+          bindEndpoint(srcOpt, eName, "src")
+          bindEndpoint(dstOpt, eName, "dst")
+      }
+      (df, bound)
     }
+
+    // Bushy split for long cycles: a k-edge cycle compiled left-deep builds a
+    // (k-1)-path intermediate, which grows with the k-1 power of the average
+    // degree; compiling the two halves independently and joining them on
+    // their ≥ 2 shared vertices keeps the largest intermediate at a
+    // ⌈k/2⌉-path (2× wall clock on the 4-cycle q45 at sf0.1). Applied only
+    // when it cannot make plans worse: every term must be an edge term, each
+    // half must be internally chain-connected (no new cross joins), and the
+    // halves must share at least two vertices (with one shared vertex —
+    // plain paths — bushy ≈ left-deep, so keep the simpler plan).
+    def termVars(t: Term): Set[String] = (t.src.toSeq ++ t.dst.toSeq).toSet
+    def chainConnected(ts: Seq[Term]): Boolean =
+      ts.drop(1).scanLeft(termVars(ts.head)) { (seen, t) => seen ++ termVars(t) }
+        .zip(ts.drop(1))
+        .forall { case (seen, t) => termVars(t).intersect(seen).nonEmpty }
+    val bushy = positive.length >= 4 && positive.forall(_.edge.isDefined) && {
+      val (h1, h2) = positive.splitAt(positive.length / 2)
+      chainConnected(h1) && chainConnected(h2) &&
+        h1.flatMap(termVars).toSet.intersect(h2.flatMap(termVars).toSet).size >= 2
+    }
+
+    var (df, bound) = if (bushy) {
+      val (h1, h2) = positive.splitAt(positive.length / 2)
+      val (d1, b1) = compile(h1, Set.empty)
+      val (d2, b2) = compile(h2, Set.empty)
+      val shared = b1.intersect(b2).toSeq.sorted // vertices only: edge names are unique
+      val d2r = shared.foldLeft(d2)((d, v) => d.withColumnRenamed(v, s"__bushy_$v"))
+      val cond = shared.map(v => col(s"$v.id") === col(s"__bushy_$v.id")).reduce(_ && _)
+      (d1.join(d2r, cond).drop(shared.map(v => s"__bushy_$v"): _*), b1 ++ b2)
+    } else compile(positive, Set.empty)
 
     // Negated terms: anti-join against the edge table on the bound endpoints.
     terms.filter(_.negated).foreach { t =>

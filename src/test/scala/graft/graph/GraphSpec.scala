@@ -73,6 +73,37 @@ class MotifSpec extends SparkTestBase {
     val out = g.find("(a)-[e1]->(b); (c)-[e2]->(d)")
     assert(out.count() == 16) // 4 edges x 4 edges, GraphFrames semantics
   }
+
+  test("4-cycle (bushy-compiled) matches the brute-force enumeration") {
+    // 6 vertices, a planted 4-cycle 1->2->3->4->1 plus chords and a second
+    // cycle 1->3->5->6->1; >=4 edge terms with 2 shared half-vertices takes
+    // the bushy two-half plan — results must be identical to brute force
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L),
+      (1L, 3L), (3L, 5L), (5L, 6L), (6L, 1L), (2L, 5L))
+    val gg = PropertyGraph(
+      (1L to 6L).map(i => (i, s"v$i")).toDF("id", "name"),
+      edges.toDF("src", "dst"))
+    val got = gg.find("(a)-[e1]->(b); (b)-[e2]->(c); (c)-[e3]->(d); (d)-[e4]->(a)")
+      .select(col("a.id"), col("b.id"), col("c.id"), col("d.id"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val es = edges.toSet
+    val brute = (for {
+      (a, b) <- edges; (b2, c) <- edges if b2 == b
+      (c2, d) <- edges if c2 == c
+      if es((d, a))
+    } yield (a, b, c, d)).toSet
+    assert(got == brute)
+    assert(brute.contains((1L, 2L, 3L, 4L)) && brute.contains((1L, 3L, 5L, 6L)))
+  }
+
+  test("4-term non-cycle chain stays correct (single shared vertex, left-deep)") {
+    val gg = PropertyGraph(
+      (1L to 5L).map(i => (i, s"v$i")).toDF("id", "name"),
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst"))
+    val paths = gg.find("(a)-[e1]->(b); (b)-[e2]->(c); (c)-[e3]->(d); (d)-[e4]->(f)")
+      .select(col("a.id"), col("f.id")).as[(Long, Long)].collect().toSeq
+    assert(paths == Seq((1L, 5L)))
+  }
 }
 
 class ConnectedComponentsSpec extends SparkTestBase {
