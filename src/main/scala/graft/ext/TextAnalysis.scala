@@ -111,6 +111,24 @@ object TextAnalysis {
           col("dup_5gram_fraction") > 0.3)
   }
 
+  /** Conservative PII patterns shared by the redaction operator and its
+    * oracle — the syntax subset (character classes, bounded repeats, \b)
+    * that Java regex and RE2 interpret identically, so redaction is
+    * bit-reproducible across engines. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\+?[0-9][0-9 -]{7,}[0-9]"
+
+  /** PII redaction (emails, then IPv4s, then phone-like digit runs — the
+    * order matters: an email's local part may contain digits) — the
+    * scrubbing pass a corpus runs before training. Pure codegen'd
+    * regexp_replace chain: shuffle-free, linear, pushdown-friendly. */
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, Ipv4Re, "<IP>")
+    regexp_replace(noIp, PhoneRe, "<PHONE>")
+  }
+
   /** Corpus-wide heavy-hitter n-grams: occurrence and document-frequency
     * counts per n-gram, top `k` by occurrences (ties broken by the n-gram
     * string — a total order, so `limit` is deterministic). One shuffle on

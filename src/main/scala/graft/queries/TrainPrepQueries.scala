@@ -158,5 +158,47 @@ object TrainPrepQueries {
                                      WHEN 'zh' THEN 25 ELSE 0 END
             ORDER BY doc_id"""))
 
-  val all: Seq[QDef] = Seq(q51, q52, q53, q54, q55)
+  /** q56: PII redaction over documents with deterministically planted PII
+    * (the corpus itself is synthetic and PII-free, so emails/phones/IPs are
+    * appended as functions of the doc id — both engines build and then
+    * scrub the identical string; the shared regex subset guarantees
+    * bit-identical redaction). */
+  private val q56 = QDef(
+    "q56_pii_redaction",
+    (s, dir) => {
+      val planted = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(
+            substring(col("text"), 1, 40),
+            lit(" contact u"), col("doc_id"), lit("@mail-"), col("doc_id"),
+            lit(".example.com or call +1 555 010"), col("doc_id"),
+            lit(" from 10.0."), pmod(col("doc_id"), lit(256L)), lit(".7 today"))
+            .as("dirty"))
+      planted.select(
+          col("doc_id"),
+          TextAnalysis.redactPii(col("dirty")).as("redacted"),
+          regexp_count(col("dirty"), lit(TextAnalysis.EmailRe)).cast("long").as("n_emails"),
+          regexp_count(col("dirty"), lit(TextAnalysis.Ipv4Re)).cast("long").as("n_ips"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH p AS (
+              SELECT doc_id,
+                     substring(text, 1, 40) || ' contact u' || doc_id || '@mail-'
+                       || doc_id || '.example.com or call +1 555 010' || doc_id
+                       || ' from 10.0.' || (doc_id % 256) || '.7 today' AS dirty
+              FROM documents)
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(dirty,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+                     '\+?[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g') AS redacted,
+                   CAST(len(regexp_extract_all(dirty,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(dirty,
+                     '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips
+            FROM p ORDER BY doc_id"""))
+
+  val all: Seq[QDef] = Seq(q51, q52, q53, q54, q55, q56)
 }

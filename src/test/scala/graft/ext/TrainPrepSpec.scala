@@ -110,6 +110,21 @@ class RepetitionSpec extends SparkTestBase {
     assert(got(3L) == ((3L, 1L, 1.0, 0L, 0.0, 0.0, true)))
   }
 
+  test("PII redaction scrubs emails, IPs and phone runs, leaves clean text alone") {
+    val d = Seq(
+      (1L, "write to jane.doe+x@sub.example.org or bob@ex.io today"),
+      (2L, "server 192.168.0.1 answered, backup at 10.0.255.7"),
+      (3L, "call +1 555 010 9922 or 555-010-9923 now"),
+      (4L, "no pii here, just words and the number 7")
+    ).toDF("id", "text")
+    val got = d.select(col("id"), TextAnalysis.redactPii(col("text")).as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "write to <EMAIL> or <EMAIL> today")
+    assert(got(2L) == "server <IP> answered, backup at <IP>")
+    assert(got(3L) == "call <PHONE> or <PHONE> now")
+    assert(got(4L) == "no pii here, just words and the number 7")
+  }
+
   test("heavy-hitter ngrams rank by count with deterministic tie-break") {
     val d = Seq(
       (1L, "to be or not to be"),
