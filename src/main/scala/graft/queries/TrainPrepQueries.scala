@@ -200,5 +200,101 @@ object TrainPrepQueries {
                      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips
             FROM p ORDER BY doc_id"""))
 
-  val all: Seq[QDef] = Seq(q51, q52, q53, q54, q55, q56)
+  /** q57: the end-to-end curation pipeline (the Dolma/FineWeb shape):
+    * language ID → quality score → repetition filter → exact dedup →
+    * stable split, reported as corpus accounting per (split, language,
+    * kept) with document and token totals — the summary a data team reads
+    * before a training run. Every stage is an already-oracle-checked
+    * operator (q31/q32/q53/q24/q51); this query proves they compose in one
+    * plan: per-doc aggregations and one text-keyed window, no corpus-global
+    * step anywhere. */
+  private val q57 = QDef(
+    "q57_curation_pipeline",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val base = Sampling.hashSplit(docs, "doc_id", seed = 7)
+        .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .withColumn("tokens", TextAnalysis.wordCount(col("text")))
+      val dup = graft.ext.TextDedup.exactCanonical(docs, "doc_id", "text")
+        .select(col("doc_id"), col("is_duplicate"))
+      val rep = TextAnalysis.repetitionMetrics(docs, "doc_id", "text")
+        .select(col("doc_id"), col("repetitious"))
+      base.join(dup, "doc_id").join(rep, "doc_id")
+        .withColumn("kept",
+          !col("is_duplicate") && !col("repetitious") &&
+            col("quality") >= 0.5 && col("lang_pred") =!= "und")
+        .groupBy(col("split"), col("lang_pred"), col("kept"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("n_tokens"))
+        .orderBy("split", "lang_pred", "kept")
+    },
+    Some(s"""WITH w AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '\\s+')) AS w,
+                     generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS pos
+              FROM documents),
+            sc AS (
+              SELECT doc_id,
+                     count(CASE WHEN w IN ('the','a','of','and','to','in','is') THEN 1 END) AS en,
+                     count(CASE WHEN w IN ('el','la','de','y','que','en') THEN 1 END) AS es,
+                     count(CASE WHEN w IN ('le','la','de','et','les','des') THEN 1 END) AS fr,
+                     count(CASE WHEN w IN ('der','die','das','und','ist','von') THEN 1 END) AS de
+              FROM w GROUP BY doc_id),
+            lp AS (
+              SELECT doc_id,
+                     CASE WHEN greatest(en, es, fr, de) = 0 THEN 'und'
+                          WHEN en = greatest(en, es, fr, de) THEN 'en'
+                          WHEN es = greatest(en, es, fr, de) THEN 'es'
+                          WHEN fr = greatest(en, es, fr, de) THEN 'fr'
+                          ELSE 'de' END AS lang_pred
+              FROM sc),
+            u1 AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+            ua AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS twf FROM u1 GROUP BY doc_id),
+            b0 AS (SELECT a.doc_id, a.w || ' ' || b.w AS sh
+                   FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+            b1 AS (SELECT doc_id, sh, count(*) AS c FROM b0 GROUP BY doc_id, sh),
+            ba AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS tbf FROM b1 GROUP BY doc_id),
+            s0 AS (SELECT a.doc_id,
+                          a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w || ' ' || e.w AS sh
+                   FROM w a
+                   JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                   JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+                   JOIN w d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
+                   JOIN w e ON e.doc_id = a.doc_id AND e.pos = a.pos + 4),
+            sa AS (SELECT doc_id,
+                          CAST(count(*) - count(DISTINCT sh) AS DOUBLE) / count(*) AS d5f
+                   FROM s0 GROUP BY doc_id),
+            per AS (
+              SELECT d.doc_id,
+                     ((d.doc_id % 1000003 + 7) * 2654435761) % 1000000007 % 100 AS bucket,
+                     length(d.text) AS n_chars,
+                     CAST(len(string_split_regex(lower(d.text), '\\s+')) AS BIGINT) AS tokens,
+                     CAST(len(list_distinct(string_split_regex(lower(d.text), '\\s+'))) AS DOUBLE)
+                       / len(string_split_regex(lower(d.text), '\\s+')) AS distinct_ratio,
+                     d.doc_id <> min(d.doc_id) OVER (PARTITION BY d.text) AS is_duplicate,
+                     lp.lang_pred,
+                     coalesce(ua.twf, 0.0) > 0.2 OR coalesce(ba.tbf, 0.0) > 0.18
+                       OR coalesce(sa.d5f, 0.0) > 0.3 AS repetitious
+              FROM documents d
+              JOIN lp ON d.doc_id = lp.doc_id
+              LEFT JOIN ua ON d.doc_id = ua.doc_id
+              LEFT JOIN ba ON d.doc_id = ba.doc_id
+              LEFT JOIN sa ON d.doc_id = sa.doc_id),
+            fin AS (
+              SELECT CASE WHEN bucket < 80 THEN 'train'
+                          WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+                     lang_pred,
+                     NOT is_duplicate AND NOT repetitious
+                       AND least(CAST(n_chars AS DOUBLE) / 400.0, 1.0) * 0.5
+                           + distinct_ratio * 0.5 >= 0.5
+                       AND lang_pred <> 'und' AS kept,
+                     tokens
+              FROM per)
+            SELECT split, lang_pred, kept,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(tokens) AS BIGINT) AS n_tokens
+            FROM fin GROUP BY split, lang_pred, kept
+            ORDER BY split, lang_pred, kept"""))
+
+  val all: Seq[QDef] = Seq(q51, q52, q53, q54, q55, q56, q57)
 }

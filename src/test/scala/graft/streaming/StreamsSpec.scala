@@ -206,4 +206,35 @@ class StreamsSpec extends SparkTestBase {
       assert(spark.table("sessions").count() >= 2)
     } finally sq.stop()
   }
+
+  test("stateless curation operators run unchanged on a stream") {
+    // hashSplit / redactPii / langId are pure projections, so the SAME
+    // operator code curates a live document stream (the batch/stream parity
+    // Structured Streaming promises for stateless plans) — documents arrive,
+    // get split + scrubbed + language-tagged per micro-batch
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val curated = graft.ext.Sampling
+      .hashSplit(mem.toDF().toDF("doc_id", "text"), "doc_id", seed = 7)
+      .withColumn("clean", graft.ext.TextAnalysis.redactPii(col("text")))
+      .withColumn("lang", graft.ext.TextAnalysis.langId(col("text")))
+      .select("doc_id", "split", "clean", "lang")
+    val sq = curated.writeStream.format("memory").queryName("curated")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "the cat of a dog is here mail me a@b.io"),
+        (2L, "el perro y la casa de que"))
+      sq.processAllAvailable()
+      val got = spark.table("curated")
+        .as[(Long, String, String, String)].collect().sortBy(_._1)
+      assert(got.length == 2)
+      assert(got(0)._3.endsWith("mail me <EMAIL>") && got(0)._4 == "en")
+      assert(got(1)._4 == "es")
+      // streamed split equals the batch split for the same ids (stability)
+      val batchSplit = graft.ext.Sampling
+        .hashSplit(Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text"), "doc_id", seed = 7)
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+      got.foreach(r => assert(r._2 == batchSplit(r._1)))
+    } finally sq.stop()
+  }
 }
