@@ -94,6 +94,18 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       .select(col("id"), col("pagerank"))
   }
 
+  /** Community detection via synchronous label propagation (GraphFrames
+    * `labelPropagation` surface, smallest-label tie-break). See
+    * [[LabelPropagation]]. */
+  def labelPropagation(maxIter: Int): DataFrame =
+    LabelPropagation.run(this, maxIter)
+
+  /** Directed BFS between vertex sets (GraphFrames `bfs` surface,
+    * relational minimal-hops output). See [[Bfs]]. */
+  def bfs(fromCond: org.apache.spark.sql.Column,
+      toCond: org.apache.spark.sql.Column, maxHops: Int): DataFrame =
+    Bfs.run(this, fromCond, toCond, maxHops)
+
   /** Keep only vertices satisfying `cond`, dropping edges touching removed
     * vertices (the reference's degree-1 shrink keeps the subgraph valid,
     * `01_aml_network_analysis.py:119-127`). Two semi-joins against the kept
@@ -106,4 +118,9 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
     PropertyGraph(keep, e)
   }
+
+  /** Keep only edges satisfying `cond` (vertices untouched — GraphFrames
+    * `filterEdges` semantics). */
+  def filterEdges(cond: org.apache.spark.sql.Column): PropertyGraph =
+    PropertyGraph(vertices, edges.filter(cond))
 }

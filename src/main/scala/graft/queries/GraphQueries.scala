@@ -420,5 +420,62 @@ object GraphQueries {
                       JOIN nm n2 ON cyc.c = n2.id JOIN nm n3 ON cyc.d = n3.id
              ORDER BY txn1, txn2, txn3, txn4"""))
 
-  val all: Seq[QDef] = Seq(q15, q16, q17, q18, q19, q20, q42, q44, q45, q48, q50)
+  private val sharedAttrVerticesSql =
+    """SELECT CAST(c_custkey AS BIGINT) AS id FROM customer
+       UNION
+       SELECT DISTINCT CAST(10000000 + floor(c_acctbal/100) AS BIGINT) FROM customer"""
+
+  /** Community detection via 2 rounds of synchronous label propagation
+    * (GraphFrames `labelPropagation` surface) on the identity graph —
+    * smallest-label tie-break makes every round deterministic, so the
+    * oracle unrolls the rounds as count + row_number argmax CTEs (the q19
+    * pattern for Pregel). */
+  private val q58 = QDef(
+    "q58_label_propagation",
+    (s, dir) => sharedAttrGraph(s, dir).labelPropagation(2).orderBy("id"),
+    Some(s"""WITH e AS ($sharedAttrEdgesSql),
+             eb AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+             v AS ($sharedAttrVerticesSql),
+             l0 AS (SELECT id, id AS label FROM v),
+             m1 AS (SELECT eb.dst AS id, l0.label, count(*) AS cnt
+                    FROM eb JOIN l0 ON eb.src = l0.id GROUP BY eb.dst, l0.label),
+             n1 AS (SELECT id, label FROM (
+                      SELECT id, label, row_number() OVER (PARTITION BY id
+                        ORDER BY cnt DESC, label) AS rn FROM m1) WHERE rn = 1),
+             l1 AS (SELECT v.id, coalesce(n1.label, v.id) AS label
+                    FROM v LEFT JOIN n1 ON v.id = n1.id),
+             m2 AS (SELECT eb.dst AS id, l1.label, count(*) AS cnt
+                    FROM eb JOIN l1 ON eb.src = l1.id GROUP BY eb.dst, l1.label),
+             n2 AS (SELECT id, label FROM (
+                      SELECT id, label, row_number() OVER (PARTITION BY id
+                        ORDER BY cnt DESC, label) AS rn FROM m2) WHERE rn = 1),
+             l2 AS (SELECT v.id, coalesce(n2.label, v.id) AS label
+                    FROM v LEFT JOIN n2 ON v.id = n2.id)
+             SELECT id, label FROM l2 ORDER BY id"""))
+
+  /** Directed BFS between vertex sets (GraphFrames `bfs` surface): minimal
+    * hop counts from three origin customers to every high-risk vertex
+    * within 3 hops of the pseudo-txn graph. Oracle: bounded recursive-CTE
+    * walk + min depth per (origin, node). */
+  private val q59 = QDef(
+    "q59_bfs",
+    (s, dir) => txnGraph(s, dir)
+      .bfs(col("id") <= 3, col("risk") >= 9000, maxHops = 3)
+      .orderBy("from_id", "to_id"),
+    Some(s"""WITH RECURSIVE e AS ($txnEdgesSql),
+             v AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+                          CAST(floor(c_acctbal) AS BIGINT) AS risk FROM customer),
+             walk(origin, node, d) AS (
+               SELECT id, id, 0 FROM v WHERE id <= 3
+               UNION
+               SELECT w.origin, e.dst, w.d + 1
+               FROM walk w JOIN e ON w.node = e.src WHERE w.d < 3),
+             md AS (SELECT origin, node, min(d) AS hops
+                    FROM walk GROUP BY origin, node)
+             SELECT origin AS from_id, node AS to_id, CAST(hops AS BIGINT) AS hops
+             FROM md JOIN v ON md.node = v.id WHERE v.risk >= 9000
+             ORDER BY from_id, to_id"""))
+
+  val all: Seq[QDef] =
+    Seq(q15, q16, q17, q18, q19, q20, q42, q44, q45, q48, q50, q58, q59)
 }

@@ -172,6 +172,40 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(new java.io.File(dir).listFiles().nonEmpty)
   }
 
+  test("label propagation: majority adoption, smallest-label ties, star oscillation") {
+    // star 1-{2,3,4,5}: round 1 sends every leaf label 1 and the center the
+    // tied set {2,3,4,5} (-> 2); round 2 flips them (classic LPA oscillation
+    // under synchronous updates — fixed rounds, like GraphFrames)
+    val star = PropertyGraph(
+      (1L to 5L).toDF("id"),
+      Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("src", "dst"))
+    val r1 = star.labelPropagation(1).as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+    val r2 = star.labelPropagation(2).as[(Long, Long)].collect().toMap
+    assert(r2 == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 2L))
+    // triangle converges to the minimum label; isolated vertex keeps its id
+    val tri = PropertyGraph(
+      Seq(1L, 2L, 3L, 9L).toDF("id"),
+      Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst"))
+    val t2 = tri.labelPropagation(2).as[(Long, Long)].collect().toMap
+    assert(t2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
+  }
+
+  test("bfs: directed minimal hops between vertex sets, zero-hop self matches") {
+    val g = PropertyGraph(
+      (1L to 5L).toDF("id"),
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 4L)).toDF("src", "dst"))
+    val got = g.bfs(col("id") === 1, col("id") >= 3, maxHops = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L, 2L), (1L, 4L, 2L))) // 1->2->4 beats 1->2->3->4
+    // direction respected: nothing reaches upstream
+    assert(g.bfs(col("id") === 4, col("id") === 1, 3).count() == 0)
+    // an origin matching the target condition reports itself at hop 0
+    val self = g.bfs(col("id") === 3, col("id") >= 3, 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(self == Set((3L, 3L, 0L), (3L, 4L, 1L)))
+  }
+
   test("strict mode throws on non-convergence instead of returning a split assignment") {
     val es = (1L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
     val ex = intercept[IllegalStateException] {
