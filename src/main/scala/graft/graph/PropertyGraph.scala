@@ -94,6 +94,12 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       .select(col("id"), col("pagerank"))
   }
 
+  /** Strongly connected components with min-member-id normalization
+    * (GraphFrames `stronglyConnectedComponents` surface). See
+    * [[StronglyConnectedComponents]]. */
+  def stronglyConnectedComponents(maxIter: Int = 25): DataFrame =
+    StronglyConnectedComponents.run(this, maxIter)
+
   /** Community detection via synchronous label propagation (GraphFrames
     * `labelPropagation` surface, smallest-label tie-break). See
     * [[LabelPropagation]]. */

@@ -1,0 +1,131 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Strongly connected components (the GraphFrames
+  * `stronglyConnectedComponents` surface; beyond-reference like
+  * shortestPaths/labelPropagation) via the standard distributed
+  * trim + forward-backward coloring algorithm (GraphX's formulation,
+  * after Fleischer/Hendrickson/Pinar's divide-and-conquer and
+  * Slota et al.'s trimming):
+  *
+  *  1. *Trim* to fixpoint: a vertex with no in-edges or no out-edges in the
+  *     remaining subgraph is its own SCC — peel and repeat (resolves all
+  *     DAG-like regions without any propagation phase).
+  *  2. *Color*: forward-propagate the minimum reaching vertex id to
+  *     fixpoint (each round one edge-to-colors join + min-aggregate).
+  *  3. *Collect*: a color class's root is the vertex that IS its color; the
+  *     SCC of that root = vertices of the class that reach the root —
+  *     backward frontier expansion restricted to the class.
+  *  4. Assign, remove, repeat on the remainder.
+  *
+  * Component id = minimum member id (deterministic, oracle-checkable,
+  * unlike GraphFrames' partition-encoded longs). Every step is an
+  * equi-join/aggregate plan shuffled on the vertex id, lineage truncated
+  * per round; phases ≤ SCC count on pathological chains (bounded by
+  * `maxPhases`, non-convergence surfaced like [[ConnectedComponents]]).
+  */
+object StronglyConnectedComponents {
+
+  def run(g: PropertyGraph, maxIter: Int = 25, maxPhases: Int = 20,
+      checkpointDir: Option[String] = None, strict: Boolean = false): DataFrame = {
+    val spark = g.vertices.sparkSession
+    val ckpt = Checkpointer(spark, checkpointDir)
+
+    var verts = ckpt(g.vertices.select(col("id")).distinct())
+    var edges = ckpt(g.edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst")).distinct())
+    var assigned = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          g.vertices.schema("id").dataType, nullable = true),
+        org.apache.spark.sql.types.StructField("component",
+          g.vertices.schema("id").dataType, nullable = true))))
+
+    var phase = 0
+    var nLeft = verts.count()
+    while (nLeft > 0 && phase < maxPhases) {
+      // 1. trim to fixpoint: no-in or no-out vertices are singleton SCCs
+      var trimmed = true
+      while (trimmed && nLeft > 0) {
+        val hasIn = edges.select(col("dst").as("id")).distinct()
+        val hasOut = edges.select(col("src").as("id")).distinct()
+        val core = ckpt(verts.join(hasIn, Seq("id"), "left_semi")
+          .join(hasOut, Seq("id"), "left_semi"))
+        val nCore = core.count()
+        if (nCore == nLeft) trimmed = false
+        else {
+          val peeled = verts.join(core, Seq("id"), "left_anti")
+            .select(col("id"), col("id").as("component"))
+          assigned = ckpt(assigned.union(peeled))
+          verts = core
+          edges = ckpt(edges
+            .join(core.select(col("id").as("src")), Seq("src"), "left_semi")
+            .join(core.select(col("id").as("dst")), Seq("dst"), "left_semi"))
+          nLeft = nCore
+        }
+      }
+      if (nLeft > 0) {
+        // 2. forward min-color propagation to fixpoint
+        var colors = ckpt(verts.select(col("id"), col("id").as("color")))
+        var stable = false
+        var it = 0
+        while (!stable && it < maxIter) {
+          val pushed = edges
+            .join(colors.select(col("id").as("src"), col("color")), "src")
+            .select(col("dst").as("id"), col("color"))
+          val next = ckpt(colors.union(pushed)
+            .groupBy("id").agg(min("color").as("color")))
+          val changed = next.as("n").join(colors.as("c"), Seq("id"))
+            .where(col("n.color") =!= col("c.color")).limit(1).count()
+          stable = changed == 0
+          colors = next
+          it += 1
+        }
+        if (!stable) {
+          val msg = s"SCC color propagation did not converge after $maxIter " +
+            "rounds — raise maxIter"
+          if (strict) throw new IllegalStateException(msg)
+          System.err.println(s"[graft] WARN $msg")
+        }
+        // 3. backward reach from each class root, restricted to the class
+        var members = ckpt(colors.where(col("id") === col("color"))
+          .select(col("id"), col("color").as("component")))
+        var frontier = members
+        var fSize = frontier.count()
+        while (fSize > 0) {
+          val next = ckpt(edges
+            .join(frontier.select(col("id").as("dst"), col("component")), "dst")
+            .select(col("src").as("id"), col("component"))
+            .distinct()
+            .join(colors, Seq("id"))
+            .where(col("color") === col("component")) // stay inside the class
+            .select(col("id"), col("component"))
+            .join(members, Seq("id"), "left_anti"))
+          fSize = next.count()
+          members = ckpt(members.union(next))
+          frontier = next
+        }
+        // 4. assign and peel the found SCCs
+        assigned = ckpt(assigned.union(members))
+        verts = ckpt(verts.join(members, Seq("id"), "left_anti"))
+        edges = ckpt(edges
+          .join(verts.select(col("id").as("src")), Seq("src"), "left_semi")
+          .join(verts.select(col("id").as("dst")), Seq("dst"), "left_semi"))
+        nLeft = verts.count()
+      }
+      phase += 1
+    }
+    if (nLeft > 0) {
+      val msg = s"SCC did not finish within $maxPhases phases — " +
+        s"$nLeft vertices unassigned (pathological SCC chain?)"
+      if (strict) throw new IllegalStateException(msg)
+      System.err.println(s"[graft] WARN $msg")
+      // remaining vertices fall back to singletons so output stays total
+      assigned = assigned.union(verts.select(col("id"), col("id").as("component")))
+    }
+    assigned
+  }
+}

@@ -476,6 +476,25 @@ object GraphQueries {
              FROM md JOIN v ON md.node = v.id WHERE v.risk >= 9000
              ORDER BY from_id, to_id"""))
 
+  /** Strongly connected components of the directed pseudo-txn graph
+    * (GraphFrames `stronglyConnectedComponents` surface): trim +
+    * forward-backward coloring, min-member-id components. Oracle: mutual
+    * reachability via a recursive walk — min over the co-reachable set. */
+  private val q60 = QDef(
+    "q60_scc",
+    (s, dir) => txnGraph(s, dir).stronglyConnectedComponents().orderBy("id"),
+    Some(s"""WITH RECURSIVE e AS ($txnEdgesSql),
+             v AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer),
+             reach(u, w) AS (
+               SELECT id, id FROM v
+               UNION
+               SELECT r.u, e.dst FROM reach r JOIN e ON r.w = e.src),
+             scc AS (
+               SELECT a.u AS id, min(a.w) AS component
+               FROM reach a JOIN reach b ON a.u = b.w AND a.w = b.u
+               GROUP BY a.u)
+             SELECT id, component FROM scc ORDER BY id"""))
+
   val all: Seq[QDef] =
-    Seq(q15, q16, q17, q18, q19, q20, q42, q44, q45, q48, q50, q58, q59)
+    Seq(q15, q16, q17, q18, q19, q20, q42, q44, q45, q48, q50, q58, q59, q60)
 }

@@ -172,6 +172,76 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(new java.io.File(dir).listFiles().nonEmpty)
   }
 
+  test("scc: cycles merge, bridges and DAG chains stay singletons") {
+    val g = PropertyGraph(
+      (1L to 7L).toDF("id"),
+      Seq((1L, 2L), (2L, 3L), (3L, 1L),     // SCC {1,2,3}
+        (4L, 5L), (5L, 4L),                 // SCC {4,5}
+        (3L, 4L), (6L, 1L),                 // bridges: 6 and nothing upstream
+        (7L, 7L)                            // self-loop only -> singleton
+      ).toDF("src", "dst"))
+    val got = g.stronglyConnectedComponents()
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      6L -> 6L, 7L -> 7L))
+  }
+
+  test("scc on a random graph matches driver-side Tarjan") {
+    val rnd = new scala.util.Random(13)
+    val n = 300
+    val es = Seq.fill(700)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val got = PropertyGraph((0L until n.toLong).toDF("id"), es.toDF("src", "dst"))
+      .stronglyConnectedComponents()
+      .as[(Long, Long)].collect().toMap
+    // iterative Tarjan
+    val adj = es.groupBy(_._1).view.mapValues(_.map(_._2.toInt)).toMap
+    val index = Array.fill(n)(-1); val low = new Array[Int](n)
+    val onStack = Array.fill(n)(false)
+    val stack = scala.collection.mutable.Stack[Int]()
+    val comp = new Array[Int](n); var idx = 0
+    def strongconnect(v0: Int): Unit = {
+      // explicit work stack: (vertex, next-child-pointer)
+      val work = scala.collection.mutable.Stack[(Int, Int)]((v0, 0))
+      while (work.nonEmpty) {
+        val (v, ci) = work.pop()
+        if (ci == 0) {
+          index(v) = idx; low(v) = idx; idx += 1; stack.push(v); onStack(v) = true
+        }
+        val kids = adj.getOrElse(v.toLong, Seq.empty)
+        var i = ci; var recursed = false
+        while (i < kids.length && !recursed) {
+          val w = kids(i)
+          if (index(w) == -1) { work.push((v, i + 1)); work.push((w, 0)); recursed = true }
+          else { if (onStack(w)) low(v) = math.min(low(v), index(w)); i += 1 }
+        }
+        if (!recursed) {
+          if (low(v) == index(v)) {
+            var done = false
+            val members = scala.collection.mutable.ArrayBuffer[Int]()
+            while (!done) {
+              val w = stack.pop(); onStack(w) = false; members += w
+              if (w == v) done = true
+            }
+            val m = members.min
+            members.foreach(w => comp(w) = m)
+          }
+          if (work.nonEmpty) {
+            val (p, _) = work.top
+            low(p) = math.min(low(p), low(v))
+          }
+        }
+      }
+    }
+    (0 until n).foreach(v => if (index(v) == -1) strongconnect(v))
+    // Tarjan's min tag is not the global min member; normalize via min per component root set
+    val byComp = (0 until n).groupBy(comp)
+    val expect = byComp.flatMap { case (_, ms) =>
+      val m = ms.min.toLong; ms.map(_.toLong -> m)
+    }
+    assert(got == expect)
+  }
+
   test("label propagation: majority adoption, smallest-label ties, star oscillation") {
     // star 1-{2,3,4,5}: round 1 sends every leaf label 1 and the center the
     // tied set {2,3,4,5} (-> 2); round 2 flips them (classic LPA oscillation
