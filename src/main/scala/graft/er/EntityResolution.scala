@@ -369,11 +369,16 @@ object FellegiSunter {
 /** The end-to-end operator the reference calls
   * `Splink(settings, df, spark).get_scored_comparisons()` (`:57-58`). */
 object EntityResolver {
-  def scoredComparisons(df: DataFrame, settings: ErSettings): (DataFrame, FsParams) = {
-    // no persist: fit is a single aggregate job since the pattern-table EM,
-    // so the pair pipeline runs exactly twice (fit agg + scored output) —
-    // cheaper than a wide cache write plus two cache reads
-    val gammas = Comparison.withGammas(Blocking.pairs(df, settings), settings.comparisons)
+  /** `materializePairs`: the pair pipeline is consumed twice (the EM fit's
+    * one aggregate job, then the scored output). The default recomputes it
+    * — at 10¹²-pair scale materializing the pair table costs more than the
+    * second pass. Set `true` at interactive/medium scale to checkpoint the
+    * gamma table once and read it twice instead (blocks are released by the
+    * ContextCleaner when the result is unreferenced, so nothing leaks). */
+  def scoredComparisons(df: DataFrame, settings: ErSettings,
+      materializePairs: Boolean = false): (DataFrame, FsParams) = {
+    val pipeline = Comparison.withGammas(Blocking.pairs(df, settings), settings.comparisons)
+    val gammas = if (materializePairs) pipeline.localCheckpoint() else pipeline
     val params = FellegiSunter.fit(gammas, settings)
     val scored = FellegiSunter.score(gammas, settings, params, Some(df))
     (scored, params)

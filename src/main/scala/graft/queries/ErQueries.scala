@@ -137,7 +137,8 @@ object ErQueries {
   private val q23 = QDef(
     "q23_er_scores",
     (s, dir) => {
-      val (scored, _) = EntityResolver.scoredComparisons(dirty(s, dir), settings)
+      val (scored, _) = EntityResolver.scoredComparisons(dirty(s, dir), settings,
+        materializePairs = true)
       FellegiSunter.patternSummary(scored, settings.comparisons)
     },
     Some(s"""WITH d AS ($dirtySql),
@@ -252,7 +253,8 @@ object ErQueries {
   private val q47 = QDef(
     "q47_er_txn_scores",
     (s, dir) => {
-      val (scored, _) = EntityResolver.scoredComparisons(txnEntities(s, dir), txnSettings)
+      val (scored, _) = EntityResolver.scoredComparisons(txnEntities(s, dir), txnSettings,
+        materializePairs = true)
       FellegiSunter.patternSummary(scored, txnSettings.comparisons)
     },
     Some(s"""WITH t AS ($txnEntitiesSql),
