@@ -27,4 +27,19 @@ object Sources {
     * image files. */
   def binaryFiles(spark: SparkSession, path: String, glob: String = "*"): DataFrame =
     spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+
+  /** JSON-lines source (the interchange format of most raw LLM corpora).
+    * As with CSV, pass an explicit DDL schema at scale to skip the
+    * inference pass. */
+  def jsonLines(spark: SparkSession, path: String,
+      schema: Option[String] = None): DataFrame =
+    schema match {
+      case Some(ddl) => spark.read.schema(ddl).json(path)
+      case None => spark.read.json(path)
+    }
+
+  /** ORC source — the other columnar format Spark reads vectorized with
+    * pushdown/pruning; round-trips the same scale properties as parquet. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

@@ -67,6 +67,18 @@ final class Catalog(spark: SparkSession, warehouseDir: String) {
   def listTables(): Seq[String] =
     spark.catalog.listTables().collect().map(_.name).toSeq.sorted
 
+  /** Hive-style partitioned table: one directory per partition value, so
+    * filters on the partition column become partition PRUNING — the scan
+    * never lists, opens, or reads non-matching directories. The layout
+    * strategy for every time/tenant/language-sliced 100 TB table (pick a
+    * column with bounded cardinality; high-cardinality partitioning
+    * produces the small-files problem bucketing solves instead). */
+  def savePartitioned(name: String, df: DataFrame, partitionCol: String): Unit = {
+    val path = s"$warehouseDir/$name"
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView(name)
+  }
+
   /** Bucketed managed table: co-locates rows by hash(bucketCol) at write
     * time so later equi-joins/aggregations on that key skip the exchange
     * entirely — the pre-shuffle strategy for repeatedly-joined 100 TB

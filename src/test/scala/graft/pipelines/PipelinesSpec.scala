@@ -2,6 +2,8 @@ package graft.pipelines
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkTestBase
 import graft.engine.{Catalog, Sources}
 
@@ -62,6 +64,50 @@ class SourcesSpec extends SparkTestBase {
       assert(joined.count() == 1000)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     spark.sql("DROP TABLE b_facts"); spark.sql("DROP TABLE b_dims")
+  }
+
+  test("json-lines and orc sources round-trip with schema control") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_json")
+    Files.writeString(dir.resolve("docs.jsonl"),
+      """{"doc_id": 1, "text": "hello world"}
+        |{"doc_id": 2, "text": "spark reads jsonl"}
+        |""".stripMargin)
+    val inferred = Sources.jsonLines(spark, dir.toString)
+    assert(inferred.count() == 2 && inferred.columns.toSet == Set("doc_id", "text"))
+    val typed = Sources.jsonLines(spark, dir.toString,
+      Some("doc_id BIGINT, text STRING"))
+    assert(typed.schema("doc_id").dataType.typeName == "long")
+    // orc round-trip keeps values and vectorized-scan pushdown
+    val orcDir = Files.createTempDirectory("graft_orc").toString + "/t"
+    typed.write.orc(orcDir)
+    val back = Sources.orc(spark, orcDir).filter(col("doc_id") === 2)
+    assert(back.select("text").as[String].head() == "spark reads jsonl")
+    val plan = back.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(doc_id,2)"),
+      s"orc scan must push the filter:\n$plan")
+  }
+
+  test("partitioned writes lay out per-value dirs and prune at read time") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_part").toString
+    val cat = new Catalog(spark, wh)
+    val docs = Seq((1L, "en", "hi"), (2L, "en", "yo"), (3L, "de", "hallo"))
+      .toDF("doc_id", "lang", "text")
+    cat.savePartitioned("p_docs", docs, "lang")
+    // hive-style layout: one directory per partition value
+    val dirs = new java.io.File(s"$wh/p_docs").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("lang=en", "lang=de"))
+    val pruned = spark.table("p_docs").filter(col("lang") === "en")
+    assert(pruned.count() == 2)
+    // the partition filter prunes directories instead of scanning them
+    val plan = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PartitionFilters") &&
+        "lang#\\d+ = en".r.findFirstIn(plan).nonEmpty,
+      s"lang filter must be a partition filter:\n$plan")
   }
 
   test("catalog overwrite + re-register round-trips") {
