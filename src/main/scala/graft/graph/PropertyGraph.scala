@@ -112,6 +112,13 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       toCond: org.apache.spark.sql.Column, maxHops: Int): DataFrame =
     Bfs.run(this, fromCond, toCond, maxHops)
 
+  /** Personalized PageRank for many sources at once (GraphFrames
+    * `parallelPersonalizedPageRank` surface, sparse relational output).
+    * See [[PersonalizedPageRank]]. */
+  def parallelPersonalizedPageRank(sources: Seq[Long], maxIter: Int,
+      resetProb: Double = 0.15): DataFrame =
+    PersonalizedPageRank.run(this, sources, maxIter, resetProb)
+
   /** Keep only vertices satisfying `cond`, dropping edges touching removed
     * vertices (the reference's degree-1 shrink keeps the subgraph valid,
     * `01_aml_network_analysis.py:119-127`). Two semi-joins against the kept

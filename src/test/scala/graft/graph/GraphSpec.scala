@@ -349,6 +349,37 @@ class PregelSpec extends SparkTestBase {
     got.foreach { case (v, p) => assert(math.abs(p - pr(v)) < 1e-9, s"vertex $v") }
   }
 
+  test("personalized pageRank matches driver-side dense iteration per source") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
+    val g = PropertyGraph((1L to 4L).toDF("id"), edges.toDF("src", "dst"))
+    val sources = Seq(1L, 4L)
+    val iters = 5
+    val got = g.parallelPersonalizedPageRank(sources, iters)
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, s, r) => (id, s) -> r }.toMap
+    // dense reference: rank_{t+1}(v) = 0.15·δ(v=s) + 0.85·Σ rank_t(u)/deg(u)
+    val outDeg = edges.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    for (s <- sources) {
+      var rank = Map(s -> 1.0).withDefaultValue(0.0)
+      for (_ <- 1 to iters) {
+        val contrib = edges
+          .filter { case (u, _) => rank(u) != 0.0 }
+          .groupBy(_._2).view.mapValues(
+            _.map { case (u, _) => rank(u) / outDeg(u) }.sum).toMap
+        rank = (contrib.keySet + s).map { v =>
+          v -> (0.85 * contrib.getOrElse(v, 0.0) + (if (v == s) 0.15 else 0.0))
+        }.toMap.withDefaultValue(0.0)
+      }
+      rank.foreach { case (v, r) =>
+        assert(math.abs(got.getOrElse((v, s), 0.0) - r) < 1e-9, s"v=$v s=$s")
+      }
+    }
+    // teleportation personalizes: under source 1 the source dominates; under
+    // source 4 (no in-edges, keeps only teleport mass) its out-neighbor 1
+    // accumulates the forwarded mass and outranks the farther vertex 2
+    assert(got((1L, 1L)) > got((2L, 1L)) && got((1L, 4L)) > got((2L, 4L)))
+  }
+
   test("degrees counts both endpoints") {
     val g = PropertyGraph(
       Seq(1L, 2L, 3L).toDF("id"),
