@@ -223,6 +223,39 @@ object TextDedup {
       .dropDuplicates("id_l", "id_r")
   }
 
+  /** Cross-document repeated-span measurement — the span-level signal
+    * behind exact-substring dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better" — public): for each
+    * document, how many of its word n-gram occurrences (n ≈ a span long
+    * enough to be memorable, e.g. 20) also appear in at least one OTHER
+    * document, plus the fraction of the document that is such duplicated
+    * span material. Pipelines drop or trim documents above a threshold.
+    *
+    * Scale shape: one distinct pass to the per-shingle document frequency
+    * (shuffle on the shingle, map-side combine), one equi-join back to the
+    * occurrence rows, one per-document aggregate. As with
+    * [[contamination]], join on `xxhash64(sh)` at 100 TB and cap
+    * boilerplate shingles via a document-frequency ceiling if hot keys
+    * appear. Documents shorter than n words report zero spans. */
+  def spanDuplication(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val occ = shingleRowsAll(df, idCol, textCol, n)
+    val docFreq = occ.distinct()
+      .groupBy("sh").agg(count(lit(1)).as("__df"))
+    val perDoc = occ.join(docFreq, "sh")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_spans"),
+        count(when(col("__df") > 1, 1)).as("n_shared_spans"))
+    df.select(col(idCol).as("id")).distinct()
+      .join(perDoc, Seq("id"), "left_outer")
+      .select(col("id").as(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_shared_spans"), lit(0L)).as("n_shared_spans"),
+        when(coalesce(col("n_spans"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("n_shared_spans").cast("double") / col("n_spans"))
+          .as("shared_span_fraction"))
+  }
+
   /** Train→test contamination check (the GPT-3-style n-gram-overlap
     * decontamination pass an LLM training pipeline runs before evaluation):
     * a test document is contaminated when it shares at least `minOverlap`

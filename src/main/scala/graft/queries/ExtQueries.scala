@@ -590,7 +590,51 @@ object ExtQueries {
             FROM ids LEFT JOIN hits h ON ids.doc_id = h.hid
             ORDER BY ids.doc_id"""))
 
+  /** Cross-document repeated 8-gram spans per document (the exact-substring
+    * dedup signal, Lee et al. 2021): occurrence counts and the duplicated
+    * fraction — integer-exact arithmetic on both engines. */
+  private val q61 = QDef(
+    "q61_span_duplication",
+    (s, dir) => TextDedup
+      .spanDuplication(Tables.load(s, dir, "documents"), "doc_id", "text", n = 8)
+      .orderBy("doc_id"),
+    Some("""WITH w AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '\s+')) AS w,
+                     generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS pos
+              FROM documents),
+            occ AS (
+              SELECT a.doc_id,
+                     a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w || ' ' ||
+                       e.w || ' ' || f.w || ' ' || g.w || ' ' || h.w AS sh
+              FROM w a
+              JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+              JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+              JOIN w d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
+              JOIN w e ON e.doc_id = a.doc_id AND e.pos = a.pos + 4
+              JOIN w f ON f.doc_id = a.doc_id AND f.pos = a.pos + 5
+              JOIN w g ON g.doc_id = a.doc_id AND g.pos = a.pos + 6
+              JOIN w h ON h.doc_id = a.doc_id AND h.pos = a.pos + 7),
+            dfreq AS (
+              SELECT sh, count(*) AS ndocs
+              FROM (SELECT DISTINCT doc_id, sh FROM occ) GROUP BY sh),
+            per AS (
+              SELECT occ.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_spans,
+                     CAST(count(CASE WHEN ndocs > 1 THEN 1 END) AS BIGINT) AS n_shared_spans
+              FROM occ JOIN dfreq ON occ.sh = dfreq.sh
+              GROUP BY occ.doc_id)
+            SELECT d.doc_id,
+                   coalesce(per.n_spans, 0) AS n_spans,
+                   coalesce(per.n_shared_spans, 0) AS n_shared_spans,
+                   CASE WHEN coalesce(per.n_spans, 0) = 0 THEN 0.0
+                        ELSE CAST(per.n_shared_spans AS DOUBLE) / per.n_spans
+                   END AS shared_span_fraction
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN per ON d.doc_id = per.doc_id
+            ORDER BY d.doc_id"""))
+
   val all: Seq[QDef] = Seq(
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q40, q41, q49)
+    q38, q40, q41, q49, q61)
 }

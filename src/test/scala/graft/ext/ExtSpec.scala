@@ -116,6 +116,23 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("span duplication: shared spans counted across docs, intra-doc repeats excluded") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon"),        // 3 trigram occurrences
+      (2L, "alpha beta gamma zeta eta"),             // shares "alpha beta gamma"
+      (3L, "one two one two one two"),               // repeats only within itself
+      (4L, "xy")                                      // too short for trigrams
+    ).toDF("doc_id", "text")
+    val got = TextDedup.spanDuplication(d, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((3L, 1L, 1.0 / 3)))
+    assert(got(2L) == ((3L, 1L, 1.0 / 3)))
+    // intra-doc repetition is NOT cross-document sharing (ndocs stays 1)
+    assert(got(3L) == ((4L, 0L, 0.0)))
+    assert(got(4L) == ((0L, 0L, 0.0)))
+  }
+
   test("contamination: planted train/test overlap is found, clean and short docs are not") {
     val train = Seq(
       (10L, "alpha beta gamma delta epsilon zeta"),
