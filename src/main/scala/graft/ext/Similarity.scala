@@ -92,6 +92,36 @@ object Similarity {
       .select("id_l", "id_r", "cosine")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication" —
+    * public): find embedding-space near-duplicate pairs via the banded-LSH
+    * scale path ([[neardupPairsBanded]] — candidates from bucket equi-joins,
+    * exact cosine verification, never O(n²)), then per pair drop the
+    * LOWER-quality member (ties drop the higher id, so verdicts are
+    * deterministic). Returns every row of `quality` (`id`, `quality`) with
+    * an `is_dropped` verdict — the keep-list a curation pipeline feeds to
+    * training. A document near-duplicating several others is dropped if any
+    * of its pairings says so; the chain keeps at least one representative
+    * per near-dup cluster (the globally best-quality member is never the
+    * drop side of any pair). */
+  def semanticDedup(emb: DataFrame, quality: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, bands: Int, rowsPerBand: Int,
+      dim: Int): DataFrame = {
+    val pairs = neardupPairsBanded(emb, idCol, vecCol, threshold, bands, rowsPerBand, dim)
+    val ql = quality.select(col("id").as("id_l"), col("quality").as("__ql"))
+    val qr = quality.select(col("id").as("id_r"), col("quality").as("__qr"))
+    val drops = pairs.join(ql, "id_l").join(qr, "id_r")
+      .select(
+        when(col("__ql") < col("__qr"), col("id_l"))
+          .when(col("__qr") < col("__ql"), col("id_r"))
+          .otherwise(greatest(col("id_l"), col("id_r"))).as("id"))
+      .distinct()
+    quality
+      .join(drops.withColumn("__d", lit(true)), Seq("id"), "left_outer")
+      .select(col("id"), col("quality"),
+        coalesce(col("__d"), lit(false)).as("is_dropped"))
+  }
+
   /** Deterministic pseudo-random hyperplanes (splitmix64 over (plane, dim)),
     * materialized as literal arrays — no fitting step, reproducible across
     * runs and engines. */

@@ -277,6 +277,59 @@ object ExtQueries {
           WHERE cosine >= $NdThreshold ORDER BY id_l, id_r"""
     })
 
+  private val SemThreshold = 0.30
+
+  /** SemDeDup-style semantic deduplication over the embedding corpus:
+    * banded-LSH near-dup pairs (the q29 scale path at a looser threshold)
+    * joined with q32's quality scores; each pair drops its lower-quality
+    * member (ties drop the higher id). The oracle mirrors the complete
+    * banding + quality + drop-rule pipeline in SQL — a full value-hash
+    * check of the composed curation verdict for every document. */
+  private val q62 = QDef(
+    "q62_semantic_dedup",
+    (s, dir) => {
+      val quality = Tables.load(s, dir, "documents")
+        .select(col("doc_id").as("id"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+      Similarity.semanticDedup(embeddings(s, dir), quality, "vec_id", "embedding",
+          SemThreshold, bands = NdBands, rowsPerBand = NdRowsPerBand, dim = 64)
+        .select(col("id").as("doc_id"), col("quality"), col("is_dropped"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val planes = Similarity.hyperplanes(NdBands * NdRowsPerBand, 64)
+      val bandArms = (0 until NdBands).map { b =>
+        val slice = planes.slice(b * NdRowsPerBand, (b + 1) * NdRowsPerBand)
+        s"SELECT vec_id AS id, $b AS band, ${bucketSql(slice)} AS bucket FROM v"
+      }.mkString(" UNION ALL ")
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+          bk AS ($bandArms),
+          cand AS (SELECT DISTINCT a.id AS id_l, b.id AS id_r
+                   FROM bk a JOIN bk b
+                     ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+          np AS (SELECT id_l, id_r
+                 FROM (SELECT id_l, id_r, ${cosSql("va.ve", "vb.ve")} AS cosine
+                       FROM cand
+                       JOIN v va ON va.vec_id = id_l
+                       JOIN v vb ON vb.vec_id = id_r)
+                 WHERE cosine >= $SemThreshold),
+          q AS (SELECT doc_id AS id,
+                       least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.5 +
+                         (CAST(len(list_distinct(string_split_regex(lower(text), '\\s+'))) AS DOUBLE)
+                          / len(string_split_regex(lower(text), '\\s+'))) * 0.5 AS quality
+                FROM documents),
+          drops AS (SELECT DISTINCT
+                           CASE WHEN ql.quality < qr.quality THEN id_l
+                                WHEN qr.quality < ql.quality THEN id_r
+                                ELSE greatest(id_l, id_r) END AS id
+                    FROM np
+                    JOIN q ql ON ql.id = np.id_l
+                    JOIN q qr ON qr.id = np.id_r)
+          SELECT q.id AS doc_id, q.quality, drops.id IS NOT NULL AS is_dropped
+          FROM q LEFT JOIN drops ON q.id = drops.id
+          ORDER BY doc_id"""
+    })
+
   /** Hyperplane-LSH bucketed ANN (8 planes → 256 buckets): the 100 TB path —
     * bucket equi-join instead of cross product. The oracle mirrors the
     * bucket assignment + in-bucket ranking in SQL (plane literals again),
@@ -636,5 +689,5 @@ object ExtQueries {
 
   val all: Seq[QDef] = Seq(
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q40, q41, q49, q61)
+    q38, q40, q41, q49, q61, q62)
 }

@@ -266,6 +266,32 @@ class SimilaritySpec extends SparkTestBase {
     assert((0L until 10L).forall(i => got.contains((i, i + 1000))))
   }
 
+  test("semantic dedup drops the lower-quality member of planted duplicate pairs") {
+    // identical vectors collide in every band regardless of parameters
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding").filter(col("vec_id") < 50)
+    val planted = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+    val corpus = emb.union(planted)
+    // clones get LOWER quality than their originals
+    val quality = corpus.select(col("vec_id").as("id"),
+      when(col("vec_id") >= 1000, 0.1).otherwise(0.9).as("quality"))
+    val got = Similarity.semanticDedup(corpus, quality, "vec_id", "embedding",
+        threshold = 0.99, bands = 8, rowsPerBand = 8, dim = 64)
+      .as[(Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r._3).toMap
+    (0L until 5L).foreach { i =>
+      assert(got(i + 1000), s"low-quality clone $i must be dropped")
+      assert(!got(i), s"original $i must be kept")
+    }
+    // with equal quality the higher id is the deterministic drop side
+    val flat = corpus.select(col("vec_id").as("id"), lit(0.5).as("quality"))
+    val tie = Similarity.semanticDedup(corpus, flat, "vec_id", "embedding",
+        0.99, 8, 8, 64)
+      .as[(Long, Double, Boolean)].collect().map(r => r._1 -> r._3).toMap
+    (0L until 5L).foreach { i => assert(tie(i + 1000) && !tie(i)) }
+  }
+
   test("hyperplanes are deterministic and in [-1,1)") {
     val p1 = Similarity.hyperplanes(4, 8)
     val p2 = Similarity.hyperplanes(4, 8)
