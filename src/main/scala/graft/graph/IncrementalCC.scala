@@ -81,12 +81,17 @@ object IncrementalCC {
   }
 
   /** Fold a sequence of edge batches from an empty assignment — the batch
-    * harness for the streaming sink and the q48 registered query. */
+    * harness for the streaming sink and the q48 registered query. The
+    * first batch runs plain CC directly: folding it through the empty
+    * assignment is semantically identical (contraction through nothing is
+    * the identity) but would pay two shuffle joins against an empty table
+    * the optimizer cannot see is empty (it is RDD-backed, not a
+    * LocalRelation). */
   def runBatches(batches: Seq[DataFrame],
       checkpointDir: Option[String] = None): DataFrame = {
     require(batches.nonEmpty, "need at least one edge batch")
-    batches.foldLeft(emptyAssignment(batches.head)) { (a, b) =>
-      step(a, b, checkpointDir)
-    }
+    val first = ConnectedComponents.runOnEdges(batches.head,
+      checkpointDir = checkpointDir, strict = true)
+    batches.tail.foldLeft(first) { (a, b) => step(a, b, checkpointDir) }
   }
 }
