@@ -144,7 +144,7 @@ object FellegiSunter {
     * levels are pooled: each level keeps its total mass m+u but takes the
     * pooled block's m:u ratio, so per-block (and hence global) m and u sums
     * are preserved exactly and renormalization is untouched. */
-  private[er] def isotonic(mIn: Array[Double], uIn: Array[Double]): (Array[Double], Array[Double]) = {
+  private[graft] def isotonic(mIn: Array[Double], uIn: Array[Double]): (Array[Double], Array[Double]) = {
     final case class Block(var m: Double, var u: Double, var start: Int, var end: Int) {
       def ratio: Double =
         if (u > 0) m / u else if (m > 0) Double.PositiveInfinity else 0.0

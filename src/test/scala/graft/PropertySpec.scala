@@ -68,6 +68,62 @@ class ConnectedComponentsPropertySpec extends SparkTestBase {
   }
 }
 
+class IsotonicPropertySpec extends SparkTestBase {
+  import PropertySupport.samples
+  import graft.er.FellegiSunter
+
+  test("isotonic pooling always preserves masses and orders likelihood ratios") {
+    val genArr = Gen.choose(2, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.choose(0.0, 1.0), Gen.choose(1e-6, 1.0))))
+    samples(genArr, 100).foreach { pairs =>
+      val m = pairs.map(_._1).toArray
+      val u = pairs.map(_._2).toArray
+      val (mi, ui) = FellegiSunter.isotonic(m, u)
+      assert(math.abs(mi.sum - m.sum) < 1e-9 && math.abs(ui.sum - u.sum) < 1e-9)
+      m.indices.foreach(i =>
+        assert(math.abs(mi(i) + ui(i) - (m(i) + u(i))) < 1e-9))
+      val ratios = mi.zip(ui).map { case (a, b) =>
+        if (b > 0) a / b else Double.PositiveInfinity }
+      assert(ratios.sliding(2).forall(p => p.head <= p.last * (1 + 1e-12) + 1e-12),
+        s"m=${m.toSeq} u=${u.toSeq} -> ${ratios.toSeq}")
+    }
+  }
+}
+
+class SamplingPropertySpec extends SparkTestBase {
+  import PropertySupport.samples
+  import graft.ext.{Packing, Sampling}
+  import org.apache.spark.sql.functions.col
+  import spark.implicits._
+
+  test("hashSplit buckets are always in [0,100) and assignment depends only on (id, seed)") {
+    val genIds = Gen.listOfN(30, Gen.choose(0L, 1000000L)).map(_.distinct)
+    samples(Gen.zip(genIds, Gen.choose(0L, 99L)), 6).foreach { case (ids, seed) =>
+      val a = Sampling.hashSplit(ids.toDF("id"), "id", seed)
+        .select("id", "bucket", "split").as[(Long, Long, String)].collect()
+      assert(a.forall(r => r._2 >= 0 && r._2 < 100))
+      // a shuffled, duplicated cohort assigns identically per id
+      val b = Sampling.hashSplit((ids.reverse ++ ids.take(5)).toDF("id"), "id", seed)
+        .select("id", "split").as[(Long, String)].collect().toMap
+      a.foreach(r => assert(b(r._1) == r._3))
+    }
+  }
+
+  test("packing never splits a document and per-pack overflow is bounded by one document") {
+    val genDocs = Gen.listOfN(40, Gen.choose(1L, 30L))
+    samples(Gen.zip(genDocs, Gen.choose(20L, 60L)), 6).foreach { case (toks, budget) =>
+      val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "tok")
+      val packed = Packing.packByBudget(df, "id", col("tok"), budget, nShards = 3)
+      val sums = Packing.packSummary(packed, "id")
+        .select("total_tokens").as[Long].collect()
+      val maxTok = toks.max
+      assert(sums.forall(_ <= budget + maxTok),
+        s"budget=$budget maxTok=$maxTok sums=${sums.toSeq}")
+      assert(packed.count() == toks.length.toLong, "every document packed exactly once")
+    }
+  }
+}
+
 class MinHashPropertySpec extends SparkTestBase {
   import PropertySupport.samples
   import graft.ext.TextDedup
