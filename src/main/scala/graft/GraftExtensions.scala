@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSimilarity, DotProduct, DoubleMetaphoneExpr, JaroWinkler}
+import graft.functions.{BloomProbe, CosineSimilarity, DotProduct, DoubleMetaphoneExpr, JaroWinkler}
 
 /** Session extensions registering the engine's custom Catalyst expressions
   * (SURVEY.md §4: JaroWinkler for ER fuzzy comparison; cosine/dot for the
@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("double_metaphone"),
       new ExpressionInfo(classOf[DoubleMetaphoneExpr].getName, "double_metaphone"),
       (children: Seq[Expr]) => DoubleMetaphoneExpr(children.head, alternate = false)))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomProbe].getName, "bloom_might_contain"),
+      (children: Seq[Expr]) => BloomProbe(children(0), children(1))))
     ext.injectFunction((
       new FunctionIdentifier("double_metaphone_alt"),
       new ExpressionInfo(classOf[DoubleMetaphoneExpr].getName, "double_metaphone_alt"),

@@ -12,7 +12,8 @@ object SparkEntry {
       graft.queries.GraphQueries.all ++
       graft.queries.ErQueries.all ++
       graft.queries.ExtQueries.all ++
-      graft.queries.TrainPrepQueries.all
+      graft.queries.TrainPrepQueries.all ++
+      graft.queries.JoinQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The matching-attribute-entities query (SURVEY.md §7.2, reference

@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.QDef
+import graft.engine.Tables
+import graft.ext.{AsOfJoin, BloomJoin, RangeJoin}
+
+/** Specialized join operators beyond Catalyst's built-in strategies — the
+  * temporal/range/runtime-filter joins an analytics engine needs where a
+  * naive plan degenerates to a nested-loop product (SURVEY.md §2.3 lists
+  * the reference's join inventory; these extend it the way Flink's interval
+  * join and DuckDB's ASOF join extend plain SQL).
+  */
+object JoinQueries {
+
+  /** q63: as-of join — every purchase event matched to the same user's
+    * latest click at-or-before it (attribution). Right side is deduped per
+    * (user, ts) so the as-of match is unambiguous; misses coalesce to -1 to
+    * keep the output columns cleanly BIGINT (left-join semantics proven by
+    * purchases with no prior click). DuckDB's native ASOF LEFT JOIN is the
+    * oracle. */
+  private val q63 = QDef(
+    "q63_asof_join",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      AsOfJoin.backward(
+          purchases, AsOfJoin.dedupeRight(clicks, Seq("user_id"), "ts"),
+          on = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+          rightPrefix = "click_")
+        .select(
+          col("event_id").as("purchase_id"), col("user_id"),
+          unix_millis(col("ts")).as("purchase_ms"),
+          coalesce(unix_millis(col("click_ts")), lit(-1L)).as("click_ms"),
+          coalesce(col("click_click_id"), lit(-1L)).as("click_id"))
+        .orderBy("purchase_id")
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+                 c AS (SELECT user_id, ts, max(event_id) AS click_id
+                       FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+            SELECT p.event_id AS purchase_id, p.user_id,
+                   epoch_ms(p.ts) AS purchase_ms,
+                   coalesce(epoch_ms(c.ts), -1) AS click_ms,
+                   coalesce(c.click_id, -1) AS click_id
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+            ORDER BY purchase_id"""))
+
+  /** q64: range join — clicks within ±15 minutes of any error event
+    * (global temporal proximity, no shared key: the naive Spark plan is a
+    * nested-loop over every click x error pair). Bucketed at the window
+    * width, so each error expands to <= 3 bucket rows and the match is one
+    * equi shuffle join. Aggregated per error to keep the checked output
+    * compact; the integer millisecond gaps are engine-portable. */
+  private val q64 = QDef(
+    "q64_range_join",
+    (s, dir) => {
+      val halfWin = 900000L // 15 min in ms
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("ms", unix_millis(col("ts")))
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("ms").as("error_ms"),
+          (col("ms") - halfWin).as("lo"), (col("ms") + halfWin).as("hi"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ms").as("click_ms"))
+      RangeJoin.pointInInterval(
+          clicks, errors, pointCol = "click_ms",
+          loCol = "lo", hiCol = "hi", bucketWidth = halfWin)
+        .groupBy("error_id")
+        .agg(count(lit(1)).as("n_nearby_clicks"),
+          min(abs(col("click_ms") - col("error_ms"))).as("min_gap_ms"))
+        .orderBy("error_id")
+    },
+    Some("""WITH e AS (SELECT event_id AS error_id, epoch_ms(ts) AS ems
+                       FROM events WHERE event_type = 'error'),
+                 c AS (SELECT event_id AS click_id, epoch_ms(ts) AS cms
+                       FROM events WHERE event_type = 'click')
+            SELECT e.error_id, CAST(count(*) AS BIGINT) AS n_nearby_clicks,
+                   min(abs(c.cms - e.ems)) AS min_gap_ms
+            FROM e JOIN c ON c.cms BETWEEN e.ems - 900000 AND e.ems + 900000
+            GROUP BY e.error_id ORDER BY e.error_id"""))
+
+  /** q65: Bloom-pruned semi-join — lineitem rows for high-value orders,
+    * with a broadcast Bloom probe dropping non-matching rows before the
+    * shuffle and the exact semi-join guaranteeing the unpruned result (the
+    * oracle is the PLAIN semi-join: Bloom false positives must be
+    * invisible). Summary aggregation keeps the gate compact. */
+  private val q65 = QDef(
+    "q65_bloom_semijoin",
+    (s, dir) => {
+      val lineitem = Tables.load(s, dir, "lineitem")
+      val bigOrders = Tables.load(s, dir, "orders")
+        .where(col("o_totalprice") > 450000.0)
+      BloomJoin.semiJoin(
+          lineitem, "l_orderkey", bigOrders, "o_orderkey",
+          expectedItems = 200000L)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            WHERE l_orderkey IN
+              (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
+            GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  def all: Seq[QDef] = Seq(q63, q64, q65)
+}
