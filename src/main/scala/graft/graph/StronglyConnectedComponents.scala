@@ -68,19 +68,24 @@ object StronglyConnectedComponents {
         }
       }
       if (nLeft > 0) {
-        // 2. forward min-color propagation to fixpoint
+        // 2. forward min-color propagation to fixpoint. Convergence is the
+        // (count, XOR-checksum) fingerprint idiom of [[ConnectedComponents]]
+        // — one aggregate scan of the checkpointed colors instead of a
+        // change-detection join per round (colors are distinct per id, so
+        // fingerprint equality <=> no color moved, modulo 64-bit collision).
         var colors = ckpt(verts.select(col("id"), col("id").as("color")))
         var stable = false
         var it = 0
+        var prevFp = fingerprint(colors)
         while (!stable && it < maxIter) {
           val pushed = edges
             .join(colors.select(col("id").as("src"), col("color")), "src")
             .select(col("dst").as("id"), col("color"))
           val next = ckpt(colors.union(pushed)
             .groupBy("id").agg(min("color").as("color")))
-          val changed = next.as("n").join(colors.as("c"), Seq("id"))
-            .where(col("n.color") =!= col("c.color")).limit(1).count()
-          stable = changed == 0
+          val fp = fingerprint(next)
+          stable = fp == prevFp
+          prevFp = fp
           colors = next
           it += 1
         }
@@ -127,5 +132,15 @@ object StronglyConnectedComponents {
       assigned = assigned.union(verts.select(col("id"), col("id").as("component")))
     }
     assigned
+  }
+
+  /** (row count, XOR-combined xxhash64) of an (id, color) assignment — the
+    * same one-aggregate convergence checksum [[ConnectedComponents]] uses
+    * (safe because the set is distinct per id: no XOR cancellation). */
+  private def fingerprint(colors: DataFrame): (Long, Long) = {
+    val row = colors.select(xxhash64(col("id"), col("color")).as("h"))
+      .agg(count(lit(1)).as("c"), coalesce(expr("bit_xor(h)"), lit(0L)).as("x"))
+      .head()
+    (row.getLong(0), row.getLong(1))
   }
 }
