@@ -687,7 +687,30 @@ object ExtQueries {
             LEFT JOIN per ON d.doc_id = per.doc_id
             ORDER BY d.doc_id"""))
 
+  /** Per-label embedding centroids ([[graft.ext.VectorAgg.groupedCentroids]])
+    * — the one-pass distributed vector mean that refreshes an IVF index or
+    * computes per-domain mixture means. Long format (label, pos, n,
+    * centroid); integer-quantized sums make the result order-independent
+    * and therefore bit-exact across engines (see VectorAgg scaladoc). The
+    * oracle zips DuckDB's parallel unnest of the vector and its index
+    * range. One shuffle of width labels × dim, corpus-size-independent. */
+  private val q70 = QDef(
+    "q70_centroids",
+    (s, dir) => graft.ext.VectorAgg
+      .groupedCentroids(embeddings(s, dir), "label", "embedding")
+      .orderBy("label", "pos"),
+    Some("""WITH ex AS (
+              SELECT label,
+                     unnest(range(len(embedding))) AS pos,
+                     unnest(embedding) AS elem
+              FROM embeddings)
+            SELECT label, CAST(pos AS BIGINT) AS pos,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(floor(CAST(elem AS DOUBLE)*1000000) AS BIGINT)) AS DOUBLE)
+                     / (count(*) * 1000000.0) AS centroid
+            FROM ex GROUP BY label, pos ORDER BY label, pos"""))
+
   val all: Seq[QDef] = Seq(
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q40, q41, q49, q61, q62)
+    q38, q40, q41, q49, q61, q62, q70)
 }

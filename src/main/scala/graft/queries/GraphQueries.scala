@@ -495,6 +495,42 @@ object GraphQueries {
                GROUP BY a.u)
              SELECT id, component FROM scc ORDER BY id"""))
 
+  /** k-core peeling (fixed 3 rounds, k=3) on the pseudo-txn graph — the
+    * fixpoint generalization of the reference's one-shot degree-1 shrink
+    * (`01_aml_network_analysis.py:119-127`). Fixed-round form so the
+    * oracle unrolls identically (the q19 fixed-superstep pattern); the
+    * fixpoint variant with convergence detection is spec-covered in
+    * GraphSpec. Output: surviving (id, degree) in the 3×-peeled subgraph. */
+  private val q69 = QDef(
+    "q69_kcore",
+    (s, dir) => graft.graph.KCore.pruneRounds(txnGraph(s, dir), k = 3, rounds = 3)
+      .orderBy("id"),
+    Some(s"""WITH e AS ($txnEdgesSql),
+             u0 AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b
+                    FROM e WHERE src <> dst),
+             d0 AS (SELECT id, count(*) AS deg FROM
+                      (SELECT a AS id FROM u0 UNION ALL SELECT b FROM u0)
+                    GROUP BY id),
+             k0 AS (SELECT id FROM d0 WHERE deg >= 3),
+             u1 AS (SELECT u.a, u.b FROM u0 u
+                    JOIN k0 x ON u.a = x.id JOIN k0 y ON u.b = y.id),
+             d1 AS (SELECT id, count(*) AS deg FROM
+                      (SELECT a AS id FROM u1 UNION ALL SELECT b FROM u1)
+                    GROUP BY id),
+             k1 AS (SELECT id FROM d1 WHERE deg >= 3),
+             u2 AS (SELECT u.a, u.b FROM u1 u
+                    JOIN k1 x ON u.a = x.id JOIN k1 y ON u.b = y.id),
+             d2 AS (SELECT id, count(*) AS deg FROM
+                      (SELECT a AS id FROM u2 UNION ALL SELECT b FROM u2)
+                    GROUP BY id),
+             k2 AS (SELECT id FROM d2 WHERE deg >= 3),
+             u3 AS (SELECT u.a, u.b FROM u2 u
+                    JOIN k2 x ON u.a = x.id JOIN k2 y ON u.b = y.id)
+             SELECT id, CAST(count(*) AS BIGINT) AS degree FROM
+               (SELECT a AS id FROM u3 UNION ALL SELECT b FROM u3)
+             GROUP BY id ORDER BY id"""))
+
   val all: Seq[QDef] =
-    Seq(q15, q16, q17, q18, q19, q20, q42, q44, q45, q48, q50, q58, q59, q60)
+    Seq(q15, q16, q17, q18, q19, q20, q42, q44, q45, q48, q50, q58, q59, q60,
+      q69)
 }

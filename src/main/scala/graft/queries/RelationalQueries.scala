@@ -367,7 +367,102 @@ object RelationalQueries {
                    CAST(count(*) AS BIGINT) AS n_rows
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** CUBE with grouping_id — the full-lattice companion to q12's rollup
+    * (SURVEY.md §2.4 free tier; the reference's grouped aggregations at
+    * `01_aml_network_analysis.py:60-63` generalized to all margin
+    * combinations). grouping_id disambiguates a real NULL group from a
+    * super-aggregate row, which the coalesce sentinel alone cannot; both
+    * engines compute it per the SQL standard (bit per column, first column
+    * most significant). One hash-aggregate with partial/final — Spark
+    * expands the lattice map-side, so the shuffle carries pre-combined
+    * partials per grouping set (scale-safe at 100 TB). */
+  private val q66 = QDef(
+    "q66_cube",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("flag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("status"),
+          col("gid"), col("n"), col("sum_qty"))
+        .orderBy("gid", "flag", "status"),
+    Some("""SELECT coalesce(l_returnflag,'(all)') AS flag,
+                   coalesce(l_linestatus,'(all)') AS status,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(l_quantity),2) AS sum_qty
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY gid, flag, status"""))
+
+  /** Explicit GROUPING SETS — the sparse lattice between q12's rollup and
+    * q66's cube: per (segment, status), per segment, and the grand total,
+    * but NOT per status alone. Same single-aggregate scale shape as q66. */
+  private val q67 = QDef(
+    "q67_grouping_sets",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupingSets(
+          Seq(Seq(col("c_mktsegment"), col("o_orderstatus")),
+            Seq(col("c_mktsegment")), Seq()),
+          col("c_mktsegment"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("value"))
+        .select(
+          coalesce(col("c_mktsegment"), lit("(all)")).as("segment"),
+          coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          col("n"), col("value"))
+        .orderBy("segment", "status"),
+    Some("""SELECT coalesce(c_mktsegment,'(all)') AS segment,
+                   coalesce(o_orderstatus,'(all)') AS status,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(o_totalprice),2) AS value
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY GROUPING SETS ((c_mktsegment, o_orderstatus), (c_mktsegment), ())
+            ORDER BY segment, status"""))
+
+  /** Pivot (long→wide conditional aggregation; the reporting shape over the
+    * reference's alert tables). The pivot values are declared explicitly so
+    * Spark skips the extra distinct-values job — at 100 TB an implicit
+    * pivot would scan the fact table twice. Compiles to ONE hash aggregate
+    * with `count(CASE WHEN ...)` branches (no join, no extra shuffle);
+    * the oracle mirrors it as FILTER conditional aggregation. */
+  private val q68 = QDef(
+    "q68_pivot",
+    (s, dir) => {
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      val safe = Map("1-URGENT" -> "urgent", "2-HIGH" -> "high",
+        "3-MEDIUM" -> "medium", "4-NOT SPECIFIED" -> "notspec", "5-LOW" -> "low")
+      val wide = t(s, dir, "orders")
+        .select(year(col("o_orderdate")).cast("long").as("yr"),
+          col("o_orderpriority"), col("o_totalprice"))
+        .groupBy("yr")
+        .pivot("o_orderpriority", prios)
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("value"))
+      val renamed = prios.foldLeft(wide) { (df, p) =>
+        df.withColumnRenamed(s"${p}_n", s"${safe(p)}_n")
+          .withColumnRenamed(s"${p}_value", s"${safe(p)}_value")
+      }
+      renamed.orderBy("yr")
+    },
+    Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                   CAST(count(*) FILTER (o_orderpriority='1-URGENT') AS BIGINT) AS urgent_n,
+                   round(sum(o_totalprice) FILTER (o_orderpriority='1-URGENT'),2) AS urgent_value,
+                   CAST(count(*) FILTER (o_orderpriority='2-HIGH') AS BIGINT) AS high_n,
+                   round(sum(o_totalprice) FILTER (o_orderpriority='2-HIGH'),2) AS high_value,
+                   CAST(count(*) FILTER (o_orderpriority='3-MEDIUM') AS BIGINT) AS medium_n,
+                   round(sum(o_totalprice) FILTER (o_orderpriority='3-MEDIUM'),2) AS medium_value,
+                   CAST(count(*) FILTER (o_orderpriority='4-NOT SPECIFIED') AS BIGINT) AS notspec_n,
+                   round(sum(o_totalprice) FILTER (o_orderpriority='4-NOT SPECIFIED'),2) AS notspec_value,
+                   CAST(count(*) FILTER (o_orderpriority='5-LOW') AS BIGINT) AS low_n,
+                   round(sum(o_totalprice) FILTER (o_orderpriority='5-LOW'),2) AS low_value
+            FROM orders GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-      q39, q43)
+      q39, q43, q66, q67, q68)
 }

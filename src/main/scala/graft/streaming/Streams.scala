@@ -100,6 +100,18 @@ object Streams {
     events.withWatermark(tsCol, watermark)
       .dropDuplicates(keyCols :+ tsCol)
 
+  /** Key-only streaming dedup: unlike [[dedupStream]] (which keys state on
+    * key+timestamp, so the same key at two timestamps survives twice), this
+    * drops ANY re-occurrence of a key while its first sighting is within the
+    * watermark horizon — `dropDuplicatesWithinWatermark` semantics, the
+    * shape used to suppress re-crawled documents whose fetch timestamp
+    * differs. State holds one row per distinct key per horizon and is
+    * evicted when the watermark passes, so it is bounded at any scale. */
+  def dedupKeysWithinWatermark(events: DataFrame, keyCols: Seq[String],
+      tsCol: String = "ts", watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Incremental connected components as a streaming sink: each micro-batch
     * of edges is folded into a driver-held assignment via
     * [[graft.graph.IncrementalCC.step]] (contracted-graph CC, not a full

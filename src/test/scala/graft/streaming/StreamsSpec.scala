@@ -156,6 +156,25 @@ class StreamsSpec extends SparkTestBase {
     } finally sq.stop()
   }
 
+  test("key-only dedup drops a re-seen key even at a different timestamp") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val sq = Streams.dedupKeysWithinWatermark(
+        mem.toDF().toDF("ts", "doc_id", "text"), Seq("doc_id"))
+      .writeStream.format("memory").queryName("dedup_keys").outputMode("append").start()
+    try {
+      // key 1 arrives at ts(1) then again at ts(2): dedupStream would keep
+      // both (different event times); key-only dedup must drop the re-crawl
+      mem.addData((ts(1), 1L, "a"), (ts(2), 1L, "a-recrawl"), (ts(3), 2L, "b"))
+      sq.processAllAvailable()
+      mem.addData((ts(4), 2L, "b-recrawl"), (ts(4), 3L, "c")) // across batches too
+      sq.processAllAvailable()
+      val streamed = spark.table("dedup_keys")
+        .select("doc_id", "text").as[(Long, String)].collect().toSeq.sorted
+      assert(streamed == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally sq.stop()
+  }
+
   test("incremental CC sink over a stream of edges matches batch CC on all edges") {
     implicit val sqlCtx = spark.sqlContext
     val all = Seq((1L, 2L), (3L, 4L), (2L, 3L), (10L, 11L), (4L, 10L))
