@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BloomProbe, CosineSimilarity, DotProduct, DoubleMetaphoneExpr, JaroWinkler}
+import graft.functions.{BloomProbe, CosineSimilarity, DotProduct, DoubleMetaphoneExpr, JaroWinkler, MisraGriesAgg}
 
 /** Session extensions registering the engine's custom Catalyst expressions
   * (SURVEY.md §4: JaroWinkler for ER fuzzy comparison; cosine/dot for the
@@ -40,5 +40,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("double_metaphone_alt"),
       new ExpressionInfo(classOf[DoubleMetaphoneExpr].getName, "double_metaphone_alt"),
       (children: Seq[Expr]) => DoubleMetaphoneExpr(children.head, alternate = true)))
+    ext.injectFunction((
+      new FunctionIdentifier("approx_top_k"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "approx_top_k"),
+      (children: Seq[Expr]) => MisraGriesAgg.fromFunctionCall(children)))
   }
 }

@@ -145,4 +145,38 @@ object TextAnalysis {
       .limit(k)
       .withColumn("rank", row_number().over(w).cast("long"))
   }
+
+  /** Unigram-LM document scoring — the shape of a CCNet/KenLM perplexity
+    * filter (Wenzek et al. 2020, public) with the LM trained on the corpus
+    * itself: per document, the count of tokens, the exact sum of corpus
+    * frequencies of its tokens, their mean (how "common" the document's
+    * vocabulary is — boilerplate scores high, gibberish scores low), and
+    * the average token log-probability under the unigram LM.
+    *
+    * Scale shape: one explode to token rows, one vocabulary aggregate
+    * (shuffle on the token, map-side combine — vocabulary size, not corpus
+    * size), one equi-join of token rows against the vocabulary (AQE
+    * broadcasts the LM while it fits), one per-document aggregate. No
+    * driver materialization; the corpus-total token count rides along as a
+    * broadcast scalar subquery, not a collect.
+    *
+    * Determinism: `n_tokens`/`freq_sum` are exact integers and
+    * `avg_token_freq` one IEEE division of exact integers — bit-stable
+    * across engines and shuffle orders. `avg_logprob` sums `ln` values
+    * whose last ulp is libm-specific, so it is spec-checked (tolerance)
+    * rather than oracle-hashed. */
+  def unigramScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("w"))
+    val lm = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val total = lm.agg(sum(col("cnt")).as("corpus_tokens"))
+    tok.join(lm, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("cnt")).as("freq_sum"),
+        sum(log(col("cnt").cast("double"))).as("__sumlog"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"), col("freq_sum"),
+        (col("freq_sum").cast("double") / col("n_tokens")).as("avg_token_freq"),
+        (col("__sumlog") / col("n_tokens") -
+          log(col("corpus_tokens").cast("double"))).as("avg_logprob"))
+  }
 }

@@ -710,7 +710,64 @@ object ExtQueries {
                      / (count(*) * 1000000.0) AS centroid
             FROM ex GROUP BY label, pos ORDER BY label, pos"""))
 
+  /** Unigram-LM document scoring ([[TextAnalysis.unigramScore]]) — the
+    * CCNet-style perplexity-filter shape with the LM trained on the corpus
+    * itself. The hash gate covers the exact-integer columns and their one
+    * IEEE division; the `ln`-based avg_logprob column is libm-sensitive and
+    * is therefore asserted with tolerance in TrainPrepSpec instead. */
+  private val q71 = QDef(
+    "q71_unigram_lm",
+    (s, dir) => TextAnalysis
+      .unigramScore(Tables.load(s, dir, "documents"), "doc_id", "text")
+      .drop("avg_logprob")
+      .orderBy("doc_id"),
+    Some("""WITH tok AS (
+              SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+              FROM documents),
+            lm AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(cnt) AS BIGINT) AS freq_sum,
+                   CAST(sum(cnt) AS DOUBLE) / count(*) AS avg_token_freq
+            FROM tok JOIN lm USING (w)
+            GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Heavy-hitter words via the [[graft.functions.MisraGriesAgg]] sketch
+    * (`approx_top_k`): the registered result is the guaranteed-heavy subset
+    * — exact-count tokens above the n/(k+1) frequency threshold that the
+    * sketch provably contains (no false negatives) — semi-joined against
+    * the sketch output. The sketch itself is engine-specific state; the
+    * guarantee it carries is engine-independent, so the oracle computes the
+    * same heavy set exactly (the q26/q30 containment-oracle pattern). If
+    * the sketch ever dropped a guaranteed item, the semi-join would shrink
+    * the result and the hash gate would fail. k=512 counters per partition
+    * vs a full-vocabulary shuffle — the 100 TB path for q54's exact top-k. */
+  private val q73 = QDef(
+    "q73_approx_heavy_words",
+    (s, dir) => {
+      val k = 512
+      val tok = Tables.load(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      val exact = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+      val total = tok.agg(count(lit(1)).as("n"))
+      val sk = tok
+        .agg(call_function("approx_top_k", col("w"), lit(k)).as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.item").as("w"))
+      exact.crossJoin(broadcast(total))
+        .where(col("cnt") * (k + 1) > col("n")) // cnt > n/(k+1), integer-exact
+        .join(sk, Seq("w"), "left_semi")
+        .select(col("w"), col("cnt"))
+        .orderBy(desc("cnt"), asc("w"))
+    },
+    Some("""WITH tok AS (
+              SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+              FROM documents),
+            ex AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+            tot AS (SELECT count(*) AS n FROM tok)
+            SELECT w, CAST(cnt AS BIGINT) AS cnt FROM ex, tot
+            WHERE cnt * 513 > n ORDER BY cnt DESC, w"""))
+
   val all: Seq[QDef] = Seq(
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q40, q41, q49, q61, q62, q70)
+    q38, q40, q41, q49, q61, q62, q70, q71, q73)
 }

@@ -462,7 +462,44 @@ object RelationalQueries {
                    round(sum(o_totalprice) FILTER (o_orderpriority='5-LOW'),2) AS low_value
             FROM orders GROUP BY 1 ORDER BY 1"""))
 
+  /** Window-function depth beyond q07's row_number: ranking
+    * (percent_rank/cume_dist/ntile), a positional first_value, and a
+    * running ROWS-frame sum — per-customer order history analytics. The
+    * ordering (o_orderdate, o_orderkey) is total, so every function is
+    * deterministic; the running sum is over exact integer cents (double
+    * window sums are association-order-dependent — DuckDB aggregates
+    * frames with a segment tree, Spark sequentially). One shuffle on
+    * o_custkey; all six functions share the single sorted partition pass. */
+  private val q72 = QDef(
+    "q72_window_depth",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).cast("long").as("rn"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          first(col("o_orderkey")).over(w).as("first_key"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).over(run).as("run_cents"))
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+                   CAST(row_number() OVER w AS BIGINT) AS rn,
+                   percent_rank() OVER w AS pr,
+                   cume_dist() OVER w AS cd,
+                   CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                   first_value(o_orderkey) OVER w AS first_key,
+                   CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            ORDER BY o_custkey, rn"""))
+
   val all: Seq[QDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-      q39, q43, q66, q67, q68)
+      q39, q43, q66, q67, q68, q72)
 }

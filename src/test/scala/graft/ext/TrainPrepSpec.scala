@@ -140,3 +140,29 @@ class RepetitionSpec extends SparkTestBase {
       ("to be", 3L, 2L, 1L), ("be do", 2L, 1L, 2L), ("do be", 2L, 1L, 3L)))
   }
 }
+
+class UnigramScoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("unigram score matches hand-computed counts and logprob") {
+    // corpus: "a a b" and "a c" -> counts: a=3, b=1, c=1, total=5
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramScore(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    val (d1, d2) = (out(0), out(1))
+    assert(d1 == ((1L, 3L, 7L, 7.0 / 3, d1._5)) && d2 == ((2L, 2L, 4L, 2.0, d2._5)))
+    // avg_logprob = mean(ln cnt) - ln total, checked with tolerance (libm)
+    val exp1 = (math.log(3) + math.log(3) + math.log(1)) / 3 - math.log(5)
+    val exp2 = (math.log(3) + math.log(1)) / 2 - math.log(5)
+    assert(math.abs(d1._5 - exp1) < 1e-12 && math.abs(d2._5 - exp2) < 1e-12)
+  }
+
+  test("boilerplate scores higher avg token frequency than unique text") {
+    val docs = (1L to 20L).map(i => (i, "lorem ipsum dolor sit amet")) :+
+      (21L, "zyx wvu tsr qpo nml")
+    val out = TextAnalysis.unigramScore(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id", "avg_token_freq").as[(Long, Double)].collect().toMap
+    assert(out(1L) == 20.0 && out(21L) == 1.0)
+  }
+}

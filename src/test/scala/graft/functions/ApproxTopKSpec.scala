@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class ApproxTopKSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sketch(rows: Seq[String], k: Int): Map[String, Long] =
+    rows.toDF("w")
+      .repartition(4) // force partial sketches + a merge tree
+      .agg(call_function("approx_top_k", col("w"), lit(k)).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.item"), col("e.count_lb"))
+      .as[(String, Long)].collect().toMap
+
+  test("every item above the n/(k+1) threshold is present with a valid lower bound") {
+    // 600 a, 300 b, 100 c, 200 distinct noise -> n = 1200
+    val rows = Seq.fill(600)("a") ++ Seq.fill(300)("b") ++ Seq.fill(100)("c") ++
+      (1 to 200).map(i => s"noise$i")
+    val n = rows.size
+    for (k <- Seq(5, 20, 100)) {
+      val sk = sketch(rows, k)
+      assert(sk.size <= k)
+      val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // guarantee 1: no false negatives above the threshold
+      exact.filter { case (_, c) => c > n.toLong / (k + 1) }.keys.foreach { item =>
+        assert(sk.contains(item), s"k=$k lost heavy item $item")
+      }
+      // guarantee 2: count_lb in (true - n/(k+1), true]
+      sk.foreach { case (item, lb) =>
+        val t = exact(item)
+        assert(lb <= t && lb >= t - n.toDouble / (k + 1), s"k=$k $item lb=$lb true=$t")
+      }
+    }
+  }
+
+  test("exact when distinct items fit in k counters") {
+    val rows = Seq.fill(7)("x") ++ Seq.fill(3)("y") ++ Seq("z")
+    assert(sketch(rows, 10) == Map("x" -> 7L, "y" -> 3L, "z" -> 1L))
+  }
+
+  test("nulls are ignored and output is sorted by count desc then item") {
+    val df = Seq(Some("a"), None, Some("a"), Some("b"), None).toDF("w")
+    val out = df.agg(call_function("approx_top_k", col("w"), lit(4)).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.item"), col("e.count_lb")).as[(String, Long)].collect().toSeq
+    assert(out == Seq(("a", 2L), ("b", 1L)))
+  }
+
+  test("grouped sketches aggregate per group") {
+    val df = Seq(("g1", "a"), ("g1", "a"), ("g1", "b"), ("g2", "z"))
+      .toDF("g", "w")
+    val out = df.groupBy("g")
+      .agg(call_function("approx_top_k", col("w"), lit(8)).as("sk"))
+      .select(col("g"), explode(col("sk")).as("e"))
+      .select(col("g"), col("e.item"), col("e.count_lb"))
+      .as[(String, String, Long)].collect().toSet
+    assert(out == Set(("g1", "a", 2L), ("g1", "b", 1L), ("g2", "z", 1L)))
+  }
+}
