@@ -14,7 +14,9 @@ import org.apache.spark.sql.functions._
   *     remaining subgraph is its own SCC — peel and repeat (resolves all
   *     DAG-like regions without any propagation phase).
   *  2. *Color*: forward-propagate the minimum reaching vertex id to
-  *     fixpoint (each round one edge-to-colors join + min-aggregate).
+  *     fixpoint — each round folds one edge-push join AND one pointer
+  *     jump (color-of-color) into the min-aggregate, so rounds scale with
+  *     O(log diameter) rather than diameter.
   *  3. *Collect*: a color class's root is the vertex that IS its color; the
   *     SCC of that root = vertices of the class that reach the root —
   *     backward frontier expansion restricted to the class.
@@ -81,8 +83,22 @@ object StronglyConnectedComponents {
           val pushed = edges
             .join(colors.select(col("id").as("src"), col("color")), "src")
             .select(col("dst").as("id"), col("color"))
-          val next = ckpt(colors.union(pushed)
-            .groupBy("id").agg(min("color").as("color")))
+          // pointer jump: color(v) = m means "m reaches v", so color(m)
+          // also reaches v transitively — folding it in makes the minimum
+          // travel doubling-length paths, collapsing the round count from
+          // O(diameter) to O(log diameter) (pointer-jumping shortcutting
+          // applied to min-reachability). The jump join costs ~a third of
+          // a round, so it is enabled only once the cheap edge-push rounds
+          // have NOT converged (it >= 3) — small-diameter graphs finish
+          // before paying for it, long chains still get the log behavior.
+          val base = colors.union(pushed)
+          val folded = if (it < 3) base else {
+            val jumped = colors.as("c")
+              .join(colors.select(col("id").as("color"), col("color").as("c2")), "color")
+              .select(col("id"), col("c2").as("color"))
+            base.union(jumped)
+          }
+          val next = ckpt(folded.groupBy("id").agg(min("color").as("color")))
           val fp = fingerprint(next)
           stable = fp == prevFp
           prevFp = fp

@@ -71,3 +71,19 @@ class KCoreSpec extends SparkTestBase {
     }
   }
 }
+
+class SccJumpSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("pointer jumping converges a long directed cycle within O(log n) + warmup rounds") {
+    // a 150-cycle is one SCC; plain edge-push needs ~150 color rounds, the
+    // adaptive jump must land well under 25 (3 warmup + ~8 doubling)
+    val n = 150
+    val edges = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))
+    val verts = (0 until n).map(_.toLong).toDF("id")
+    val out = StronglyConnectedComponents
+      .run(PropertyGraph(verts, edges.toDF("src", "dst")), maxIter = 25, strict = true)
+      .as[(Long, Long)].collect()
+    assert(out.length == n && out.forall(_._2 == 0L))
+  }
+}
