@@ -346,20 +346,27 @@ object RelationalQueries {
     * they cannot be oracle-hashed. */
   private val q43 = QDef(
     "q43_quantiles",
-    (s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          // one percentile buffer for both quantiles — halves the
-          // sort-heavy ObjectHashAggregate work vs two separate aggregates
-          expr("percentile(l_extendedprice, array(0.5, 0.95))").as("__ps"),
-          countDistinct(col("l_partkey")).as("n_parts"),
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      // one percentile buffer for both quantiles — halves the sort-heavy
+      // ObjectHashAggregate work vs two separate aggregates. The distinct
+      // count runs as its OWN two-phase aggregate joined back on the tiny
+      // group key: combining it with percentile() makes Catalyst plan an
+      // Expand that doubles the rows feeding the percentile buffers
+      // (measured 1.7× slower at sf0.1; worse at 100 TB where the Expand
+      // doubles the shuffle too).
+      val p = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, array(0.5, 0.95))").as("__ps"),
           count(lit(1)).as("n_rows"))
+      val nd = li.select("l_returnflag", "l_partkey").distinct()
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n_parts"))
+      p.join(nd, "l_returnflag")
         .select(col("l_returnflag"),
           col("__ps").getItem(0).as("median_price"),
           col("__ps").getItem(1).as("p95_price"),
           col("n_parts"), col("n_rows"))
-        .orderBy("l_returnflag"),
+        .orderBy("l_returnflag")
+    },
     Some("""SELECT l_returnflag,
                    quantile_cont(l_extendedprice, 0.5) AS median_price,
                    quantile_cont(l_extendedprice, 0.95) AS p95_price,
