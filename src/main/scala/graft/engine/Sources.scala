@@ -42,4 +42,11 @@ object Sources {
     * pushdown/pruning; round-trips the same scale properties as parquet. */
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
+
+  /** Plain-text source: one row per line (`value: string`), or one row per
+    * file with `wholetext` — the rawest corpus ingestion shape (crawl dumps,
+    * log shards). Splittable per line, so a 100 TB directory parallelizes
+    * by HDFS block like any other file source. */
+  def text(spark: SparkSession, path: String, wholeFile: Boolean = false): DataFrame =
+    spark.read.option("wholetext", wholeFile.toString).text(path)
 }

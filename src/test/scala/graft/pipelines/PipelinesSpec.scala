@@ -43,6 +43,17 @@ class SourcesSpec extends SparkTestBase {
     assert(row.getAs[Array[Byte]](1).toSeq == Seq[Byte](1, 2, 3))
   }
 
+  test("text source reads per line or whole file") {
+    val dir = Files.createTempDirectory("graft_txt")
+    Files.writeString(dir.resolve("a.txt"), "line one\nline two\n")
+    val lines = Sources.text(spark, dir.toString)
+    assert(lines.columns.toSeq == Seq("value"))
+    assert(lines.count() == 2)
+    val whole = Sources.text(spark, dir.toString, wholeFile = true)
+    assert(whole.count() == 1)
+    assert(whole.head().getString(0).startsWith("line one\nline two"))
+  }
+
   test("co-bucketed tables join without an exchange") {
     import spark.implicits._
     val wh = Files.createTempDirectory("graft_bucket").toString
