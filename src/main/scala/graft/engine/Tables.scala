@@ -95,4 +95,28 @@ final class Catalog(spark: SparkSession, warehouseDir: String) {
       .sortBy(bucketCol)
       .saveAsTable(name)
   }
+
+  private val upsertVersion = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** MERGE-style upsert — the shape of Delta's `MERGE INTO` (reference
+    * tables are Delta, `01_aml_network_analysis.py:245`) without the Delta
+    * jar: rows whose key matches an update take the update row wholesale,
+    * unmatched existing rows are kept, brand-new keys insert. The merged
+    * snapshot is written to a NEW versioned directory and the view
+    * repointed — the new-files-plus-metadata-pointer swap every table
+    * format (Delta/Iceberg) performs, which also sidesteps Spark's
+    * cannot-overwrite-a-path-being-read restriction and leaves in-flight
+    * readers of the old snapshot intact. One anti-join (broadcast-able
+    * while the update batch is small; bucket both sides on the key for
+    * repeated 100 TB merges) plus one union — no driver materialization. */
+  def upsert(name: String, updates: DataFrame, keys: Seq[String]): Unit = {
+    val current = table(name)
+    val merged = current
+      .join(updates.select(keys.map(org.apache.spark.sql.functions.col): _*)
+        .distinct(), keys, "left_anti")
+      .unionByName(updates)
+    val path = s"$warehouseDir/$name/__v${upsertVersion.incrementAndGet()}"
+    merged.write.mode("errorifexists").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView(name)
+  }
 }

@@ -558,6 +558,38 @@ object ExtQueries {
                    CAST(count(*) AS BIGINT) AS n_events
             FROM z GROUP BY user_id, sid ORDER BY user_id, sid"""))
 
+  /** Native `session_window` aggregation — the OTHER Spark sessionization
+    * operator (q37 builds sessions with window functions; this uses the
+    * built-in gap-merging session windows that Structured Streaming can run
+    * incrementally under a watermark). Semantics differences the oracle
+    * mirrors exactly: a gap of EXACTLY 30min starts a new session (merge
+    * condition is strict `<`), and window end = last event + gap. */
+  private val q74 = QDef(
+    "q74_session_window",
+    (s, dir) => Tables.load(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_millis(col("sw.start")).as("start_ms"),
+        unix_millis(col("sw.end")).as("end_ms"),
+        col("n_events"))
+      .orderBy("user_id", "start_ms"),
+    Some("""WITH x AS (
+              SELECT user_id, event_id, epoch_ms(ts) AS ms,
+                     lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events),
+            y AS (
+              SELECT *, CASE WHEN prev IS NULL OR ms - prev >= 1800000 THEN 1 ELSE 0 END AS brk
+              FROM x),
+            z AS (
+              SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM y)
+            SELECT user_id, min(ms) AS start_ms,
+                   max(ms) + 1800000 AS end_ms,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM z GROUP BY user_id, sid ORDER BY user_id, start_ms"""))
+
   /** JSON extraction from the event props payload (Spark get_json_object;
     * oracle via regex so no DuckDB extension dependency). */
   private val q38 = QDef(
@@ -769,5 +801,5 @@ object ExtQueries {
 
   val all: Seq[QDef] = Seq(
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q40, q41, q49, q61, q62, q70, q71, q73)
+    q38, q40, q41, q49, q61, q62, q70, q71, q73, q74)
 }

@@ -506,7 +506,32 @@ object RelationalQueries {
             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
             ORDER BY o_custkey, rn"""))
 
+  /** DataFrameNaFunctions surface — fill / replace over a nullable
+    * projection (nulls planted deterministically so the cleaning is
+    * observable; `na.drop` is spec-covered in DriverSurfaceSpec). The
+    * whole chain compiles to one codegen'd projection — null handling
+    * costs nothing extra at scale. */
+  private val q75 = QDef(
+    "q75_na_clean",
+    (s, dir) => {
+      val dirty = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        when(col("o_orderstatus") === "P", lit(null)).otherwise(col("o_orderstatus")).as("status"),
+        when(col("o_totalprice") < 50000, lit(null)).otherwise(col("o_totalprice")).as("price"))
+      dirty.na.fill(Map("status" -> "UNKNOWN"))
+        .na.fill(0.0, Seq("price"))
+        .na.replace("status", Map("F" -> "FINAL"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+                   CASE coalesce(CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END, 'UNKNOWN')
+                     WHEN 'F' THEN 'FINAL'
+                     ELSE coalesce(CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END, 'UNKNOWN')
+                   END AS status,
+                   coalesce(CASE WHEN o_totalprice < 50000 THEN NULL ELSE o_totalprice END, 0.0) AS price
+            FROM orders ORDER BY o_orderkey"""))
+
   val all: Seq[QDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-      q39, q43, q66, q67, q68, q72)
+      q39, q43, q66, q67, q68, q72, q75)
 }

@@ -45,4 +45,13 @@ class DriverSurfaceSpec extends SparkTestBase {
     assert(df.head().getLong(0) == 1L)
     assert(!df.isEmpty && spark.emptyDataFrame.isEmpty)
   }
+
+  test("na.drop removes rows with nulls in the watched columns only") {
+    import spark.implicits._
+    val d = Seq((1L, Some("a"), Some(1.0)), (2L, None, Some(2.0)),
+      (3L, Some("c"), None)).toDF("id", "s", "x")
+    assert(d.na.drop().count() == 1)
+    assert(d.na.drop(Seq("s")).select("id").as[Long].collect().toSet == Set(1L, 3L))
+    assert(d.na.drop("all").count() == 3) // no all-null rows
+  }
 }

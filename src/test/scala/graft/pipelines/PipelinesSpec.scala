@@ -54,6 +54,25 @@ class SourcesSpec extends SparkTestBase {
     assert(whole.head().getString(0).startsWith("line one\nline two"))
   }
 
+  test("upsert merges by key with update-wins semantics and versioned swap") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_upsert").toString
+    val cat = new Catalog(spark, wh)
+    cat.save("accounts", Seq((1L, "alice", 10.0), (2L, "bob", 20.0))
+      .toDF("id", "name", "bal"))
+    cat.upsert("accounts",
+      Seq((2L, "bob", 25.0), (3L, "carol", 5.0)).toDF("id", "name", "bal"),
+      Seq("id"))
+    val got = cat.table("accounts")
+      .as[(Long, String, Double)].collect().toSet
+    assert(got == Set((1L, "alice", 10.0), (2L, "bob", 25.0), (3L, "carol", 5.0)))
+    // a second merge stacks on the first snapshot
+    cat.upsert("accounts", Seq((1L, "alice", 0.0)).toDF("id", "name", "bal"), Seq("id"))
+    assert(cat.table("accounts").where($"id" === 1L)
+      .select("bal").as[Double].head() == 0.0)
+    assert(cat.table("accounts").count() == 3)
+  }
+
   test("co-bucketed tables join without an exchange") {
     import spark.implicits._
     val wh = Files.createTempDirectory("graft_bucket").toString
