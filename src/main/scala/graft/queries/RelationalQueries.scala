@@ -531,7 +531,55 @@ object RelationalQueries {
                    coalesce(CASE WHEN o_totalprice < 50000 THEN NULL ELSE o_totalprice END, 0.0) AS price
             FROM orders ORDER BY o_orderkey"""))
 
+  /** Equi-width histogram via `width_bucket` — the profiling shape behind
+    * data-quality dashboards. One hash aggregate on the bucket id;
+    * integer-exact counts and cents sums. The oracle mirrors the bucket
+    * arithmetic explicitly (floor division), pinning the function's
+    * semantics rather than assuming DuckDB ships the same builtin. */
+  private val q76 = QDef(
+    "q76_histogram",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(expr("width_bucket(o_totalprice, 0, 600000, 12)").cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+        .orderBy("bucket"),
+    Some("""SELECT CAST(least(floor(o_totalprice / 50000), 11) + 1 AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM orders GROUP BY 1 ORDER BY bucket"""))
+
+  /** Correlated subqueries — EXISTS (decorrelates to a left-semi join),
+    * NOT EXISTS (anti join), and a correlated scalar count (left-outer +
+    * aggregate): Catalyst's RewriteCorrelatedScalarSubquery /
+    * RewritePredicateSubquery at work. Everything integer-exact. */
+  private val q77 = QDef(
+    "q77_correlated_subqueries",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT o.o_orderkey,
+                      (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey) AS n_items
+               FROM orders o
+               WHERE EXISTS (SELECT 1 FROM lineitem l
+                             WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+                 AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                                 WHERE l2.l_orderkey = o.o_orderkey
+                                   AND l2.l_returnflag = 'R')
+               ORDER BY o.o_orderkey""")
+    },
+    Some("""SELECT o.o_orderkey,
+                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey) AS n_items
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                              WHERE l2.l_orderkey = o.o_orderkey
+                                AND l2.l_returnflag = 'R')
+            ORDER BY o.o_orderkey"""))
+
   val all: Seq[QDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-      q39, q43, q66, q67, q68, q72, q75)
+      q39, q43, q66, q67, q68, q72, q75, q76, q77)
 }
