@@ -384,6 +384,28 @@ object EntityResolver {
     (scored, params)
   }
 
+  /** Entity clusters from pairwise predictions — splink's
+    * `cluster_pairwise_predictions_at_threshold` surface, the step that
+    * turns scored pairs into entity ids: connected components over the
+    * pairs passing `predicate` (a probability threshold, or a gamma rule
+    * when the caller wants an EM-free deterministic clustering), every
+    * source record assigned `cluster_id = min(member uid)`, records in no
+    * passing pair forming singleton clusters. Scale shape: one filter on
+    * the (already blocked, never O(n²)) pair table, then
+    * [[graft.graph.ConnectedComponents]]'s O(log n)-round loop. */
+  def clusterPairs(source: DataFrame, pairs: DataFrame, uniqueId: String,
+      predicate: Column, checkpointDir: Option[String] = None): DataFrame = {
+    val edges = pairs.where(predicate)
+      .select(col(s"${uniqueId}_l").as("src"), col(s"${uniqueId}_r").as("dst"))
+    val assign = graft.graph.ConnectedComponents
+      .runOnEdges(edges, checkpointDir = checkpointDir)
+      .withColumnRenamed("id", uniqueId)
+    source.select(col(uniqueId)).distinct()
+      .join(assign, Seq(uniqueId), "left_outer")
+      .select(col(uniqueId),
+        coalesce(col("component"), col(uniqueId)).as("cluster_id"))
+  }
+
   /** Fitted parameters as a DataFrame (the reference's model diagnostics
     * surface, `03_aml_entity_resolution.py:72-75`). */
   def paramsAsDataFrame(spark: org.apache.spark.sql.SparkSession, params: FsParams): DataFrame = {

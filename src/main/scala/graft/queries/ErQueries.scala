@@ -274,5 +274,48 @@ object ErQueries {
                     TRUE AS monotone_name, TRUE AS monotone_address
              FROM g GROUP BY 1, 2 ORDER BY 1, 2"""))
 
-  val all: Seq[QDef] = Seq(q21, q22, q23, q46, q47)
+  /** Pairwise predictions → entity clusters
+    * ([[EntityResolver.clusterPairs]], splink's
+    * `cluster_pairwise_predictions_at_threshold`): connected components
+    * over the strong-match pairs (name within Levenshtein 2 AND exact
+    * balance — an EM-free gamma rule, so the oracle can recompute the same
+    * pairs in SQL), min-member cluster ids, singletons for unmatched
+    * records. Oracle: recursive-CTE reachability over the same pair set. */
+  private val q78 = QDef(
+    "q78_er_clusters",
+    (s, dir) => {
+      val d = dirty(s, dir)
+      val pairs = Comparison.withGammas(Blocking.pairs(d, settings),
+        Seq(
+          ComparisonColumn("name", fuzzy = Some(LevenshteinLevel(2))),
+          ComparisonColumn("acctbal")))
+      EntityResolver
+        .clusterPairs(d, pairs, "unique_id",
+          col("gamma_name") >= 1 && col("gamma_acctbal") === 1)
+        .orderBy("unique_id")
+    },
+    Some(s"""WITH RECURSIVE d AS ($dirtySql),
+             p AS (
+               SELECT l.unique_id AS ul, r.unique_id AS ur
+               FROM d l JOIN d r
+                 ON (l.bucket = r.bucket
+                     OR (l.nation = r.nation AND l.segment = r.segment
+                         AND l.digits = r.digits))
+                    AND l.unique_id < r.unique_id
+               WHERE levenshtein(l.name, r.name) <= 2
+                 AND l.acctbal = r.acctbal),
+             eb AS (SELECT ul AS src, ur AS dst FROM p
+                    UNION ALL SELECT ur, ul FROM p),
+             nodes AS (SELECT DISTINCT src AS id FROM eb),
+             reach(root, node) AS (
+               SELECT id, id FROM nodes
+               UNION
+               SELECT r.root, eb.dst FROM reach r JOIN eb ON r.node = eb.src),
+             comp AS (SELECT root AS id, min(node) AS component
+                      FROM reach GROUP BY root)
+             SELECT d.unique_id, coalesce(comp.component, d.unique_id) AS cluster_id
+             FROM d LEFT JOIN comp ON d.unique_id = comp.id
+             ORDER BY d.unique_id"""))
+
+  val all: Seq[QDef] = Seq(q21, q22, q23, q46, q47, q78)
 }

@@ -235,3 +235,19 @@ class FellegiSunterSpec extends SparkTestBase {
     assert(p("rare") > p("smith"), "rare shared value must outweigh common one")
   }
 }
+
+class ClusterPairsSpec extends graft.SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("clusterPairs groups transitively matched records and leaves singletons") {
+    val src = Seq(1L, 2L, 3L, 4L, 5L).toDF("unique_id")
+    // 1-2 and 2-3 match (transitive cluster), 4-5 pair fails the predicate
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.8), (4L, 5L, 0.2))
+      .toDF("unique_id_l", "unique_id_r", "match_probability")
+    val out = EntityResolver
+      .clusterPairs(src, pairs, "unique_id", col("match_probability") >= 0.5)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L))
+  }
+}
