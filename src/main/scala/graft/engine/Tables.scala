@@ -96,6 +96,20 @@ final class Catalog(spark: SparkSession, warehouseDir: String) {
       .saveAsTable(name)
   }
 
+  /** Compact a managed table to `targetFiles` output files — the
+    * small-files remedy for tables accreted by many upserts/streaming
+    * micro-batches (a 100 TB table with millions of tiny files pays its
+    * cost in scan task overhead and namenode pressure, not bytes).
+    * `coalesce` avoids a shuffle when reducing; the compacted snapshot is
+    * written as a new versioned directory like [[upsert]]. */
+  def compact(name: String, targetFiles: Int): Unit = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    val snap = table(name).coalesce(targetFiles)
+    val path = s"$warehouseDir/$name/__v${upsertVersion.incrementAndGet()}"
+    snap.write.mode("errorifexists").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView(name)
+  }
+
   private val upsertVersion = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** MERGE-style upsert — the shape of Delta's `MERGE INTO` (reference

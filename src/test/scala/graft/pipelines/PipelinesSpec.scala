@@ -73,6 +73,43 @@ class SourcesSpec extends SparkTestBase {
     assert(cat.table("accounts").count() == 3)
   }
 
+  test("csv and json-lines sinks round-trip through their matching sources") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sinks")
+    val df = Seq((1L, "a,b", 1.5), (2L, "c\"d", -2.0)).toDF("id", "s", "x")
+    df.write.option("header", "true").csv(s"$dir/csv")
+    df.write.json(s"$dir/jsonl")
+    val backCsv = Sources.csv(spark, s"$dir/csv", Some("id LONG, s STRING, x DOUBLE"))
+      .as[(Long, String, Double)].collect().toSet
+    val backJson = Sources.jsonLines(spark, s"$dir/jsonl", Some("id LONG, s STRING, x DOUBLE"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(backCsv == Set((1L, "a,b", 1.5), (2L, "c\"d", -2.0)))
+    assert(backJson == backCsv)
+  }
+
+  test("compact rewrites a many-file table into the target file count") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_compact").toString
+    val cat = new Catalog(spark, wh)
+    cat.save("shards", (1L to 100L).toDF("id").repartition(8))
+    cat.compact("shards", 2)
+    assert(cat.table("shards").count() == 100)
+    assert(cat.table("shards").inputFiles.length <= 2)
+  }
+
+  test("observe() collects pipeline metrics without a second pass") {
+    import spark.implicits._
+    val obs = new org.apache.spark.sql.Observation("stats")
+    val df = (1L to 50L).toDF("id")
+      .observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"),
+        org.apache.spark.sql.functions.sum($"id").as("total"))
+      .filter($"id" % 2 === 0)
+    assert(df.count() == 25)
+    // metrics reflect the observed point in the plan (before the filter)
+    assert(obs.get("rows") == 50L && obs.get("total") == 1275L)
+  }
+
   test("co-bucketed tables join without an exchange") {
     import spark.implicits._
     val wh = Files.createTempDirectory("graft_bucket").toString
