@@ -16,10 +16,13 @@ class PlanSpec extends SparkTestBase {
 
   /** BNLJ is legitimate only where a deliberately-broadcast small side is
     * crossed with one corpus scan: the brute-force top-k query set (q28),
-    * IVF centroid scoring (q40), and q26/q27's assembly of single-row
-    * assertion aggregates. Everything else must equi-join. */
+    * IVF centroid scoring (q40), q26/q27's assembly of single-row
+    * assertion aggregates, and the single-row corpus-total broadcasts in
+    * q71 (token total) and q73 (heavy-hitter threshold). Everything else
+    * must equi-join. */
   private val bnljWhitelist =
-    Set("q28_cosine_topk", "q40_ann_ivf", "q26_minhash_lsh", "q27_simhash")
+    Set("q28_cosine_topk", "q40_ann_ivf", "q26_minhash_lsh", "q27_simhash",
+      "q71_unigram_lm", "q73_approx_heavy_words")
 
   private lazy val plans: Map[String, String] =
     graft.SparkEntry.queries.map { case (name, fn) =>
