@@ -146,6 +146,49 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(w).cast("long"))
   }
 
+  /** Split documents into fixed-size overlapping token windows — the
+    * chunking step feeding an embedding/retrieval pipeline (every RAG and
+    * long-document pipeline shards text before embedding). Pure
+    * projection + `posexplode` over an in-row `sequence`: no shuffle, no
+    * UDF; chunk boundaries are word-aligned so the output is exactly
+    * reproducible from the tokenization.
+    *
+    * Chunk i covers tokens [i*(size-overlap), i*(size-overlap)+size); the
+    * last chunk may be shorter; documents shorter than `size` yield one
+    * chunk. */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      size: Int, overlap: Int): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      "need 0 <= overlap < size")
+    val stride = size - overlap
+    val toks = tokens(col(textCol))
+    val nChunks = greatest(lit(1L),
+      ceil((org.apache.spark.sql.functions.size(toks).cast("double") - overlap) / stride).cast("long"))
+    df.select(col(idCol).as("doc_id"), toks.as("__toks"), nChunks.as("__nc"))
+      .select(col("doc_id"), col("__toks"),
+        posexplode(sequence(lit(0L), col("__nc") - 1)).as(Seq("chunk_id", "__i")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        array_join(slice(col("__toks"),
+          (col("__i") * stride + 1).cast("int"), lit(size)), " ").as("chunk_text"),
+        least(org.apache.spark.sql.functions.size(col("__toks")) - col("__i") * stride,
+          lit(size)).cast("long").as("n_tokens"))
+  }
+
+  /** Domain-mixture weighting — the data-recipe step that balances
+    * training sources: per domain, the token count and the
+    * temperature-scaled sampling weight `sqrt(tokens)` (the α = 0.5
+    * mixture rule; sqrt is IEEE-correctly-rounded, so the weight is
+    * bit-deterministic, unlike a general pow). Normalized shares are a
+    * ratio of these weights — left to the caller/spec because a sum of
+    * irrational doubles is shuffle-order-dependent. One aggregate over
+    * the corpus: domains × 1 rows out, corpus-size-independent. */
+  def mixtureWeights(df: DataFrame, domainCol: String, textCol: String): DataFrame =
+    df.select(col(domainCol).as("domain"), wordCount(col(textCol)).as("__t"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("n_tokens"))
+      .select(col("domain"), col("n_docs"), col("n_tokens"),
+        sqrt(col("n_tokens").cast("double")).as("alpha_half_weight"))
+
   /** Unigram-LM document scoring — the shape of a CCNet/KenLM perplexity
     * filter (Wenzek et al. 2020, public) with the LM trained on the corpus
     * itself: per document, the count of tokens, the exact sum of corpus

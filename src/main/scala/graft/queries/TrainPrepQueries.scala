@@ -296,5 +296,44 @@ object TrainPrepQueries {
             FROM fin GROUP BY split, lang_pred, kept
             ORDER BY split, lang_pred, kept"""))
 
-  val all: Seq[QDef] = Seq(q51, q52, q53, q54, q55, q56, q57)
+  /** q79: overlapping token-window chunking
+    * ([[TextAnalysis.chunkDocuments]]) — the sharding step before
+    * embedding in a retrieval pipeline. 64-token windows, 8-token
+    * overlap; word-aligned so both engines rebuild identical chunk
+    * strings. Shuffle-free (projection + in-row explode). */
+  private val q79 = QDef(
+    "q79_chunking",
+    (s, dir) => TextAnalysis
+      .chunkDocuments(Tables.load(s, dir, "documents"), "doc_id", "text",
+        size = 64, overlap = 8)
+      .orderBy("doc_id", "chunk_id"),
+    Some("""WITH t AS (
+              SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+              FROM documents),
+            n AS (SELECT doc_id, toks,
+                         greatest(1, CAST(ceil((len(toks) - 8) / 56.0) AS BIGINT)) AS nc
+                  FROM t),
+            e AS (SELECT doc_id, toks, unnest(range(nc)) AS i FROM n)
+            SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+                   array_to_string(toks[i*56+1 : i*56+64], ' ') AS chunk_text,
+                   CAST(least(len(toks) - i*56, 64) AS BIGINT) AS n_tokens
+            FROM e ORDER BY doc_id, chunk_id"""))
+
+  /** q80: domain-mixture weights ([[TextAnalysis.mixtureWeights]]) — per
+    * source, exact doc/token counts and the α=0.5 temperature weight
+    * sqrt(tokens) (IEEE-correctly-rounded, so bit-deterministic; the
+    * normalized share is a spec concern because summing irrational
+    * doubles is order-dependent). */
+  private val q80 = QDef(
+    "q80_mixture_weights",
+    (s, dir) => TextAnalysis
+      .mixtureWeights(Tables.load(s, dir, "documents"), "source", "text")
+      .orderBy("domain"),
+    Some("""SELECT source AS domain,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(string_split_regex(lower(text), '\s+'))) AS BIGINT) AS n_tokens,
+                   sqrt(CAST(sum(len(string_split_regex(lower(text), '\s+'))) AS DOUBLE)) AS alpha_half_weight
+            FROM documents GROUP BY source ORDER BY domain"""))
+
+  val all: Seq[QDef] = Seq(q51, q52, q53, q54, q55, q56, q57, q79, q80)
 }

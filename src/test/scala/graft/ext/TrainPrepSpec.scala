@@ -166,3 +166,38 @@ class UnigramScoreSpec extends SparkTestBase {
     assert(out(1L) == 20.0 && out(21L) == 1.0)
   }
 }
+
+class ChunkingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("chunks tile the document with the requested overlap") {
+    val text = (1 to 21).map(i => s"w$i").mkString(" ")
+    val out = TextAnalysis.chunkDocuments(Seq((1L, text)).toDF("doc_id", "text"),
+        "doc_id", "text", size = 8, overlap = 2)
+      .orderBy("chunk_id")
+      .as[(Long, Long, String, Long)].collect()
+    // stride 6: ceil((21-2)/6) = 4 chunks starting at tokens 1, 7, 13, 19
+    assert(out.length == 4)
+    assert(out(0)._3.startsWith("w1 ") && out(1)._3.startsWith("w7 ") &&
+      out(2)._3.startsWith("w13 ") && out(3)._3 == "w19 w20 w21")
+    assert(out.map(_._4).toSeq == Seq(8L, 8L, 8L, 3L))
+    // consecutive chunks share exactly `overlap` tokens
+    val t0 = out(0)._3.split(" ").toSeq
+    val t1 = out(1)._3.split(" ").toSeq
+    assert(t0.takeRight(2) == t1.take(2))
+  }
+
+  test("short documents yield one chunk; reconstruction covers every token") {
+    val out = TextAnalysis.chunkDocuments(
+        Seq((1L, "a b c")).toDF("doc_id", "text"), "doc_id", "text", 64, 8)
+      .as[(Long, Long, String, Long)].collect()
+    assert(out.toSeq == Seq((1L, 0L, "a b c", 3L)))
+  }
+
+  test("mixture weights: sqrt temperature over exact token counts") {
+    val docs = Seq(("web", "a b c d"), ("web", "e f"), ("code", "x y z")).toDF("source", "text")
+    val out = TextAnalysis.mixtureWeights(docs, "source", "text")
+      .orderBy("domain").as[(String, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(("code", 1L, 3L, math.sqrt(3.0)), ("web", 2L, 6L, math.sqrt(6.0))))
+  }
+}
