@@ -142,3 +142,41 @@ class MinHashPropertySpec extends SparkTestBase {
     }
   }
 }
+
+class MisraGriesPropertySpec extends SparkTestBase {
+  import PropertySupport.samples
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  // skewed streams: small alphabet with a heavy head
+  private val stream: Gen[List[String]] = for {
+    n <- Gen.choose(50, 400)
+    items <- Gen.listOfN(n, Gen.frequency(
+      5 -> Gen.const("hot"), 3 -> Gen.const("warm"),
+      2 -> Gen.oneOf((1 to 30).map(i => s"i$i"))))
+  } yield items
+
+  test("sketch guarantees hold on random skewed streams at random partitionings") {
+    samples(Gen.zip(stream, Gen.choose(2, 12), Gen.choose(1, 6)), 12)
+      .foreach { case (rows, k, parts) =>
+        val n = rows.size
+        val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val sk = rows.toDF("w").repartition(parts)
+          .agg(call_function("approx_top_k", col("w"), lit(k)).as("sk"))
+          .select(explode(col("sk")).as("e"))
+          .select(col("e.item"), col("e.count_lb"))
+          .as[(String, Long)].collect().toMap
+        assert(sk.size <= k)
+        val thr = n.toDouble / (k + 1)
+        exact.foreach { case (item, c) =>
+          if (c > thr) assert(sk.contains(item),
+            s"n=$n k=$k parts=$parts lost $item (count $c > $thr)")
+        }
+        sk.foreach { case (item, lb) =>
+          val t = exact(item)
+          assert(lb <= t && lb >= t - thr,
+            s"n=$n k=$k parts=$parts bad bound for $item: lb=$lb true=$t")
+        }
+      }
+  }
+}
