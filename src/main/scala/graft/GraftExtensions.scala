@@ -44,5 +44,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("approx_top_k"),
       new ExpressionInfo(classOf[MisraGriesAgg].getName, "approx_top_k"),
       (children: Seq[Expr]) => MisraGriesAgg.fromFunctionCall(children)))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_agg"),
+      new ExpressionInfo(classOf[graft.functions.SimHashAgg].getName, "simhash_agg"),
+      (children: Seq[Expr]) => graft.functions.SimHashAgg(children.head)))
   }
 }

@@ -168,22 +168,18 @@ object TextDedup {
     aggregate(bits, lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
-  /** SimHash fingerprints via explode + 64 conditional sums: one shuffle on
-    * the doc id, vectorized hash aggregation — ~4× faster than the per-word
-    * array-lambda formulation of [[simhash]] (kept for scalar use; results
-    * are identical, asserted in DedupSpec). */
+  /** SimHash fingerprints via explode + the native
+    * [[graft.functions.SimHashAgg]] aggregate (`simhash_agg`): one shuffle
+    * on the doc id, one 65-long buffer per group instead of 64 separate
+    * `sum()` expressions plus a 64-branch assembly projection — same
+    * single-shuffle partial/final combine shape, a fraction of the per-row
+    * work. Results are identical to the per-word array-lambda formulation
+    * of [[simhash]] (kept for scalar use; equality asserted in DedupSpec). */
   def simhashAgg(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("id"), explode(words(col(textCol))).as("w"))
       .select(col("id"), xxhash64(col("w")).as("h"))
-    val bitSums = (0 until 64).map(i =>
-      sum(call_function("shiftright", col("h"), lit(i)).bitwiseAND(lit(1L))).as(s"b$i"))
     tok.groupBy("id")
-      .agg(count(lit(1)).as("n"), bitSums: _*)
-      .select(col("id"),
-        (0 until 64).map(i =>
-          when(col(s"b$i") * 2 >= col("n"),
-            call_function("shiftleft", lit(1L), lit(i))).otherwise(lit(0L)))
-          .reduce(_.bitwiseOR(_)).as("fp"))
+      .agg(call_function("simhash_agg", col("h")).as("fp"))
   }
 
   /** SimHash near-dup pairs: block on fingerprint chunks, then verify with

@@ -1,0 +1,89 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** 64-bit SimHash fingerprint as a native Catalyst aggregate
+  * (`simhash_agg(hash)` via [[graft.GraftExtensions]]): per group, count
+  * set bits of each input hash per position; the fingerprint sets bit i
+  * when at least half the inputs had it set (Charikar 2002 majority vote,
+  * the same definition as `TextDedup.simhash` — equality is spec-asserted).
+  *
+  * Motivation: the relational formulation needs 64 separate `sum()`
+  * aggregate expressions plus a 64-branch assembly projection; this
+  * aggregate does one pass over a 65-long buffer per group — same single
+  * shuffle with partial/final combine, a fraction of the per-row work
+  * (measured ≈2× on the q27 pipeline). Buffer is 520 bytes per group,
+  * constant at any scale. */
+case class SimHashAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with UnaryLike[Expression] {
+
+  // buffer: bit-count per position 0..63, plus total input count at [64]
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](65)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var i = 0
+      while (i < 64) {
+        buf(i) += (h >>> i) & 1L
+        i += 1
+      }
+      buf(64) += 1L
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < 65) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    val n = buf(64)
+    var fp = 0L
+    var i = 0
+    while (i < 64) {
+      if (buf(i) * 2 >= n) fp |= 1L << i
+      i += 1
+    }
+    fp
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(65 * 8)
+    var i = 0
+    while (i < 65) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new Array[Long](65)
+    var i = 0
+    while (i < 65) { buf(i) = bb.getLong(); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "simhash_agg"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SimHashAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SimHashAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): SimHashAgg =
+    copy(child = newChild)
+}
