@@ -7,8 +7,8 @@ import org.apache.spark.sql.functions._
   * `[lo, hi]` containing them, with optional extra equi keys. Spark plans a
   * bare range predicate as a BroadcastNestedLoopJoin over |P|x|I| pairs —
   * quadratic, fatal beyond toy scale. This is the standard bucketed
-  * reformulation (the same trick behind Databricks' range-join hints and
-  * Flink's interval join):
+  * reformulation (the binning technique documented publicly for SQL
+  * range-join optimization and Flink's interval join):
   *
   *   - every point lands in exactly ONE fixed-width bucket
   *     (`floorDiv(value, width)`);
