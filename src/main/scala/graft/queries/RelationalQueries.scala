@@ -579,7 +579,63 @@ object RelationalQueries {
                                 AND l2.l_returnflag = 'R')
             ORDER BY o.o_orderkey"""))
 
+  /** Date/time scalar battery (§2.9 depth): truncation, month-end,
+    * calendar arithmetic with end-of-month clamping, day differences, and
+    * calendar fields. Dates are emitted as formatted strings and integers
+    * (never raw timestamps — engines disagree on timestamp physical
+    * precision, not on the calendar values). Note dayofweek: Spark is
+    * 1=Sunday..7, DuckDB 0=Sunday..6 — the oracle shifts explicitly. One
+    * codegen'd projection, no shuffle. */
+  private val q81 = QDef(
+    "q81_date_functions",
+    (s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+        date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3m"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).cast("long").as("days_since"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"),
+        weekofyear(col("o_orderdate")).cast("long").as("woy"),
+        quarter(col("o_orderdate")).cast("long").as("q"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+                   strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+                   strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+                   strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+                   CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+                   CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+                   CAST(weekofyear(o_orderdate) AS BIGINT) AS woy,
+                   CAST(quarter(o_orderdate) AS BIGINT) AS q
+            FROM orders ORDER BY o_orderkey"""))
+
+  /** String scalar battery (§2.9 depth): concat_ws, padding, position,
+    * piece extraction, reverse, regex extraction, repetition. One
+    * codegen'd projection, no shuffle. */
+  private val q82 = QDef(
+    "q82_string_functions",
+    (s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        concat_ws("|", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
+        lpad(col("o_orderkey").cast("string"), 12, "0").as("padded"),
+        instr(col("o_orderpriority"), "-").cast("long").as("dashpos"),
+        substring_index(col("o_orderpriority"), "-", -1).as("prio_word"),
+        reverse(col("o_orderpriority")).as("rev_prio"),
+        regexp_extract(col("o_orderpriority"), "[0-9]+", 0).as("prio_num"),
+        repeat(col("o_orderstatus"), 3).as("st3"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+                   concat_ws('|', o_orderstatus, o_orderpriority) AS tag,
+                   lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS padded,
+                   CAST(strpos(o_orderpriority, '-') AS BIGINT) AS dashpos,
+                   split_part(o_orderpriority, '-', 2) AS prio_word,
+                   reverse(o_orderpriority) AS rev_prio,
+                   regexp_extract(o_orderpriority, '[0-9]+', 0) AS prio_num,
+                   repeat(o_orderstatus, 3) AS st3
+            FROM orders ORDER BY o_orderkey"""))
+
   val all: Seq[QDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-      q39, q43, q66, q67, q68, q72, q75, q76, q77)
+      q39, q43, q66, q67, q68, q72, q75, q76, q77, q81, q82)
 }
