@@ -48,5 +48,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash_agg"),
       new ExpressionInfo(classOf[graft.functions.SimHashAgg].getName, "simhash_agg"),
       (children: Seq[Expr]) => graft.functions.SimHashAgg(children.head)))
+    // conf-gated: inert unless spark.graft.rangeJoin.bucketWidth is set
+    ext.injectOptimizerRule(session => graft.plans.RangeJoinRewrite(session))
   }
 }
