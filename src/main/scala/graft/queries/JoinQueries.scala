@@ -111,5 +111,41 @@ object JoinQueries {
               (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
             GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
-  def all: Seq[QDef] = Seq(q63, q64, q65)
+  /** q83: interval-overlap join ([[RangeJoin.intervalOverlap]]) — pairs of
+    * 10-minute activity windows (purchase vs error) that intersect,
+    * summarized per purchase. Both orientations of the bucketed
+    * point-in-interval reduction, unioned without double-counting; the
+    * oracle is the naive theta join (`lo1 <= hi2 AND lo2 <= hi1`). */
+  private val q83 = QDef(
+    "q83_interval_overlap",
+    (s, dir) => {
+      val win = 600000L // 10 min
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("ms", unix_millis(col("ts")))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("ms").as("p_lo"), (col("ms") + win).as("p_hi"))
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("error_id"),
+          col("ms").as("e_lo"), (col("ms") + win).as("e_hi"))
+      RangeJoin.intervalOverlap(purchases, errors,
+          leftLo = "p_lo", leftHi = "p_hi", rightLo = "e_lo", rightHi = "e_hi",
+          bucketWidth = win)
+        .groupBy("purchase_id")
+        .agg(count(lit(1)).as("n_overlapping_errors"),
+          min(col("error_id")).as("first_error_id"))
+        .orderBy("purchase_id")
+    },
+    Some("""WITH p AS (SELECT event_id AS purchase_id, epoch_ms(ts) AS lo,
+                              epoch_ms(ts) + 600000 AS hi
+                       FROM events WHERE event_type = 'purchase'),
+                 e AS (SELECT event_id AS error_id, epoch_ms(ts) AS lo,
+                              epoch_ms(ts) + 600000 AS hi
+                       FROM events WHERE event_type = 'error')
+            SELECT p.purchase_id, CAST(count(*) AS BIGINT) AS n_overlapping_errors,
+                   min(e.error_id) AS first_error_id
+            FROM p JOIN e ON p.lo <= e.hi AND e.lo <= p.hi
+            GROUP BY p.purchase_id ORDER BY p.purchase_id"""))
+
+  def all: Seq[QDef] = Seq(q63, q64, q65, q83)
 }
