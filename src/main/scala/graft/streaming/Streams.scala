@@ -89,6 +89,33 @@ object Streams {
         (col("a_amount") + col("b_amount")).as("total"))
   }
 
+  /** Stream-stream LEFT OUTER attribution join: every purchase matched to
+    * the same user's clicks within `within` BEFORE it; purchases with no
+    * such click are emitted null-extended — but only once the click-side
+    * watermark has passed the end of their match window, when Spark can
+    * PROVE no matching click can still arrive. The event-time range bound
+    * plus both watermarks keeps the join state bounded; the unmatched-row
+    * delay is the semantic price of streaming outer joins (StreamsSpec
+    * drives it cross-batch). Same plan runs batch (`streaming = false`),
+    * where unmatched rows appear immediately. */
+  def attributionJoin(purchases: DataFrame, clicks: DataFrame,
+      within: String = "30 minutes", watermark: String = "1 hour",
+      streaming: Boolean = true): DataFrame = {
+    def wm(df: DataFrame): DataFrame =
+      if (streaming) df.withWatermark("ts", watermark) else df
+    val p = wm(purchases).select(col("user_id").as("p_user"),
+      col("txn_id").as("purchase_id"), col("ts").as("p_ts"))
+    val c = wm(clicks).select(col("user_id").as("c_user"),
+      col("txn_id").as("click_id"), col("ts").as("c_ts"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"interval $within") &&
+        col("c_ts") <= col("p_ts"),
+      "left_outer")
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("p_ts"), col("click_id"), col("c_ts"))
+  }
+
   /** Streaming exact deduplication: watermark + `dropDuplicates` on the key
     * columns — Spark keeps one state-store row per key seen inside the
     * watermark horizon, so state is bounded while late duplicates are still

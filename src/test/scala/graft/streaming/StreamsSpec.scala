@@ -175,6 +175,35 @@ class StreamsSpec extends SparkTestBase {
     } finally sq.stop()
   }
 
+  test("stream-stream left-outer join emits unmatched rows after the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val pm = MemoryStream[(Timestamp, Long, Long)] // ts, txn_id, user_id
+    val cm = MemoryStream[(Timestamp, Long, Long)]
+    val sq = Streams.attributionJoin(
+        pm.toDF().toDF("ts", "txn_id", "user_id"),
+        cm.toDF().toDF("ts", "txn_id", "user_id"),
+        within = "2 minutes", watermark = "2 minutes")
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    try {
+      // user 1: click then purchase inside the window (match);
+      // user 2: purchase with no click (must surface null-extended later)
+      pm.addData((ts(10), 100L, 1L), (ts(11), 200L, 2L))
+      cm.addData((ts(9), 900L, 1L))
+      sq.processAllAvailable()
+      // advance both watermarks far past user 2's match window
+      pm.addData((ts(200), 300L, 3L))
+      cm.addData((ts(200), 901L, 3L))
+      sq.processAllAvailable()
+      val rows = spark.table("attr")
+        .select("purchase_id", "click_id")
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+      assert(rows.contains((100L, 900L)), s"matched pair missing: $rows")
+      assert(rows.contains((200L, -1L)),
+        s"unmatched purchase not emitted after watermark: $rows")
+    } finally sq.stop()
+  }
+
   test("incremental CC sink over a stream of edges matches batch CC on all edges") {
     implicit val sqlCtx = spark.sqlContext
     val all = Seq((1L, 2L), (3L, 4L), (2L, 3L), (10L, 11L), (4L, 10L))
