@@ -566,13 +566,8 @@ object ExtQueries {
     * condition is strict `<`), and window end = last event + gap. */
   private val q74 = QDef(
     "q74_session_window",
-    (s, dir) => Tables.load(s, dir, "events")
-      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
-      .agg(count(lit(1)).as("n_events"))
-      .select(col("user_id"),
-        unix_millis(col("sw.start")).as("start_ms"),
-        unix_millis(col("sw.end")).as("end_ms"),
-        col("n_events"))
+    (s, dir) => Streams
+      .sessionWindowAgg(Tables.load(s, dir, "events"), "30 minutes")
       .orderBy("user_id", "start_ms"),
     Some("""WITH x AS (
               SELECT user_id, event_id, epoch_ms(ts) AS ms,

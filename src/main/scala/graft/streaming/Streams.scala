@@ -44,6 +44,23 @@ object Streams {
         col("total_amount"), col("n_txns"))
   }
 
+  /** Native gap-merging session windows (the q74 plan as a reusable
+    * builder): the SAME declarative aggregation runs batch and streaming —
+    * incrementally under a watermark, where the state store merges
+    * in-flight sessions and closes one once the watermark passes its gap.
+    * Semantics (mirrored exactly by q74's oracle): strict-< merge, window
+    * end = last event + gap. */
+  def sessionWindowAgg(events: DataFrame, gap: String,
+      watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark("ts", w))
+    src.groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_millis(col("sw.start")).as("start_ms"),
+        unix_millis(col("sw.end")).as("end_ms"),
+        col("n_events"))
+  }
+
   /** Batch sessionization via window functions (gap > gapMs starts a new
     * session): lag → break flags → running sum → per-session aggregate.
     * Two window passes over one shuffle on user_id. Millisecond integers

@@ -175,6 +175,32 @@ class StreamsSpec extends SparkTestBase {
     } finally sq.stop()
   }
 
+  test("session-window aggregation: same plan runs batch and streaming") {
+    // user 1: events at 0 and 10 merge (gap 30m), 100 starts a new session
+    val rows = Seq((ts(0), 1L), (ts(10), 1L), (ts(100), 1L), (ts(5), 2L))
+    val batch = Streams.sessionWindowAgg(rows.toDF("ts", "user_id"), "30 minutes")
+      .orderBy("user_id", "start_ms")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(batch.map(r => (r._1, r._4)) == Seq((1L, 2L), (1L, 1L), (2L, 1L)))
+    assert(batch.head._3 == batch.head._2 + 10 * 60000L + 30 * 60000L) // end = last + gap
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val sq = Streams.sessionWindowAgg(
+        mem.toDF().toDF("ts", "user_id"), "30 minutes", Some("1 hour"))
+      .writeStream.format("memory").queryName("sess_win").outputMode("complete").start()
+    try {
+      mem.addData(rows.take(2): _*)
+      sq.processAllAvailable()
+      mem.addData(rows.drop(2): _*) // second batch extends/creates sessions
+      sq.processAllAvailable()
+      val streamed = spark.table("sess_win")
+        .orderBy("user_id", "start_ms")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+    } finally sq.stop()
+  }
+
   test("stream-stream left-outer join emits unmatched rows after the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val pm = MemoryStream[(Timestamp, Long, Long)] // ts, txn_id, user_id
