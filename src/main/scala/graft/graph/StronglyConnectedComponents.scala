@@ -52,10 +52,14 @@ object StronglyConnectedComponents {
       // 1. trim to fixpoint: no-in or no-out vertices are singleton SCCs
       var trimmed = true
       while (trimmed && nLeft > 0) {
-        val hasIn = edges.select(col("dst").as("id")).distinct()
-        val hasOut = edges.select(col("src").as("id")).distinct()
-        val core = ckpt(verts.join(hasIn, Seq("id"), "left_semi")
-          .join(hasOut, Seq("id"), "left_semi"))
+        // one union + hash aggregate computes both endpoint flags — a single
+        // shuffle, vs two distinct-projections + two semi-joins
+        val flags = edges.select(col("src").as("id"), lit(1).as("o"), lit(0).as("i"))
+          .union(edges.select(col("dst").as("id"), lit(0).as("o"), lit(1).as("i")))
+          .groupBy("id").agg(max(col("o")).as("has_out"), max(col("i")).as("has_in"))
+        val core = ckpt(verts.join(
+          flags.where(col("has_out") === 1 && col("has_in") === 1).select("id"),
+          Seq("id"), "left_semi"))
         val nCore = core.count()
         if (nCore == nLeft) trimmed = false
         else {
