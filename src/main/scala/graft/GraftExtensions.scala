@@ -48,6 +48,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash_agg"),
       new ExpressionInfo(classOf[graft.functions.SimHashAgg].getName, "simhash_agg"),
       (children: Seq[Expr]) => graft.functions.SimHashAgg(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[graft.functions.WordShingles].getName, "word_shingles"),
+      (children: Seq[Expr]) => graft.functions.WordShingles(children.head,
+        children(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+          .asInstanceOf[Number].intValue())))
     // conf-gated: inert unless spark.graft.rangeJoin.bucketWidth is set
     ext.injectOptimizerRule(session => graft.plans.RangeJoinRewrite(session))
   }

@@ -36,18 +36,11 @@ object TextDedup {
     * CodegenFallback). One shuffle (by id). */
   def shingleRowsAll(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 1, "shingle width must be >= 1")
-    val toks = df.select(col(idCol).as("id"), posexplode(words(col(textCol))))
-      .withColumnRenamed("col", "w")
-    if (n == 1) toks.select(col("id"), col("w").as("sh"))
-    else {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("id").orderBy("pos")
-      val leads = (1 until n).map(k => lead(col("w"), k).over(w).as(s"w$k"))
-      toks.select(Seq(col("id"), col("w")) ++ leads: _*)
-        .filter(col(s"w${n - 1}").isNotNull)
-        .select(col("id"),
-          concat_ws(" ", Seq(col("w")) ++ (1 until n).map(k => col(s"w$k")): _*).as("sh"))
-    }
+    // codegen'd in-row shingling ([[graft.functions.WordShingles]]) —
+    // replaces the earlier lead()-window formulation, whose shuffle+sort of
+    // the exploded token table dominated every shingle-based operator
+    df.select(col(idCol).as("id"),
+      explode(call_function("word_shingles", col(textCol), lit(n))).as("sh"))
   }
 
   /** Distinct shingles as rows (id, sh) — the dedup-pipeline form of

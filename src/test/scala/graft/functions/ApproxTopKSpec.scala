@@ -60,3 +60,36 @@ class ApproxTopKSpec extends SparkTestBase {
     assert(out == Set(("g1", "a", 2L), ("g1", "b", 1L), ("g2", "z", 1L)))
   }
 }
+
+class WordShinglesSpec extends SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def shingles(text: String, n: Int): Seq[String] =
+    Seq(text).toDF("t")
+      .select(explode(call_function("word_shingles", col("t"), lit(n))).as("sh"))
+      .as[String].collect().toSeq
+
+  test("produces every consecutive n-gram in order, duplicates kept") {
+    assert(shingles("a b a b a", 2) == Seq("a b", "b a", "a b", "b a"))
+    assert(shingles("One Two THREE", 1) == Seq("one", "two", "three"))
+    assert(shingles("a b", 3) == Seq.empty)
+  }
+
+  test("tokenization matches split(lower(text), '\\s+') exactly, leading empty included") {
+    val text = "  Leading  WS\tand\nmixed"
+    val viaSplit = Seq(text).toDF("t")
+      .select(split(lower(col("t")), "\\s+").as("w")).as[Seq[String]].head()
+    assert(shingles(text, 1) == viaSplit)
+  }
+
+  test("stays inside whole-stage codegen") {
+    // a literal input would constant-fold to a LocalTableScan; range() forces
+    // a real generated projection
+    val plan = spark.range(5)
+      .select(call_function("word_shingles",
+        concat(lit("a b c "), col("id").cast("string")), lit(2)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen"), plan)
+  }
+}
