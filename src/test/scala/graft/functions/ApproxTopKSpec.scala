@@ -90,6 +90,7 @@ class WordShinglesSpec extends SparkTestBase {
       .select(call_function("word_shingles",
         concat(lit("a b c "), col("id").cast("string")), lit(2)))
       .queryExecution.executedPlan.toString
-    assert(plan.contains("WholeStageCodegen"), plan)
+    // the *(n) prefix marks operators fused into a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project [word_shingles"), plan)
   }
 }
