@@ -147,5 +147,39 @@ object JoinQueries {
             FROM p JOIN e ON p.lo <= e.hi AND e.lo <= p.hi
             GROUP BY p.purchase_id ORDER BY p.purchase_id"""))
 
-  def all: Seq[QDef] = Seq(q63, q64, q65, q83)
+  /** q84: the batch twin of [[graft.streaming.Streams.attributionJoin]]
+    * (the q36/q37 batch-twin pattern): purchases LEFT OUTER joined to
+    * same-user clicks within 30 minutes before, misses null-extended —
+    * summarized per purchase so the unmatched rows are visible as
+    * n_clicks = 0. StreamsSpec proves the same plan emits identical rows
+    * incrementally under watermarks. */
+  private val q84 = QDef(
+    "q84_attribution",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("txn_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("txn_id"), col("ts"))
+      graft.streaming.Streams
+        .attributionJoin(purchases, clicks, within = "30 minutes", streaming = false)
+        .groupBy(col("user_id"), col("purchase_id"))
+        .agg(count(col("click_id")).as("n_clicks"),
+          coalesce(max(col("click_id")), lit(-1L)).as("last_click_id"))
+        .orderBy("user_id", "purchase_id")
+    },
+    Some("""WITH p AS (SELECT user_id, event_id AS purchase_id, epoch_ms(ts) AS pms
+                       FROM events WHERE event_type = 'purchase'),
+                 c AS (SELECT user_id, event_id AS click_id, epoch_ms(ts) AS cms
+                       FROM events WHERE event_type = 'click')
+            SELECT p.user_id, p.purchase_id,
+                   CAST(count(c.click_id) AS BIGINT) AS n_clicks,
+                   coalesce(max(c.click_id), -1) AS last_click_id
+            FROM p LEFT JOIN c
+              ON p.user_id = c.user_id
+             AND c.cms >= p.pms - 1800000 AND c.cms <= p.pms
+            GROUP BY p.user_id, p.purchase_id
+            ORDER BY p.user_id, p.purchase_id"""))
+
+  def all: Seq[QDef] = Seq(q63, q64, q65, q83, q84)
 }
