@@ -530,7 +530,45 @@ object GraphQueries {
                (SELECT a AS id FROM u3 UNION ALL SELECT b FROM u3)
              GROUP BY id ORDER BY id"""))
 
+  /** Weighted single-source shortest paths as a Pregel MIN-combiner loop
+    * (Bellman–Ford over the min-plus semiring; q19 exercises the SUM
+    * combiner, this the other half of the builder surface). Fixed 4
+    * supersteps, so dist(v) = cheapest cost over paths of ≤ 4 edges from
+    * customer 1 — exactly unrollable as a bounded recursive-CTE walk.
+    * Weights are integer transaction cents: min over exact integer path
+    * sums is deterministic on both engines. NULL plays infinity (min and
+    * least both skip nulls), so unreached vertices never surface. */
+  private val q85 = QDef(
+    "q85_weighted_sssp",
+    (s, dir) => {
+      val g = txnGraph(s, dir)
+      val weighted = PropertyGraph(g.vertices,
+        g.edges.select(col("src"), col("dst"),
+          floor(col("amount") * 100).cast("long").as("w")))
+      weighted.pregel
+        .withVertexColumn("dist",
+          when(col("id") === 1L, lit(0L)).otherwise(lit(null).cast("long")),
+          least(col("dist"), Pregel.msg))
+        .sendMsgToDst(Pregel.src("dist") + Pregel.edge("w"))
+        .aggMsgs(min(Pregel.msg))
+        .setMaxIter(4)
+        .run()
+        .where(col("dist").isNotNull)
+        .select(col("id"), col("dist"))
+        .orderBy("id")
+    },
+    Some(s"""WITH RECURSIVE e AS (
+               SELECT src, dst, CAST(floor(amount*100) AS BIGINT) AS w
+               FROM ($txnEdgesSql)),
+             walk(node, d, hops) AS (
+               SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT), 0
+               UNION ALL
+               SELECT e.dst, w.d + e.w, w.hops + 1
+               FROM walk w JOIN e ON e.src = w.node WHERE w.hops < 4)
+             SELECT node AS id, min(d) AS dist
+             FROM walk GROUP BY node ORDER BY id"""))
+
   val all: Seq[QDef] =
     Seq(q15, q16, q17, q18, q19, q20, q42, q44, q45, q48, q50, q58, q59, q60,
-      q69)
+      q69, q85)
 }
