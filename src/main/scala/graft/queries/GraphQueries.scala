@@ -568,7 +568,29 @@ object GraphQueries {
              SELECT node AS id, min(d) AS dist
              FROM walk GROUP BY node ORDER BY id"""))
 
+  /** One-shot `aggregateMessages` round (the GraphFrames surface q19's
+    * Pregel loop generalizes): per beneficiary, the exact cents inflow
+    * from HIGH-RISK senders only — a conditional message over the src
+    * vertex state, sum-aggregated at the recipient. One triplet join +
+    * one hash aggregate; vertices with no qualifying inflow drop out
+    * (sum of all-null messages is null, mirroring the oracle's pre-filter). */
+  private val q86 = QDef(
+    "q86_aggregate_messages",
+    (s, dir) => txnGraph(s, dir).aggregateMessages
+      .sendToDst(when(Pregel.src("risk") >= 5000,
+        floor(Pregel.edge("amount") * 100).cast("long")))
+      .agg(sum(Pregel.msg).as("risky_in_cents"))
+      .where(col("risky_in_cents").isNotNull)
+      .orderBy("id"),
+    Some(s"""WITH e AS ($txnEdgesSql)
+             SELECT e.dst AS id,
+                    CAST(sum(CAST(floor(e.amount*100) AS BIGINT)) AS BIGINT)
+                      AS risky_in_cents
+             FROM e JOIN customer c ON e.src = c.c_custkey
+             WHERE floor(c.c_acctbal) >= 5000
+             GROUP BY e.dst ORDER BY id"""))
+
   val all: Seq[QDef] =
     Seq(q15, q16, q17, q18, q19, q20, q42, q44, q45, q48, q50, q58, q59, q60,
-      q69, q85)
+      q69, q85, q86)
 }
