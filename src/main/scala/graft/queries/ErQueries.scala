@@ -17,8 +17,11 @@ import graft.er._
   *
   * The blocking + comparison-vector stages are DuckDB-oracle-checked
   * (levenshtein is integer-exact on both engines); the EM fit itself is
-  * unit-tested against hand-computed Fellegi–Sunter values instead
-  * (SURVEY.md §5), and the scored output is registered rows-only.
+  * unit-tested against hand-computed Fellegi–Sunter values (SURVEY.md §5),
+  * and the scored output registers a pattern-summary oracle whose monotone
+  * columns assert the isotonic-M-step construction invariant (q23/q47);
+  * clustering registers a full value oracle via an EM-free gamma rule
+  * (q78).
   */
 object ErQueries {
 

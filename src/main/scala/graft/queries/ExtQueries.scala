@@ -14,8 +14,11 @@ import graft.streaming.Streams
   * aggregation — over the `documents`, `embeddings`, and `events` tables.
   *
   * Hash-dependent operators (MinHash/SimHash/hyperplane-LSH use Spark's
-  * xxhash64, which DuckDB cannot reproduce) register rows-only and are
-  * verified in unit specs instead; everything else carries a DuckDB oracle.
+  * xxhash64, which DuckDB cannot reproduce) carry PROVABLE-invariant
+  * oracles — containment in the exact pair set, identical similarity
+  * values, guaranteed-recall subsets — instead of value mirrors; the
+  * empirical behavior is additionally spec-tested. Everything else carries
+  * a direct DuckDB value oracle.
   */
 object ExtQueries {
 
