@@ -65,4 +65,24 @@ object Sampling {
     }
     df.filter(bucket < quota)
   }
+
+  /** Deterministic FIXED-SIZE sample per group: rank rows inside each
+    * stratum by their seeded hash (id as the total tie-break) and keep the
+    * first `k` — reservoir-sampling semantics without RNG state, so the
+    * same rows are chosen on every run, engine, and partitioning, and a
+    * re-run over a grown corpus changes the selection minimally (only
+    * where new ids hash below an incumbent). One shuffle+sort on the
+    * stratum; at 100 TB pre-aggregate candidates per partition first if a
+    * single stratum dominates. Output keeps all columns plus `sample_rank`
+    * (1-based). */
+  def groupSample(df: DataFrame, idCol: String, stratumCol: String,
+      k: Int, seed: Long,
+      hash: (Column, Long) => Column = arithHash): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(hash(col(idCol), seed), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+  }
 }

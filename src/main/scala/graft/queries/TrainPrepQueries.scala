@@ -335,5 +335,26 @@ object TrainPrepQueries {
                    sqrt(CAST(sum(len(string_split_regex(lower(text), '\s+'))) AS DOUBLE)) AS alpha_half_weight
             FROM documents GROUP BY source ORDER BY domain"""))
 
-  val all: Seq[QDef] = Seq(q51, q52, q53, q54, q55, q56, q57, q79, q80)
+  /** q87: fixed-size per-domain sample ([[Sampling.groupSample]]) — five
+    * documents per source, chosen by seeded hash rank (reservoir semantics
+    * without RNG): identical selection on every run, engine, and
+    * partitioning. The oracle mirrors the arithHash ranking exactly. */
+  private val q87 = QDef(
+    "q87_group_sample",
+    (s, dir) => Sampling
+      .groupSample(Tables.load(s, dir, "documents"), "doc_id", "source",
+        k = 5, seed = 11)
+      .select(col("source"), col("sample_rank"), col("doc_id"))
+      .orderBy("source", "sample_rank"),
+    Some("""SELECT source, CAST(rn AS BIGINT) AS sample_rank, doc_id
+            FROM (
+              SELECT source, doc_id,
+                     row_number() OVER (PARTITION BY source ORDER BY
+                       ((doc_id % 1000003 + 11) * 2654435761) % 1000000007,
+                       doc_id) AS rn
+              FROM documents)
+            WHERE rn <= 5
+            ORDER BY source, sample_rank"""))
+
+  val all: Seq[QDef] = Seq(q51, q52, q53, q54, q55, q56, q57, q79, q80, q87)
 }

@@ -24,6 +24,20 @@ class SamplingSpec extends SparkTestBase {
     sub.foreach { case (id, s) => assert(full(id) == s) }
   }
 
+  test("groupSample picks exactly k per stratum, stable across partitionings") {
+    val df = (1L to 300L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    val a = Sampling.groupSample(df, "id", "g", k = 4, seed = 5)
+      .select("g", "id").as[(String, Long)].collect().toSet
+    assert(a.size == 12 && a.groupBy(_._1).forall(_._2.size == 4))
+    val b = Sampling.groupSample(df.repartition(7), "id", "g", k = 4, seed = 5)
+      .select("g", "id").as[(String, Long)].collect().toSet
+    assert(a == b) // partitioning-independent selection
+    // a different seed changes the selection (not degenerate)
+    val c = Sampling.groupSample(df, "id", "g", k = 4, seed = 6)
+      .select("g", "id").as[(String, Long)].collect().toSet
+    assert(a != c)
+  }
+
   test("hashSplit: xxhash64 variant lands near the requested fractions") {
     val ids = (1L to 5000L).toDF("id")
     val frac = Sampling.hashSplit(ids, "id", seed = 3, hash = Sampling.xxHash)
