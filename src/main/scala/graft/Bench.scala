@@ -36,10 +36,27 @@ object Bench {
     val results = (1 to passes).map(_ => onePass()).reduce { (a, b) =>
       a.zip(b).map { case ((n, x), (_, y)) => n -> math.min(x, y) }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Output framing: the driver tail-captures stdout, so the canonical
+    // JSON line must come LAST and stay small (round-3's full-precision
+    // doubles made a ~3.5 KB line whose head fell off the capture buffer).
+    // Per-query detail lines go first for humans; values in the canonical
+    // line are rounded to ms; the same JSON is also written to
+    // bench_results.json as a capture-independent copy.
+    def line(prec: String, sf: String): String = {
+      def fmt(v: Double): String = prec.format(v)
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val total = fmt(results.map(_._2).sum)
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sf"}"""
+    }
+    results.foreach { case (k, v) => println(f"""{"query":"$k%s","sec":$v%.3f}""") }
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_results.json"),
+      (line("%.3f", sfDir) + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    // stdout canonical line: centisecond precision + basename sf label keep
+    // it ~2.1 KB so the whole line survives the capture window
+    println(line("%.2f", new java.io.File(sfDir).getName))
     spark.stop()
   }
 }

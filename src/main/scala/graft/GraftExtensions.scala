@@ -51,9 +51,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[graft.functions.WordShingles].getName, "word_shingles"),
-      (children: Seq[Expr]) => graft.functions.WordShingles(children.head,
-        children(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
-          .asInstanceOf[Number].intValue())))
+      (children: Seq[Expr]) => graft.functions.WordShingles.fromFunctionCall(children)))
     // conf-gated: inert unless spark.graft.rangeJoin.bucketWidth is set
     ext.injectOptimizerRule(session => graft.plans.RangeJoinRewrite(session))
   }

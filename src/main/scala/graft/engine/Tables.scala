@@ -105,12 +105,46 @@ final class Catalog(spark: SparkSession, warehouseDir: String) {
   def compact(name: String, targetFiles: Int): Unit = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
     val snap = table(name).coalesce(targetFiles)
-    val path = s"$warehouseDir/$name/__v${upsertVersion.incrementAndGet()}"
+    val path = nextVersionPath(name)
     snap.write.mode("errorifexists").parquet(path)
     spark.read.parquet(path).createOrReplaceTempView(name)
   }
 
-  private val upsertVersion = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val versionDirPattern = "__v(\\d+)".r
+
+  /** Next snapshot path, derived from what is ON DISK rather than an
+    * in-memory counter: a fresh Catalog over an existing warehouse must
+    * not regenerate `__v1` (the `errorifexists` write would throw), and
+    * two catalogs over the same dir must not collide on restart. */
+  private def nextVersionPath(name: String): String = {
+    val next = existingVersions(name).lastOption.map(_._1 + 1).getOrElse(1L)
+    s"$warehouseDir/$name/__v$next"
+  }
+
+  /** Version-number-sorted `(version, dir)` snapshot list under a table. */
+  private def existingVersions(name: String): Seq[(Long, java.io.File)] = {
+    val base = new java.io.File(s"$warehouseDir/$name")
+    val dirs = Option(base.listFiles()).getOrElse(Array.empty)
+    dirs.toSeq.flatMap { d =>
+      d.getName match {
+        case versionDirPattern(v) if d.isDirectory => Some((v.toLong, d))
+        case _ => None
+      }
+    }.sortBy(_._1)
+  }
+
+  /** Garbage-collect superseded snapshot directories, keeping the newest
+    * `keep` (>= 1). Deliberately a separate, explicit call — upsert/compact
+    * never delete, so in-flight readers of an old snapshot stay intact;
+    * vacuum is for after those readers are known drained (same contract as
+    * Delta's VACUUM, which the reference relies on implicitly). */
+  def vacuum(name: String, keep: Int = 1): Unit = {
+    require(keep >= 1, "keep must be >= 1")
+    existingVersions(name).dropRight(keep).foreach { case (_, dir) =>
+      Option(dir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+      dir.delete()
+    }
+  }
 
   /** MERGE-style upsert — the shape of Delta's `MERGE INTO` (reference
     * tables are Delta, `01_aml_network_analysis.py:245`) without the Delta
@@ -129,7 +163,7 @@ final class Catalog(spark: SparkSession, warehouseDir: String) {
       .join(updates.select(keys.map(org.apache.spark.sql.functions.col): _*)
         .distinct(), keys, "left_anti")
       .unionByName(updates)
-    val path = s"$warehouseDir/$name/__v${upsertVersion.incrementAndGet()}"
+    val path = nextVersionPath(name)
     merged.write.mode("errorifexists").parquet(path)
     spark.read.parquet(path).createOrReplaceTempView(name)
   }

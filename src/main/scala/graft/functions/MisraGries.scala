@@ -45,7 +45,16 @@ case class MisraGriesAgg(
   extends TypedImperativeAggregate[mutable.HashMap[String, Long]]
   with UnaryLike[Expression] {
 
-  require(k >= 1, "approx_top_k: k must be >= 1")
+  // misuse fails at analysis time, not as an executor ClassCastException
+  // (update casts the input to UTF8String)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType != StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"approx_top_k requires a STRING column, got ${child.dataType.sql}")
+    else if (k < 1)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"approx_top_k: k must be >= 1, got $k")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
 
   override def createAggregationBuffer(): mutable.HashMap[String, Long] =
     mutable.HashMap.empty[String, Long]
@@ -141,6 +150,8 @@ object MisraGriesAgg {
   /** Resolve `approx_top_k(expr, k)` — `k` must be a foldable integer. */
   def fromFunctionCall(children: Seq[Expression]): MisraGriesAgg = {
     require(children.length == 2, "approx_top_k(expr, k) takes 2 arguments")
+    require(children(1).foldable,
+      "approx_top_k: k must be a constant (foldable) integer")
     val kv = children(1).eval(InternalRow.empty)
     require(kv != null, "approx_top_k: k must be a constant integer")
     MisraGriesAgg(children(0), kv.asInstanceOf[Number].intValue())

@@ -52,6 +52,10 @@ case class SimHashAgg(
 
   override def eval(buf: Array[Long]): Any = {
     val n = buf(64)
+    // zero contributing rows: the relational formulation (64 conditional
+    // sums, each 0) yields fingerprint 0 — `0*2 >= 0` would instead set
+    // every bit and return -1L, diverging from the documented equivalence
+    if (n == 0L) return 0L
     var fp = 0L
     var i = 0
     while (i < 64) {

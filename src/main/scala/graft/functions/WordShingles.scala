@@ -46,6 +46,25 @@ case class WordShingles(child: Expression, n: Int)
 }
 
 object WordShingles {
+
+  /** SQL-registration factory (see [[graft.GraftExtensions]]): validates
+    * arity and that `n` is a constant integer up front, so
+    * `word_shingles(text)` or a non-foldable `n` fails with a clear
+    * message at analysis time instead of an IndexOutOfBoundsException /
+    * opaque eval error. */
+  def fromFunctionCall(children: Seq[Expression]): WordShingles = {
+    require(children.length == 2, "word_shingles(text, n) takes 2 arguments")
+    require(children(1).foldable,
+      "word_shingles: n must be a constant (foldable) integer")
+    val nv = children(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    require(nv != null, "word_shingles: n must be a non-null constant integer")
+    require(nv.isInstanceOf[Number],
+      s"word_shingles: n must be an integer, got ${children(1).dataType.sql}")
+    val n = nv.asInstanceOf[Number].intValue()
+    require(n >= 1, s"word_shingles: n must be >= 1, got $n")
+    WordShingles(children(0), n)
+  }
+
   private val Whitespace = java.util.regex.Pattern.compile("\\s+")
 
   /** Runtime kernel shared by interpreted and generated code paths. */

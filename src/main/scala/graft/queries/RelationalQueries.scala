@@ -534,8 +534,10 @@ object RelationalQueries {
   /** Equi-width histogram via `width_bucket` — the profiling shape behind
     * data-quality dashboards. One hash aggregate on the bucket id;
     * integer-exact counts and cents sums. The oracle mirrors the bucket
-    * arithmetic explicitly (floor division), pinning the function's
-    * semantics rather than assuming DuckDB ships the same builtin. */
+    * arithmetic explicitly (floor division, plus width_bucket's
+    * out-of-range buckets: v < min → 0, v >= max → num_buckets + 1),
+    * pinning the function's semantics rather than assuming DuckDB ships
+    * the same builtin. */
   private val q76 = QDef(
     "q76_histogram",
     (s, dir) =>
@@ -544,7 +546,9 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"),
           sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
         .orderBy("bucket"),
-    Some("""SELECT CAST(least(floor(o_totalprice / 50000), 11) + 1 AS BIGINT) AS bucket,
+    Some("""SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                             WHEN o_totalprice >= 600000 THEN 13
+                             ELSE floor(o_totalprice / 50000) + 1 END AS BIGINT) AS bucket,
                    CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
             FROM orders GROUP BY 1 ORDER BY bucket"""))

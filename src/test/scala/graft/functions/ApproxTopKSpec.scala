@@ -83,6 +83,53 @@ class WordShinglesSpec extends SparkTestBase {
     assert(shingles(text, 1) == viaSplit)
   }
 
+  test("approx_top_k rejects non-string input at analysis time") {
+    val err = intercept[Exception] {
+      spark.range(5).agg(call_function("approx_top_k", col("id"), lit(3))).collect()
+    }
+    assert(err.getMessage.contains("STRING"), err.getMessage)
+  }
+
+  test("approx_top_k rejects k <= 0 and non-constant k with clear messages") {
+    val bad = intercept[Exception] {
+      Seq("a").toDF("w").agg(call_function("approx_top_k", col("w"), lit(0))).collect()
+    }
+    assert(bad.getMessage.contains("k must be >= 1"), bad.getMessage)
+    val nonConst = intercept[Exception] {
+      Seq("a").toDF("w")
+        .agg(call_function("approx_top_k", col("w"), length(col("w")))).collect()
+    }
+    assert(nonConst.getMessage.contains("constant"), nonConst.getMessage)
+  }
+
+  test("word_shingles validates arity and constant n at analysis time") {
+    val arity = intercept[Exception] {
+      Seq("a b").toDF("t").select(call_function("word_shingles", col("t"))).collect()
+    }
+    assert(arity.getMessage.contains("takes 2 arguments"), arity.getMessage)
+    val nonConst = intercept[Exception] {
+      Seq("a b").toDF("t")
+        .select(call_function("word_shingles", col("t"), length(col("t")))).collect()
+    }
+    assert(nonConst.getMessage.contains("constant"), nonConst.getMessage)
+    val zero = intercept[Exception] {
+      Seq("a b").toDF("t")
+        .select(call_function("word_shingles", col("t"), lit(0))).collect()
+    }
+    assert(zero.getMessage.contains("n must be >= 1"), zero.getMessage)
+  }
+
+  test("simhash_agg over zero rows / all-null input yields 0, not all-ones") {
+    // matches the relational formulation: 64 conditional sums of an empty
+    // set are all 0 -> fingerprint 0
+    val empty = Seq.empty[Long].toDF("h")
+      .agg(call_function("simhash_agg", col("h"))).as[Long].head()
+    assert(empty == 0L)
+    val allNull = Seq[Option[Long]](None, None).toDF("h")
+      .agg(call_function("simhash_agg", col("h"))).as[Long].head()
+    assert(allNull == 0L)
+  }
+
   test("stays inside whole-stage codegen") {
     // a literal input would constant-fold to a LocalTableScan; range() forces
     // a real generated projection

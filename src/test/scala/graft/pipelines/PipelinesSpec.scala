@@ -73,6 +73,39 @@ class SourcesSpec extends SparkTestBase {
     assert(cat.table("accounts").count() == 3)
   }
 
+  test("a fresh Catalog over an existing warehouse continues version numbering") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_upsert_restart").toString
+    val cat1 = new Catalog(spark, wh)
+    cat1.save("t", Seq((1L, "a")).toDF("id", "v"))
+    cat1.upsert("t", Seq((2L, "b")).toDF("id", "v"), Seq("id"))
+    // new instance, same warehouse: must NOT regenerate __v1 (the
+    // errorifexists write would throw) — version derives from disk
+    val cat2 = new Catalog(spark, wh)
+    cat2.upsert("t", Seq((3L, "c")).toDF("id", "v"), Seq("id"))
+    assert(cat2.table("t").count() == 3)
+    val vdirs = new java.io.File(s"$wh/t").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("__v")).map(_.getName).sorted
+    assert(vdirs.toSeq == Seq("__v1", "__v2"))
+  }
+
+  test("vacuum drops superseded snapshots and keeps the newest") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_vacuum").toString
+    val cat = new Catalog(spark, wh)
+    cat.save("t", Seq((1L, "a")).toDF("id", "v"))
+    cat.upsert("t", Seq((2L, "b")).toDF("id", "v"), Seq("id"))
+    cat.upsert("t", Seq((3L, "c")).toDF("id", "v"), Seq("id"))
+    cat.upsert("t", Seq((4L, "d")).toDF("id", "v"), Seq("id"))
+    cat.vacuum("t", keep = 1)
+    val vdirs = new java.io.File(s"$wh/t").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("__v")).map(_.getName).toSeq
+    assert(vdirs == Seq("__v3"))
+    // the live view still reads the surviving snapshot
+    assert(cat.table("t").count() == 4)
+    intercept[IllegalArgumentException](cat.vacuum("t", keep = 0))
+  }
+
   test("csv and json-lines sinks round-trip through their matching sources") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_sinks")
