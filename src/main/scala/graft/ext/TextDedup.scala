@@ -64,16 +64,35 @@ object TextDedup {
     * count → Jaccard from set sizes. Relational end-to-end (SQL-oracle
     * expressible). Use a shingle width that makes shingles near-unique
     * (n ≥ 5 for small vocabularies) so the inverted-index join cannot blow
-    * up on hot keys. */
+    * up on hot keys.
+    *
+    * `maxDf` (off by default) bounds the inverted-index self-join on
+    * adversarial corpora: the join is O(Σ df²) per shingle, so one
+    * boilerplate shingle shared by 10⁶ documents goes quadratic. With a
+    * cap, shingles whose document frequency exceeds `maxDf` are excluded
+    * from candidate generation and intersection counting, but set sizes
+    * stay uncapped — intersections can only shrink, so every reported
+    * Jaccard is a lower bound on the true value and the capped result is
+    * a strict subset of the uncapped one (never a false positive; the
+    * trade is recall on pairs whose overlap lives entirely in hot
+    * shingles — asserted in DedupSpec). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double, maxDf: Option[Long] = None): DataFrame = {
     // localCheckpoint (not persist): the inverted index is read three times
     // (both join sides + the size table). A persist() here would pin cache
     // blocks until someone calls clearCache — localCheckpoint blocks are
     // released by the ContextCleaner as soon as the plan is unreferenced,
     // so long-lived sessions embedding this operator don't leak memory.
     val sh = shingleRows(df, idCol, textCol, n).localCheckpoint()
-    val common = sh.as("a").join(sh.as("b"),
+    // one aggregate + equi-join (not a window): df is per-shingle, so a
+    // broadcast-or-shuffle hash join beats sorting the whole index
+    val joinSide = maxDf.fold(sh) { cap =>
+      sh.join(
+        sh.groupBy("sh").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap).select("sh"),
+        "sh")
+    }
+    val common = joinSide.as("a").join(joinSide.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_l"), col("b.id").as("id_r"))
       .agg(count(lit(1)).as("common"))

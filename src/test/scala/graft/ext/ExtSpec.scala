@@ -153,6 +153,28 @@ class DedupSpec extends SparkTestBase {
     assert(got(22L) == ((0L, 0L, false)))
   }
 
+  test("jaccardPairs maxDf: capped output is a subset with lower-bound jaccard; rare-shingle dups survive") {
+    // 30 docs all sharing one boilerplate trigram (df=30, capped away), plus
+    // a planted near-dup pair whose overlap lives in rare shingles
+    val boiler = "standard legal disclaimer applies"
+    val corpus = ((1L to 30L).map(i => (i, s"$boiler unique$i filler$i trailer$i ending$i")) ++ Seq(
+      (101L, s"$boiler orange mango papaya kiwi banana"),
+      (102L, s"$boiler orange mango papaya kiwi cherry"))).toDF("doc_id", "text")
+    def collectPairs(maxDf: Option[Long]) =
+      TextDedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.15, maxDf)
+        .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val uncapped = collectPairs(None)
+    val capped = collectPairs(Some(5L))
+    // containment: capping can only drop pairs, never invent them
+    assert(capped.keySet.subsetOf(uncapped.keySet))
+    // per-pair lower bound: sizes stay uncapped, intersections only shrink
+    capped.foreach { case (k, j) => assert(j <= uncapped(k) + 1e-12, s"pair $k") }
+    // recall floor: the planted pair overlaps on rare trigrams, so it survives
+    assert(capped.contains((101L, 102L)))
+    // and the cap actually did something: boilerplate-only pairs are gone
+    assert(capped.size < uncapped.size)
+  }
+
   test("contamination: maxTrainDf drops boilerplate shingles shared by many train docs") {
     val boiler = "standard legal disclaimer text applies"
     val train = (1L to 5L).map(i => (i, s"$boiler variant $i")).toDF("doc_id", "text")
