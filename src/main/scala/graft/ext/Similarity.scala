@@ -73,23 +73,63 @@ object Similarity {
     */
   def neardupPairsBanded(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bands: Int, rowsPerBand: Int, dim: Int): DataFrame = {
-    val planes = hyperplanes(bands * rowsPerBand, dim)
-    val bucketCols = (0 until bands).map { b =>
-      lshBucket(col(vecCol), planes.slice(b * rowsPerBand, (b + 1) * rowsPerBand))
-    }
-    val bk = df.select(col(idCol).as("id"), posexplode(array(bucketCols: _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val bk = bandedBuckets(df, idCol, vecCol, bands, rowsPerBand, dim)
     val cands = bk.as("a").join(bk.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_l"), col("b.id").as("id_r"))
       .dropDuplicates("id_l", "id_r")
+    verifyCosine(df, idCol, vecCol, cands, threshold)
+  }
+
+  /** (id, band, bucket) rows for banded hyperplane LSH — the shared
+    * candidate-generation front end of [[neardupPairsBanded]] and
+    * [[neardupEdgesChained]]. Bucket rows carry ids only. */
+  private def bandedBuckets(df: DataFrame, idCol: String, vecCol: String,
+      bands: Int, rowsPerBand: Int, dim: Int): DataFrame = {
+    val planes = hyperplanes(bands * rowsPerBand, dim)
+    val bucketCols = (0 until bands).map { b =>
+      lshBucket(col(vecCol), planes.slice(b * rowsPerBand, (b + 1) * rowsPerBand))
+    }
+    df.select(col(idCol).as("id"), posexplode(array(bucketCols: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
+  /** Exact-cosine verification of an explicit candidate set: vectors join
+    * back by id, so candidate generation never shuffles vectors. */
+  private def verifyCosine(df: DataFrame, idCol: String, vecCol: String,
+      cands: DataFrame, threshold: Double): DataFrame = {
     val va = df.select(col(idCol).as("id_l"), col(vecCol).as("va"))
     val vb = df.select(col(idCol).as("id_r"), col(vecCol).as("vb"))
     cands.join(va, "id_l").join(vb, "id_r")
       .withColumn("cosine", cosine(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select("id_l", "id_r", "cosine")
+  }
+
+  /** Chain-contracted near-dup edges — the giant-cluster-safe candidate
+    * shape. [[neardupPairsBanded]]'s bucket self-join emits O(c²) rows for
+    * a bucket of c clones (a million boilerplate copies → 10¹² candidate
+    * pairs before any filter). Here each (band, bucket) instead contributes
+    * only its *consecutive-by-id* member pairs — c−1 rows, via one window —
+    * so candidate volume is linear in corpus size no matter how skewed the
+    * buckets. The verified chain edges connect exactly the same nodes
+    * within a bucket of bit-identical embeddings (cosine 1 between every
+    * consecutive pair), so connected components over them equal the
+    * pairwise components for clone clusters; for merely-similar members a
+    * chain edge can fail verification where some non-adjacent pair would
+    * have passed, making the resulting components a refinement (never a
+    * coarsening) of the pairwise-edge components — the safe direction for
+    * dedup (asserted in SimilaritySpec). */
+  def neardupEdgesChained(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bands: Int, rowsPerBand: Int, dim: Int): DataFrame = {
+    val bk = bandedBuckets(df, idCol, vecCol, bands, rowsPerBand, dim)
+    val w = Window.partitionBy("band", "bucket").orderBy("id")
+    val cands = bk.withColumn("id_l", lag(col("id"), 1).over(w))
+      .filter(col("id_l").isNotNull)
+      .select(col("id_l"), col("id").as("id_r"))
+      .dropDuplicates("id_l", "id_r")
+    verifyCosine(df, idCol, vecCol, cands, threshold)
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
@@ -120,6 +160,41 @@ object Similarity {
       .join(drops.withColumn("__d", lit(true)), Seq("id"), "left_outer")
       .select(col("id"), col("quality"),
         coalesce(col("__d"), lit(false)).as("is_dropped"))
+  }
+
+  /** Cluster-contracted semantic dedup — the giant-cluster-safe variant of
+    * [[semanticDedup]]. Instead of materializing every near-dup pair (O(c²)
+    * for a c-clone cluster) and applying a pairwise drop rule, this
+    * contracts candidates through connected components: chain edges from
+    * [[neardupEdgesChained]] (linear in corpus size) → min-id components
+    * ([[graft.graph.ConnectedComponents]]) → keep exactly the best-quality
+    * member per component (ties keep the lowest id). Returns every row of
+    * `quality` (`id`, `quality`) with its `cluster_id` (own id for
+    * singletons) and an `is_dropped` verdict.
+    *
+    * Scale shape: one window over buckets, one equi-join per verification
+    * side, O(log n) CC rounds, one argmax aggregate + one join for the
+    * keep rule — nothing anywhere is quadratic in cluster size. The keep
+    * rule is argmax-by-(quality, −id) via `max_by`, a map-side-combinable
+    * aggregate, so even a million-member component never sorts in one task
+    * the way a row_number window would. */
+  def semanticDedupClusters(emb: DataFrame, quality: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, bands: Int, rowsPerBand: Int,
+      dim: Int, checkpointDir: Option[String] = None): DataFrame = {
+    val edges = neardupEdgesChained(emb, idCol, vecCol, threshold, bands, rowsPerBand, dim)
+      .select(col("id_l").as("src"), col("id_r").as("dst"))
+    // chain edges are dropDuplicates'd and id_l < id_r, so already distinct
+    val assign = graft.graph.ConnectedComponents
+      .runOnEdges(edges, assumeDistinctEdges = true, checkpointDir = checkpointDir)
+    val withComp = quality
+      .join(assign, Seq("id"), "left_outer")
+      .select(col("id"), col("quality"),
+        coalesce(col("component"), col("id")).as("cluster_id"))
+    val keep = withComp.groupBy("cluster_id")
+      .agg(max_by(col("id"), struct(col("quality"), negate(col("id")))).as("__keep"))
+    withComp.join(keep, "cluster_id")
+      .select(col("id"), col("quality"), col("cluster_id"),
+        (col("id") =!= col("__keep")).as("is_dropped"))
   }
 
   /** Deterministic pseudo-random hyperplanes (splitmix64 over (plane, dim)),

@@ -333,6 +333,74 @@ object ExtQueries {
           ORDER BY doc_id"""
     })
 
+  /** Cluster-contracted semantic dedup ([[Similarity.semanticDedupClusters]]):
+    * chain edges per (band, bucket) — consecutive-by-id members only, linear
+    * in corpus size even for a million-clone cluster — verified by exact
+    * cosine, contracted through min-id connected components, then exactly
+    * one best-quality keeper per component. The oracle mirrors the whole
+    * pipeline in SQL: plane-literal buckets, `lag` chain edges, the same
+    * cosine verification, recursive-CTE reachability for the components,
+    * and a deterministic (quality DESC, id ASC) keep rule — a full
+    * value-hash check of the composed verdict. */
+  private val q88 = QDef(
+    "q88_semantic_dedup_clusters",
+    (s, dir) => {
+      val quality = Tables.load(s, dir, "documents")
+        .select(col("doc_id").as("id"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+      Similarity.semanticDedupClusters(embeddings(s, dir), quality, "vec_id",
+          "embedding", SemThreshold, bands = NdBands, rowsPerBand = NdRowsPerBand,
+          dim = 64)
+        .select(col("id").as("doc_id"), col("quality"), col("cluster_id"),
+          col("is_dropped"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val planes = Similarity.hyperplanes(NdBands * NdRowsPerBand, 64)
+      val bandArms = (0 until NdBands).map { b =>
+        val slice = planes.slice(b * NdRowsPerBand, (b + 1) * NdRowsPerBand)
+        s"SELECT vec_id AS id, $b AS band, ${bucketSql(slice)} AS bucket FROM v"
+      }.mkString(" UNION ALL ")
+      s"""WITH RECURSIVE v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+          bk AS ($bandArms),
+          ch AS (SELECT id AS id_r,
+                        lag(id) OVER (PARTITION BY band, bucket ORDER BY id) AS id_l
+                 FROM bk),
+          cand AS (SELECT DISTINCT id_l, id_r FROM ch WHERE id_l IS NOT NULL),
+          e AS (SELECT id_l, id_r
+                FROM (SELECT id_l, id_r, ${cosSql("va.ve", "vb.ve")} AS cosine
+                      FROM cand
+                      JOIN v va ON va.vec_id = id_l
+                      JOIN v vb ON vb.vec_id = id_r)
+                WHERE cosine >= $SemThreshold),
+          eb AS (SELECT id_l AS src, id_r AS dst FROM e
+                 UNION ALL SELECT id_r, id_l FROM e),
+          nodes AS (SELECT DISTINCT src AS id FROM eb),
+          reach(root, node) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT r.root, eb.dst FROM reach r JOIN eb ON r.node = eb.src),
+          comp AS (SELECT root AS id, min(node) AS component
+                   FROM reach GROUP BY root),
+          q AS (SELECT doc_id AS id,
+                       least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.5 +
+                         (CAST(len(list_distinct(string_split_regex(lower(text), '\\s+'))) AS DOUBLE)
+                          / len(string_split_regex(lower(text), '\\s+'))) * 0.5 AS quality
+                FROM documents),
+          wc AS (SELECT q.id, q.quality, coalesce(comp.component, q.id) AS cluster_id
+                 FROM q LEFT JOIN comp ON q.id = comp.id),
+          keep AS (SELECT cluster_id, id AS keep_id
+                   FROM (SELECT cluster_id, id, row_number() OVER (
+                           PARTITION BY cluster_id
+                           ORDER BY quality DESC, id ASC) AS rn
+                         FROM wc)
+                   WHERE rn = 1)
+          SELECT wc.id AS doc_id, wc.quality, wc.cluster_id,
+                 wc.id <> keep.keep_id AS is_dropped
+          FROM wc JOIN keep USING (cluster_id)
+          ORDER BY doc_id"""
+    })
+
   /** Hyperplane-LSH bucketed ANN (8 planes → 256 buckets): the 100 TB path —
     * bucket equi-join instead of cross product. The oracle mirrors the
     * bucket assignment + in-bucket ranking in SQL (plane literals again),
@@ -799,5 +867,5 @@ object ExtQueries {
 
   val all: Seq[QDef] = Seq(
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q40, q41, q49, q61, q62, q70, q71, q73, q74)
+    q38, q40, q41, q49, q61, q62, q70, q71, q73, q74, q88)
 }

@@ -314,6 +314,68 @@ class SimilaritySpec extends SparkTestBase {
     (0L until 5L).foreach { i => assert(tie(i + 1000) && !tie(i)) }
   }
 
+  test("chained edges are linear in clone-cluster size; clusters keep exactly one best member") {
+    // 1000 bit-identical embeddings: every band bucket holds all of them, so
+    // the pairwise formulation would emit c(c-1)/2 = 499500 candidates; the
+    // chain contraction emits exactly c-1 verified edges (all cosine 1)
+    val c = 1000
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") === 0).select("embedding")
+    val clones = base.crossJoin(spark.range(c).select(col("id").as("vec_id")))
+      .select(col("vec_id"), col("embedding"))
+    val edges = Similarity.neardupEdgesChained(clones, "vec_id", "embedding",
+      threshold = 0.99, bands = 8, rowsPerBand = 8, dim = 64)
+    assert(edges.count() == c - 1,
+      "candidate contraction must be linear in cluster size")
+    // dedup keeps exactly the single best-quality member of the c-clone cluster
+    val quality = clones.select(col("vec_id").as("id"),
+      (lit(1.0) - col("vec_id") / lit(10000.0)).as("quality")) // id 0 is best
+    val verdicts = Similarity.semanticDedupClusters(clones, quality, "vec_id",
+        "embedding", 0.99, 8, 8, 64)
+      .as[(Long, Double, Long, Boolean)].collect()
+    assert(verdicts.length == c)
+    assert(verdicts.forall(_._3 == 0L), "one cluster, min-id component 0")
+    val kept = verdicts.filter(!_._4).map(_._1).toSeq
+    assert(kept == Seq(0L), s"exactly the best-quality member survives, got $kept")
+  }
+
+  test("chain components refine pairwise components; equal on exact-clone clusters") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding").filter(col("vec_id") < 100)
+    val planted = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+    val corpus = emb.union(planted)
+    def components(edges: Set[(Long, Long)]): Map[Long, Long] = {
+      // tiny driver-side union-find: ground truth for the spec only
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (edges.flatMap(e => Seq(e._1, e._2))).map(x => x -> find(x)).toMap
+    }
+    val pairEdges = Similarity.neardupPairsBanded(corpus, "vec_id", "embedding",
+        0.30, 8, 8, 64).select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    val chainEdges = Similarity.neardupEdgesChained(corpus, "vec_id", "embedding",
+        0.30, 8, 8, 64).select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    val pairComp = components(pairEdges)
+    val chainComp = components(chainEdges)
+    // refinement: two ids the chain groups together are also grouped pairwise
+    chainComp.groupBy(_._2).values.foreach { members =>
+      val pc = members.keys.map(pairComp).toSet
+      assert(pc.size == 1, s"chain component ${members.keys} split across pairwise components $pc")
+    }
+    // exact clones (cosine 1): the chain connects them exactly as pairwise does
+    (0L until 10L).foreach { i =>
+      assert(chainComp.get(i).isDefined && chainComp(i) == chainComp(i + 1000),
+        s"clone pair $i must share a chain component")
+    }
+  }
+
   test("hyperplanes are deterministic and in [-1,1)") {
     val p1 = Similarity.hyperplanes(4, 8)
     val p2 = Similarity.hyperplanes(4, 8)
