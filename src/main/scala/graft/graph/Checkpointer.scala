@@ -12,6 +12,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * reference's `spark.sparkContext.setCheckpointDir` pattern
   * (`/root/reference/01_aml_network_analysis.py:122,145`).
   *
+  * When the caller passes no explicit dir, the session conf
+  * `spark.graft.checkpointDir` is consulted as the default — so a cluster
+  * operator can flip EVERY iterative operator (CC, SCC, Pregel, KCore,
+  * BFS, shortest paths, label propagation, incremental CC, PPR) to
+  * reliable checkpointing with one `spark.conf.set`, no code edits, the
+  * way the reference flips it globally via `setCheckpointDir`. An explicit
+  * `dir` argument still wins; with neither, behavior is unchanged
+  * (`localCheckpoint`).
+  *
   * The checkpoint dir is process-global SparkContext state, so it is only
   * set here when unset: concurrent operators passing *different* dirs would
   * otherwise race on it mid-iteration. If a dir is already configured (by
@@ -21,10 +30,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 private[graft] final case class Checkpointer(
     spark: SparkSession, dir: Option[String]) {
-  dir.foreach { d =>
+  private val effectiveDir: Option[String] = dir.orElse(
+    spark.conf.getOption(Checkpointer.ConfKey).filter(_.nonEmpty))
+  effectiveDir.foreach { d =>
     if (spark.sparkContext.getCheckpointDir.isEmpty)
       spark.sparkContext.setCheckpointDir(d)
   }
   def apply(df: DataFrame): DataFrame =
-    if (dir.isDefined) df.checkpoint() else df.localCheckpoint()
+    if (effectiveDir.isDefined) df.checkpoint() else df.localCheckpoint()
+}
+
+private[graft] object Checkpointer {
+  /** Session conf key holding the default reliable-checkpoint directory. */
+  val ConfKey = "spark.graft.checkpointDir"
 }

@@ -17,9 +17,15 @@ import org.apache.spark.sql.functions._
   *     fixpoint — each round folds one edge-push join AND one pointer
   *     jump (color-of-color) into the min-aggregate, so rounds scale with
   *     O(log diameter) rather than diameter.
-  *  3. *Collect*: a color class's root is the vertex that IS its color; the
-  *     SCC of that root = vertices of the class that reach the root —
-  *     backward frontier expansion restricted to the class.
+  *  3. *Collect*: a color class's root is the vertex that IS its color (the
+  *     class minimum); the SCC of that root = vertices of the class that
+  *     reach the root. "v reaches the root" is itself a min-propagation:
+  *     run the SAME pointer-jumped loop over the class-internal edges
+  *     *reversed* (SCC paths never leave the color class), giving each
+  *     vertex the minimum in-class vertex it reaches; v is in the SCC iff
+  *     that backward minimum equals its color. Both directions are thus
+  *     O(log diameter) rounds — a long cycle no longer degenerates the
+  *     collect phase to O(n) one-hop frontier rounds.
   *  4. Assign, remove, repeat on the remainder.
   *
   * Component id = minimum member id (deterministic, oracle-checkable,
@@ -74,65 +80,25 @@ object StronglyConnectedComponents {
         }
       }
       if (nLeft > 0) {
-        // 2. forward min-color propagation to fixpoint. Convergence is the
-        // (count, XOR-checksum) fingerprint idiom of [[ConnectedComponents]]
-        // — one aggregate scan of the checkpointed colors instead of a
-        // change-detection join per round (colors are distinct per id, so
-        // fingerprint equality <=> no color moved, modulo 64-bit collision).
-        var colors = ckpt(verts.select(col("id"), col("id").as("color")))
-        var stable = false
-        var it = 0
-        var prevFp = fingerprint(colors)
-        while (!stable && it < maxIter) {
-          val pushed = edges
-            .join(colors.select(col("id").as("src"), col("color")), "src")
-            .select(col("dst").as("id"), col("color"))
-          // pointer jump: color(v) = m means "m reaches v", so color(m)
-          // also reaches v transitively — folding it in makes the minimum
-          // travel doubling-length paths, collapsing the round count from
-          // O(diameter) to O(log diameter) (pointer-jumping shortcutting
-          // applied to min-reachability). The jump join costs ~a third of
-          // a round, so it is enabled only once the cheap edge-push rounds
-          // have NOT converged (it >= 3) — small-diameter graphs finish
-          // before paying for it, long chains still get the log behavior.
-          val base = colors.union(pushed)
-          val folded = if (it < 3) base else {
-            val jumped = colors.as("c")
-              .join(colors.select(col("id").as("color"), col("color").as("c2")), "color")
-              .select(col("id"), col("c2").as("color"))
-            base.union(jumped)
-          }
-          val next = ckpt(folded.groupBy("id").agg(min("color").as("color")))
-          val fp = fingerprint(next)
-          stable = fp == prevFp
-          prevFp = fp
-          colors = next
-          it += 1
-        }
-        if (!stable) {
-          val msg = s"SCC color propagation did not converge after $maxIter " +
-            "rounds — raise maxIter"
-          if (strict) throw new IllegalStateException(msg)
-          System.err.println(s"[graft] WARN $msg")
-        }
-        // 3. backward reach from each class root, restricted to the class
-        var members = ckpt(colors.where(col("id") === col("color"))
+        // 2. forward min-color propagation to fixpoint: color(v) = minimum
+        // vertex id that reaches v.
+        val colors = minPropagate(verts, edges, ckpt, maxIter, strict, "forward")
+        // 3. collect: SCC paths never leave a color class (a cross-class
+        // shortcut would merge the classes — see scaladoc), so restrict to
+        // class-internal edges, reverse them, and min-propagate again:
+        // bcolor(v) = minimum in-class vertex v reaches. The class root is
+        // the class minimum, so v is in the root's SCC iff bcolor(v) ==
+        // color(v). Same pointer-jumped loop, same O(log diameter) rounds.
+        val inClassRev = edges
+          .join(colors.select(col("id").as("src"), col("color").as("__cs")), "src")
+          .join(colors.select(col("id").as("dst"), col("color").as("__cd")), "dst")
+          .where(col("__cs") === col("__cd"))
+          .select(col("dst").as("src"), col("src").as("dst"))
+        val bcolors = minPropagate(verts, inClassRev, ckpt, maxIter, strict, "backward")
+        val members = ckpt(colors
+          .join(bcolors.withColumnRenamed("color", "bcolor"), Seq("id"))
+          .where(col("color") === col("bcolor"))
           .select(col("id"), col("color").as("component")))
-        var frontier = members
-        var fSize = frontier.count()
-        while (fSize > 0) {
-          val next = ckpt(edges
-            .join(frontier.select(col("id").as("dst"), col("component")), "dst")
-            .select(col("src").as("id"), col("component"))
-            .distinct()
-            .join(colors, Seq("id"))
-            .where(col("color") === col("component")) // stay inside the class
-            .select(col("id"), col("component"))
-            .join(members, Seq("id"), "left_anti"))
-          fSize = next.count()
-          members = ckpt(members.union(next))
-          frontier = next
-        }
         // 4. assign and peel the found SCCs
         assigned = ckpt(assigned.union(members))
         verts = ckpt(verts.join(members, Seq("id"), "left_anti"))
@@ -154,11 +120,75 @@ object StronglyConnectedComponents {
     assigned
   }
 
-  /** (row count, XOR-combined xxhash64) of an (id, color) assignment — the
-    * same one-aggregate convergence checksum [[ConnectedComponents]] uses
-    * (safe because the set is distinct per id: no XOR cancellation). */
-  private def fingerprint(colors: DataFrame): (Long, Long) = {
-    val row = colors.select(xxhash64(col("id"), col("color")).as("h"))
+  /** Min-id propagation over `edges` (src → dst) to fixpoint, starting from
+    * color(v) = v: returns the minimum id with a directed path to each
+    * vertex (column `color`). Convergence is the (count, XOR-checksum)
+    * fingerprint idiom of [[ConnectedComponents]] — one aggregate scan of
+    * the checkpointed state instead of a change-detection join per round
+    * (state is distinct per id, so fingerprint equality <=> nothing moved,
+    * modulo 64-bit collision).
+    *
+    * Each round folds the edge-push join with pointer jumps
+    * (color-of-color): color(v) = m means "m reaches v", so anything known
+    * to reach m also reaches v transitively — known minima travel
+    * doubling-length paths, collapsing the round count from O(diameter) to
+    * O(log diameter). A single min-witness jump stalls when the witness is
+    * the vertex itself — on a cycle whose ids are *monotone along the
+    * propagation direction*, min(known reachers of v) = v for most v, the
+    * jump is a self-pointer, and progress degenerates to one hop per round
+    * (exactly the layout of a long ascending-id cycle in the backward
+    * phase). So the state tracks BOTH the minimum and maximum known
+    * reacher and jumps through both witnesses: whichever direction the id
+    * order runs, one of the two witnesses moves every round and keeps the
+    * doubling going (asserted on both cycle orientations in SccJumpSpec).
+    * The jump joins cost ~a round, so they are enabled only once the cheap
+    * edge-push rounds have NOT converged (it >= 3) — small-diameter graphs
+    * finish before paying for them, long chains still get the log
+    * behavior. */
+  private def minPropagate(verts: DataFrame, edges: DataFrame,
+      ckpt: Checkpointer, maxIter: Int, strict: Boolean,
+      phaseName: String): DataFrame = {
+    var st = ckpt(verts.select(col("id"), col("id").as("mn"), col("id").as("mx")))
+    var stable = false
+    var it = 0
+    var prevFp = fingerprint(st)
+    while (!stable && it < maxIter) {
+      val pushed = edges
+        .join(st.select(col("id").as("src"), col("mn"), col("mx")), "src")
+        .select(col("dst").as("id"), col("mn"), col("mx"))
+      val base = st.union(pushed)
+      val folded = if (it < 3) base else {
+        val viaMin = st.select(col("id"), col("mn").as("__w"))
+          .join(st.select(col("id").as("__w"), col("mn"), col("mx")), "__w")
+          .select(col("id"), col("mn"), col("mx"))
+        val viaMax = st.select(col("id"), col("mx").as("__w"))
+          .join(st.select(col("id").as("__w"), col("mn"), col("mx")), "__w")
+          .select(col("id"), col("mn"), col("mx"))
+        base.union(viaMin).union(viaMax)
+      }
+      val next = ckpt(folded.groupBy("id")
+        .agg(min("mn").as("mn"), max("mx").as("mx")))
+      val fp = fingerprint(next)
+      stable = fp == prevFp
+      prevFp = fp
+      st = next
+      it += 1
+    }
+    if (!stable) {
+      val msg = s"SCC $phaseName propagation did not converge after " +
+        s"$maxIter rounds — raise maxIter"
+      if (strict) throw new IllegalStateException(msg)
+      System.err.println(s"[graft] WARN $msg")
+    }
+    st.select(col("id"), col("mn").as("color"))
+  }
+
+  /** (row count, XOR-combined xxhash64 over every column) of a per-id
+    * assignment — the same one-aggregate convergence checksum
+    * [[ConnectedComponents]] uses (safe because the set is distinct per id:
+    * no XOR cancellation). */
+  private def fingerprint(state: DataFrame): (Long, Long) = {
+    val row = state.select(xxhash64(state.columns.map(col).toIndexedSeq: _*).as("h"))
       .agg(count(lit(1)).as("c"), coalesce(expr("bit_xor(h)"), lit(0L)).as("x"))
       .head()
     (row.getLong(0), row.getLong(1))

@@ -324,28 +324,31 @@ object GraphQueries {
         .join(m.as("graph2"), col("graph1.g.id") === col("graph2.g.id"))
         .filter(col("graph1.e6.amount") + col("graph2.e6.amount") > 900000)
         .selectExpr("graph1.*")
-      // id projection is tiny (6 longs/row) — checkpoint so the two name
-      // arms don't re-run the 5-way motif join
-      val ids = joined.select(
-        col("a.id").as("a_id"), col("b.id").as("b_id"), col("c.id").as("c_id"),
-        col("d.id").as("d_id"), col("f.id").as("f_id"), col("g.id").as("g_id"))
-        .localCheckpoint()
+      // each motif row carries both name chains (a,b,c,g) and (d,f,c,g):
+      // explode it into the two tagged 4-tuples IN-PLAN, so the 5-way motif
+      // join appears exactly once in one visible plan (no eager checkpoint
+      // hiding scan pushdown — PlanSpec asserts this), and name resolution
+      // is a single shared 4-join pass instead of one per arm
+      val chains = joined.select(explode(array(
+          struct(lit("abcg").as("chain"), col("a.id").as("i0"),
+            col("b.id").as("i1"), col("c.id").as("i2"), col("g.id").as("i3")),
+          struct(lit("dfcg").as("chain"), col("d.id").as("i0"),
+            col("f.id").as("i1"), col("c.id").as("i2"), col("g.id").as("i3"))))
+          .as("t"))
+        .select(col("t.*"))
       val names = g.vertices.select(col("id"), col("name"))
-      def resolve(tag: String, v0: String, v1: String, v2: String, v3: String) =
-        ids
-          .join(names.select(col("id").as("__i0"), col("name").as("l0_name")),
-            col(s"${v0}_id") === col("__i0"))
-          .join(names.select(col("id").as("__i1"), col("name").as("l1_name")),
-            col(s"${v1}_id") === col("__i1"))
-          .join(names.select(col("id").as("__i2"), col("name").as("l2_name")),
-            col(s"${v2}_id") === col("__i2"))
-          .join(names.select(col("id").as("__i3"), col("name").as("l3_name")),
-            col(s"${v3}_id") === col("__i3"))
-          .select(lit(tag).as("chain"),
-            col("l0_name"), col("l1_name"), col("l2_name"), col("l3_name"))
-          .distinct()
-      resolve("abcg", "a", "b", "c", "g")
-        .union(resolve("dfcg", "d", "f", "c", "g"))
+      chains
+        .join(names.select(col("id").as("__i0"), col("name").as("l0_name")),
+          col("i0") === col("__i0"))
+        .join(names.select(col("id").as("__i1"), col("name").as("l1_name")),
+          col("i1") === col("__i1"))
+        .join(names.select(col("id").as("__i2"), col("name").as("l2_name")),
+          col("i2") === col("__i2"))
+        .join(names.select(col("id").as("__i3"), col("name").as("l3_name")),
+          col("i3") === col("__i3"))
+        .select(col("chain"), col("l0_name"), col("l1_name"), col("l2_name"),
+          col("l3_name"))
+        .distinct()
         .orderBy("chain", "l0_name", "l1_name", "l2_name", "l3_name")
     },
     Some(s"""WITH e0 AS ($txnEdgesSql),

@@ -172,6 +172,27 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(new java.io.File(dir).listFiles().nonEmpty)
   }
 
+  test("spark.graft.checkpointDir conf flips iterative operators to reliable mode") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-conf").toString
+    // pin the process-global context dir so the reliable writes land where
+    // this test can observe them (an earlier suite may have set another)
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      val rnd = new scala.util.Random(13)
+      val es = Seq.fill(1000)((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+        .filter { case (a, b) => a != b }.toDF("src", "dst")
+      // no explicit checkpointDir argument anywhere — the conf alone must
+      // switch the run to reliable checkpoint() (files under dir)
+      val got = ConnectedComponents.runOnEdges(es).as[(Long, Long)].collect().toMap
+      assert(new java.io.File(dir).listFiles().nonEmpty,
+        "conf-driven run must write reliable checkpoints")
+      spark.conf.unset("spark.graft.checkpointDir")
+      val default = ConnectedComponents.runOnEdges(es).as[(Long, Long)].collect().toMap
+      assert(got == default, "conf must not change results")
+    } finally spark.conf.unset("spark.graft.checkpointDir")
+  }
+
   test("scc: cycles merge, bridges and DAG chains stay singletons") {
     val g = PropertyGraph(
       (1L to 7L).toDF("id"),

@@ -75,15 +75,29 @@ class KCoreSpec extends SparkTestBase {
 class SccJumpSpec extends SparkTestBase {
   import spark.implicits._
 
-  test("pointer jumping converges a long directed cycle within O(log n) + warmup rounds") {
-    // a 150-cycle is one SCC; plain edge-push needs ~150 color rounds, the
-    // adaptive jump must land well under 25 (3 warmup + ~8 doubling)
+  // Both phases (forward coloring AND backward collect) run under
+  // strict maxIter = 25, so each orientation proves O(log n) + warmup
+  // rounds end-to-end: a 150-cycle needs ~150 one-hop rounds without
+  // jumping, and a single min-witness jump stalls on whichever direction
+  // has ids monotone *increasing* along the propagation (the witness is a
+  // self-pointer there). Ascending ids exercise that stall in the backward
+  // phase, descending ids in the forward phase — together they pin the
+  // dual min/max-witness jump in StronglyConnectedComponents.minPropagate.
+  private def cycleScc(edge: Int => (Long, Long)): Unit = {
     val n = 150
-    val edges = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))
+    val edges = (0 until n).map(edge)
     val verts = (0 until n).map(_.toLong).toDF("id")
     val out = StronglyConnectedComponents
       .run(PropertyGraph(verts, edges.toDF("src", "dst")), maxIter = 25, strict = true)
       .as[(Long, Long)].collect()
     assert(out.length == n && out.forall(_._2 == 0L))
+  }
+
+  test("pointer jumping converges a long ascending-id cycle within O(log n) + warmup rounds") {
+    cycleScc(i => (i.toLong, ((i + 1) % 150).toLong))
+  }
+
+  test("pointer jumping converges a long descending-id cycle within O(log n) + warmup rounds") {
+    cycleScc(i => (((i + 1) % 150).toLong, i.toLong))
   }
 }

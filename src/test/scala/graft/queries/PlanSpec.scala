@@ -47,8 +47,7 @@ class PlanSpec extends SparkTestBase {
 
   test("filters are pushed down to the parquet scans") {
     // the ANN query-set filters must reach the embeddings scan, not run
-    // post-read (q44's scans sit above an eager checkpoint, so its plan
-    // cannot witness pushdown here)
+    // post-read
     assert(plans("q28_cosine_topk").contains("LessThan(vec_id,8)"),
       "vec_id filter not pushed in q28")
     assert(plans("q30_ann_lsh").contains("LessThan(vec_id,8)"),
@@ -56,5 +55,17 @@ class PlanSpec extends SparkTestBase {
     // and broadly: a healthy fraction of registered queries push something
     val pushing = plans.count(_._2.matches("(?s).*PushedFilters: \\[[^\\]].*"))
     assert(pushing >= 10, s"only $pushing queries push filters to their scans")
+  }
+
+  test("q44's motif pipeline is one visible plan, not an eager checkpoint") {
+    // q44 used to localCheckpoint the motif ids mid-query (severing the
+    // visible plan from the parquet scans); it now reuses the motif rows
+    // in-plan via explode. Iterative queries (CC/SCC/Pregel) legitimately
+    // end in checkpoint-backed RDD scans — their loops are eager by nature
+    // — so this assertion is q44's alone.
+    assert(!plans("q44_motif_structuring5").contains("Scan ExistingRDD"),
+      "q44 hides its scans behind an eager checkpoint")
+    assert(plans("q44_motif_structuring5").contains("Scan parquet"),
+      "q44 should read its sources in-plan")
   }
 }
