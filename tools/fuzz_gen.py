@@ -1,20 +1,36 @@
 #!/usr/bin/env python3
 """Cross-engine SQL fuzzer, generation step (repo tooling, driver-side env).
 
-Emits deterministic pseudo-random ANSI-SQL queries over the lineitem table
-to /tmp/fuzz_queries.tsv (name<TAB>sql, one per line). The dialect subset is
-chosen so Spark and DuckDB agree bit-for-bit: integer-exact aggregates
-(count, integer-cast sums), min/max (no arithmetic), modular and comparison
-predicates, IN lists, grouped by low-cardinality keys with a total ORDER BY.
+Emits deterministic pseudo-random ANSI-SQL queries over the lineitem and
+orders tables (name<TAB>sql, one per line). The dialect subset is chosen so
+Spark and DuckDB agree bit-for-bit: integer-exact aggregates (count,
+integer-cast sums), min/max (no arithmetic), modular and comparison
+predicates, IN lists, totally-ordered output. Four template families:
 
-Usage: python3 tools/fuzz_gen.py [n_queries] [seed]
-Then:  sbt console < tools/fuzz_run.sc
+  agg      - filtered GROUP BY aggregate over lineitem (the original family)
+  outerjoin- orders LEFT/FULL JOIN lineitem with predicates in the ON clause
+             (exercises null-extension + join-condition vs filter semantics)
+  window   - ROWS-framed window aggregates / lag / lead partitioned by
+             l_orderkey ordered by the unique (within order) l_linenumber,
+             so frame contents are deterministic in both engines
+  corrsub  - correlated scalar-count subqueries and [NOT] EXISTS against
+             lineitem from an orders scan
+
+Usage: python3 tools/fuzz_gen.py [n_queries] [seed] [out_path]
+Then:  sbt console < tools/fuzz_run.sc          # Spark side -> /tmp/fuzz_out
 Then:  python3 tools/fuzz_check.py /tmp/fuzz_out /root/testdata/sf0.01
+
+The committed corpus tools/fuzz_corpus.tsv is this generator's output for
+(240, 20260813) and is ALSO run inside `sbt test` (graft.queries.FuzzSpec)
+as a config-perturbation self-consistency gate: every query must return
+identical results under default confs and under AQE-off / whole-stage-
+codegen-off / different shuffle partitioning.
 """
 import random, sys
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 40
 SEED = int(sys.argv[2]) if len(sys.argv) > 2 else 1234
+OUT = sys.argv[3] if len(sys.argv) > 3 else "/tmp/fuzz_queries.tsv"
 rng = random.Random(SEED)
 
 # the driver testdata carries a TPC-H column subset — see TESTDATA.md
@@ -27,7 +43,7 @@ STR_VALS = {
 KEY_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
 
 
-def predicate():
+def predicate(prefix=""):
     kind = rng.choice(["numcmp", "strin", "mod", "range", "streq"])
     if kind == "numcmp":
         c = rng.choice(NUM_COLS)
@@ -35,22 +51,22 @@ def predicate():
         v = round(rng.uniform(0, 60), 2) if c == "l_quantity" else round(rng.uniform(0, 0.1), 3)
         if c == "l_extendedprice":
             v = round(rng.uniform(900, 90000), 2)
-        return f"{c} {op} {v}"
+        return f"{prefix}{c} {op} {v}"
     if kind == "strin":
         c = rng.choice(STR_COLS)
         vals = rng.sample(STR_VALS[c], rng.randint(1, min(3, len(STR_VALS[c]))))
         lst = ", ".join(f"'{v}'" for v in vals)
-        return f"{c} IN ({lst})"
+        return f"{prefix}{c} IN ({lst})"
     if kind == "mod":
         c = rng.choice(KEY_COLS)
         k = rng.randint(2, 13)
-        return f"{c} % {k} = {rng.randint(0, k - 1)}"
+        return f"{prefix}{c} % {k} = {rng.randint(0, k - 1)}"
     if kind == "range":
         c = rng.choice(KEY_COLS)
         lo = rng.randint(0, 40000)
-        return f"{c} BETWEEN {lo} AND {lo + rng.randint(100, 20000)}"
+        return f"{prefix}{c} BETWEEN {lo} AND {lo + rng.randint(100, 20000)}"
     c = rng.choice(STR_COLS)
-    return f"{c} = '{rng.choice(STR_VALS[c])}'"
+    return f"{prefix}{c} = '{rng.choice(STR_VALS[c])}'"
 
 
 def aggregate(i):
@@ -65,7 +81,7 @@ def aggregate(i):
     ])
 
 
-def query(qi):
+def query_agg(qi):
     preds = " AND ".join(predicate() for _ in range(rng.randint(1, 3)))
     if rng.random() < 0.3:
         preds = f"({preds}) OR ({predicate()})"
@@ -80,7 +96,110 @@ def query(qi):
             f"GROUP BY {group} ORDER BY {gord}")
 
 
-with open("/tmp/fuzz_queries.tsv", "w") as f:
+def query_outerjoin(qi):
+    # orders LEFT/FULL JOIN lineitem: predicates in the ON clause exercise
+    # null-extension semantics (a pred in ON keeps the left row, in WHERE it
+    # would drop it). Aggregates count only matched rows via count(col).
+    k = rng.randint(3, 19)
+    r = rng.randint(0, k - 1)
+    on_pred = predicate()
+    jtype = rng.choice(["LEFT", "LEFT", "FULL"])  # FULL less often
+    if jtype == "FULL":
+        # filter BOTH sides in subqueries so unmatched rows exist on each
+        k2 = rng.randint(2, 7)
+        return (
+            f"SELECT coalesce(o_orderkey, l_orderkey) AS g0, "
+            f"CAST(count(o_custkey) AS BIGINT) AS no0, "
+            f"CAST(count(l_linenumber) AS BIGINT) AS nl0, "
+            f"CAST(coalesce(sum(CAST(l_quantity AS BIGINT)), 0) AS BIGINT) AS sq0 "
+            f"FROM (SELECT * FROM orders WHERE o_orderkey % {k} = {r}) o "
+            f"FULL JOIN (SELECT * FROM lineitem WHERE l_orderkey % {k2} = {rng.randint(0, k2 - 1)}) l "
+            f"ON l_orderkey = o_orderkey "
+            f"GROUP BY coalesce(o_orderkey, l_orderkey) ORDER BY g0")
+    return (
+        f"SELECT o_orderkey AS g0, CAST(count(l_orderkey) AS BIGINT) AS n0, "
+        f"CAST(coalesce(sum(CAST(l_quantity AS BIGINT)), 0) AS BIGINT) AS sq0, "
+        f"CAST(coalesce(min(l_linenumber), -1) AS BIGINT) AS mn0 "
+        f"FROM orders LEFT JOIN lineitem "
+        f"ON l_orderkey = o_orderkey AND ({on_pred}) "
+        f"WHERE o_orderkey % {k} = {r} "
+        f"GROUP BY o_orderkey ORDER BY g0")
+
+
+def query_window(qi):
+    # partition by l_orderkey; the in-partition ORDER BY must be a total
+    # order or ROWS frames/lag/lead are tie-nondeterministic across engines.
+    # l_linenumber alone is NOT unique per order in the synthetic testdata
+    # (unlike real TPC-H) — (l_linenumber, l_partkey, l_suppkey, l_quantity,
+    # l_extendedprice) is verified unique within l_orderkey at all three SFs.
+    order = ("l_linenumber, l_partkey, l_suppkey, l_quantity, "
+             "l_extendedprice")
+    frame = rng.choice([
+        f"ROWS BETWEEN {rng.randint(1, 4)} PRECEDING AND CURRENT ROW",
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        f"ROWS BETWEEN CURRENT ROW AND {rng.randint(1, 4)} FOLLOWING",
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING",
+    ])
+    over = f"OVER (PARTITION BY l_orderkey ORDER BY {order} {frame})"
+    over_nof = f"OVER (PARTITION BY l_orderkey ORDER BY {order})"
+    wexpr = rng.choice([
+        f"CAST(sum(CAST(l_quantity AS BIGINT)) {over} AS BIGINT) AS w0",
+        f"CAST(count(*) {over} AS BIGINT) AS w0",
+        f"CAST(min(l_linenumber) {over} AS BIGINT) AS w0",
+        f"CAST(max(l_suppkey) {over} AS BIGINT) AS w0",
+        f"CAST(coalesce(lag(l_linenumber, {rng.randint(1, 2)}) {over_nof}, -1) AS BIGINT) AS w0",
+        f"CAST(coalesce(lead(l_linenumber, {rng.randint(1, 2)}) {over_nof}, -1) AS BIGINT) AS w0",
+        f"CAST(row_number() {over_nof} AS BIGINT) AS w0",
+    ])
+    k = rng.randint(2, 9)
+    return (
+        f"SELECT l_orderkey AS g0, l_linenumber AS g1, {wexpr} "
+        f"FROM lineitem WHERE l_orderkey % {k} = {rng.randint(0, k - 1)} "
+        f"ORDER BY g0, g1, l_partkey, l_suppkey, l_quantity, l_extendedprice")
+
+
+def query_corrsub(qi):
+    k = rng.randint(3, 19)
+    r = rng.randint(0, k - 1)
+    kind = rng.choice(["scalar", "exists", "notexists"])
+    inner_pred = predicate("l.")
+    if kind == "scalar":
+        op = rng.choice([">=", "=", "<="])
+        m = rng.randint(0, 4)
+        return (
+            f"SELECT o_orderkey AS g0 FROM orders o "
+            f"WHERE o_orderkey % {k} = {r} AND "
+            f"(SELECT CAST(count(*) AS BIGINT) FROM lineitem l "
+            f"WHERE l.l_orderkey = o.o_orderkey AND ({inner_pred})) {op} {m} "
+            f"ORDER BY g0")
+    neg = "NOT " if kind == "notexists" else ""
+    return (
+        f"SELECT o_orderkey AS g0, o_orderstatus AS g1 FROM orders o "
+        f"WHERE o_orderkey % {k} = {r} AND {neg}EXISTS "
+        f"(SELECT 1 FROM lineitem l "
+        f"WHERE l.l_orderkey = o.o_orderkey AND ({inner_pred})) "
+        f"ORDER BY g0")
+
+
+FAMILIES = [
+    ("agg", query_agg, 0.4),
+    ("oj", query_outerjoin, 0.2),
+    ("win", query_window, 0.2),
+    ("sub", query_corrsub, 0.2),
+]
+
+
+def query(qi):
+    x = rng.random()
+    acc = 0.0
+    for _, fn, w in FAMILIES:
+        acc += w
+        if x < acc:
+            return fn(qi)
+    return query_agg(qi)
+
+
+with open(OUT, "w") as f:
     for i in range(N):
         f.write(f"fz{i:03d}\t{query(i)}\n")
-print(f"wrote {N} queries (seed {SEED}) to /tmp/fuzz_queries.tsv")
+print(f"wrote {N} queries (seed {SEED}) to {OUT}")
