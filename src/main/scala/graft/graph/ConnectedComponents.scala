@@ -74,6 +74,7 @@ object ConnectedComponents {
       // non-strict callers that can tolerate it should raise maxIter
       System.err.println(s"[graft] WARN $msg")
     }
+    lastRounds.set(iter)
 
     // At convergence the edge set is a star per component, every edge
     // pointing (member -> minimum id). Roots map to themselves.
@@ -112,6 +113,13 @@ object ConnectedComponents {
       .union(mins.select(col("u").as("src"), col("m").as("dst")))
       .distinct()
   }
+
+  /** Star-contraction rounds taken by the most recent [[runOnEdges]] on the
+    * calling thread — spec instrumentation for the O(log n) round-growth
+    * claims (GraphScaleSpec); thread-local because Verify runs queries
+    * concurrently. */
+  private[graft] val lastRounds: ThreadLocal[Integer] =
+    ThreadLocal.withInitial(() => Integer.valueOf(0))
 
   /** Cheap convergence check: (row count, XOR-combined xxhash64 checksum) of
     * the edge set — one aggregate job instead of a full EXCEPT diff per

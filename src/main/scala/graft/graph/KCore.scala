@@ -90,6 +90,13 @@ object KCore {
       if (strict) throw new IllegalStateException(msg)
       System.err.println(s"[graft] WARN $msg")
     }
+    lastRounds.set(iter)
     degrees(und)
   }
+
+  /** Peeling rounds taken by the most recent [[run]] on the calling thread
+    * — spec instrumentation (GraphScaleSpec); thread-local because Verify
+    * runs queries concurrently. */
+  private[graft] val lastRounds: ThreadLocal[Integer] =
+    ThreadLocal.withInitial(() => Integer.valueOf(0))
 }

@@ -52,6 +52,7 @@ object StronglyConnectedComponents {
         org.apache.spark.sql.types.StructField("component",
           g.vertices.schema("id").dataType, nullable = true))))
 
+    lastRounds.set(0)
     var phase = 0
     var nLeft = verts.count()
     while (nLeft > 0 && phase < maxPhases) {
@@ -180,8 +181,16 @@ object StronglyConnectedComponents {
       if (strict) throw new IllegalStateException(msg)
       System.err.println(s"[graft] WARN $msg")
     }
+    lastRounds.set(lastRounds.get + it)
     st.select(col("id"), col("mn").as("color"))
   }
+
+  /** Total propagation rounds (forward + backward, all phases) of the most
+    * recent [[run]] on the calling thread — spec instrumentation
+    * (GraphScaleSpec); thread-local because Verify runs queries
+    * concurrently. */
+  private[graft] val lastRounds: ThreadLocal[Integer] =
+    ThreadLocal.withInitial(() => Integer.valueOf(0))
 
   /** (row count, XOR-combined xxhash64 over every column) of a per-id
     * assignment — the same one-aggregate convergence checksum
