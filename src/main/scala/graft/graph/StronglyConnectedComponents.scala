@@ -90,16 +90,29 @@ object StronglyConnectedComponents {
         // bcolor(v) = minimum in-class vertex v reaches. The class root is
         // the class minimum, so v is in the root's SCC iff bcolor(v) ==
         // color(v). Same pointer-jumped loop, same O(log diameter) rounds.
+        // A singleton class IS its root's SCC and can never carry an
+        // in-class edge (both endpoints would have to be distinct members),
+        // so the backward pass runs over multi-member-class vertices only —
+        // on graphs whose SCCs are mostly trivial (typical transaction
+        // graphs) this shrinks the propagated state to a sliver of the
+        // remaining vertices.
+        val classSizes = colors.groupBy("color").agg(count(lit(1)).as("__n"))
+        val multi = ckpt(colors
+          .join(classSizes.where(col("__n") > 1).select("color"), "color")
+          .select(col("id"), col("color")))
+        val singles = colors
+          .join(classSizes.where(col("__n") === 1).select("color"), "color")
+          .select(col("id"), col("color").as("component"))
         val inClassRev = edges
-          .join(colors.select(col("id").as("src"), col("color").as("__cs")), "src")
-          .join(colors.select(col("id").as("dst"), col("color").as("__cd")), "dst")
+          .join(multi.select(col("id").as("src"), col("color").as("__cs")), "src")
+          .join(multi.select(col("id").as("dst"), col("color").as("__cd")), "dst")
           .where(col("__cs") === col("__cd"))
           .select(col("dst").as("src"), col("src").as("dst"))
-        val bcolors = minPropagate(verts, inClassRev, ckpt, maxIter, strict, "backward")
-        val members = ckpt(colors
+        val bcolors = minPropagate(multi, inClassRev, ckpt, maxIter, strict, "backward")
+        val members = ckpt(singles.union(multi
           .join(bcolors.withColumnRenamed("color", "bcolor"), Seq("id"))
           .where(col("color") === col("bcolor"))
-          .select(col("id"), col("color").as("component")))
+          .select(col("id"), col("color").as("component"))))
         // 4. assign and peel the found SCCs
         assigned = ckpt(assigned.union(members))
         verts = ckpt(verts.join(members, Seq("id"), "left_anti"))
