@@ -133,6 +133,26 @@ final class Catalog(spark: SparkSession, warehouseDir: String) {
     }.sortBy(_._1)
   }
 
+  /** Time-travel read — Delta's `versionAsOf` (the reference's tables are
+    * Delta and get this for free) without the Delta jar: every
+    * [[upsert]]/[[compact]] wrote an immutable `__vN` snapshot directory,
+    * so reading version N is reading that directory. Throws on a version
+    * that never existed or was [[vacuum]]ed away (same failure mode as
+    * Delta after VACUUM passes the retention window). */
+  def tableVersion(name: String, version: Long): DataFrame = {
+    val dir = existingVersions(name).collectFirst {
+      case (v, d) if v == version => d
+    }.getOrElse(throw new IllegalArgumentException(
+      s"table $name has no snapshot __v$version " +
+        s"(available: ${history(name).mkString(",")})"))
+    spark.read.parquet(dir.getPath)
+  }
+
+  /** Snapshot versions currently readable via [[tableVersion]], oldest
+    * first (Delta `DESCRIBE HISTORY`'s version column, minus the metadata
+    * Delta logs and parquet files do not carry). */
+  def history(name: String): Seq[Long] = existingVersions(name).map(_._1)
+
   /** Garbage-collect superseded snapshot directories, keeping the newest
     * `keep` (>= 1). Deliberately a separate, explicit call — upsert/compact
     * never delete, so in-flight readers of an old snapshot stay intact;

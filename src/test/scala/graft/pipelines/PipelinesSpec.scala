@@ -106,6 +106,25 @@ class SourcesSpec extends SparkTestBase {
     intercept[IllegalArgumentException](cat.vacuum("t", keep = 0))
   }
 
+  test("time travel reads any surviving snapshot; history lists them oldest-first") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_timetravel").toString
+    val cat = new Catalog(spark, wh)
+    cat.save("t", Seq((1L, "a")).toDF("id", "v"))
+    cat.upsert("t", Seq((1L, "a2"), (2L, "b")).toDF("id", "v"), Seq("id"))
+    cat.upsert("t", Seq((3L, "c")).toDF("id", "v"), Seq("id"))
+    assert(cat.history("t") == Seq(1L, 2L))
+    // version 1 = the first upsert's snapshot, before key 3 existed
+    assert(cat.tableVersion("t", 1).as[(Long, String)].collect().toSet ==
+      Set((1L, "a2"), (2L, "b")))
+    assert(cat.tableVersion("t", 2).count() == 3)
+    // never-existed and vacuumed versions both fail like Delta post-VACUUM
+    intercept[IllegalArgumentException](cat.tableVersion("t", 9))
+    cat.vacuum("t", keep = 1)
+    intercept[IllegalArgumentException](cat.tableVersion("t", 1))
+    assert(cat.history("t") == Seq(2L))
+  }
+
   test("csv and json-lines sinks round-trip through their matching sources") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_sinks")
