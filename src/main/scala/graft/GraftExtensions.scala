@@ -41,6 +41,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DoubleMetaphoneExpr].getName, "double_metaphone_alt"),
       (children: Seq[Expr]) => DoubleMetaphoneExpr(children.head, alternate = true)))
     ext.injectFunction((
+      new FunctionIdentifier("quantize_i8"),
+      new ExpressionInfo(classOf[graft.functions.QuantizeI8].getName, "quantize_i8"),
+      (children: Seq[Expr]) => graft.functions.QuantizeI8(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_i8"),
+      new ExpressionInfo(classOf[graft.functions.CosineI8].getName, "cosine_i8"),
+      (children: Seq[Expr]) => graft.functions.CosineI8(children(0), children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("approx_top_k"),
       new ExpressionInfo(classOf[MisraGriesAgg].getName, "approx_top_k"),
       (children: Seq[Expr]) => MisraGriesAgg.fromFunctionCall(children)))

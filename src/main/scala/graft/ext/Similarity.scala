@@ -45,6 +45,27 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** [[bruteForceTopK]] over int8-quantized codes (graft.functions.QuantizeI8):
+    * per-vector max-abs scaling, cosine on the codes directly (cosine is
+    * scale-invariant). At 100 TB this is the 4×-compression path — the
+    * quantized corpus projection is what gets scanned/broadcast, and the
+    * integer dot products are exact and order-independent. Quantization
+    * happens in the pre-join projections, so each corpus row is coded once
+    * per scan, not once per query pairing. */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    def codes(c: Column): Column = call_function("quantize_i8", c)
+    val q = queries.select(col(idCol).as("query_id"), codes(col(vecCol)).as("qc"))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), codes(col(vecCol)).as("nc"))
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine_q", call_function("cosine_i8", col("qc"), col("nc")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine_q").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine_q", "rank")
+  }
+
   /** All-pairs cosine ≥ threshold. O(n²) — the correctness baseline for
     * [[neardupPairsBanded]] (asserted in SimilaritySpec), NOT the registered
     * scale path: a BroadcastNestedLoopJoin over n² pairs dies at 100 TB. */

@@ -219,6 +219,44 @@ object ExtQueries {
             SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
             FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** Top-5 over int8-quantized embeddings — the 4×-compressed ANN scan
+    * path. Full-strength oracle: quantization is deterministic double
+    * arithmetic (`floor(x*127/maxabs + 0.5)` — NOT `round`, whose
+    * half-way behavior differs between Scala and DuckDB on negatives) and
+    * the code dot products are exact small integers, so both engines
+    * produce bit-identical scores. */
+  private val q89 = QDef(
+    "q89_quantized_topk",
+    (s, dir) => {
+      val e = embeddings(s, dir)
+      Similarity.quantizedTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 5)
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH base AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v,
+                     list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS maxabs
+              FROM embeddings),
+            qz AS (
+              SELECT vec_id,
+                     CASE WHEN maxabs = 0 THEN list_transform(v, x -> 0.0)
+                          ELSE list_transform(v, x -> floor(x * 127.0 / maxabs + 0.5))
+                     END AS c
+              FROM base),
+            q AS (SELECT vec_id AS query_id, c AS qc FROM qz WHERE vec_id < 8),
+            sc AS (
+              SELECT query_id, vec_id AS neighbor_id,
+                     CASE WHEN list_dot_product(qc, qc) = 0
+                            OR list_dot_product(c, c) = 0 THEN 0.0
+                          ELSE list_dot_product(qc, c) /
+                               (sqrt(list_dot_product(qc, qc)) * sqrt(list_dot_product(c, c)))
+                     END AS cosine_q
+              FROM q JOIN qz ON query_id <> vec_id),
+            r AS (SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cosine_q DESC, neighbor_id) AS rank
+                  FROM sc)
+            SELECT query_id, neighbor_id, cosine_q, CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   /** DuckDB rendering of a vector-cosine over `DOUBLE[]` expressions —
     * left-to-right IEEE arithmetic identical to the codegen'd `cosine_sim`
     * expression (bit-equality proven by q28). */
@@ -867,5 +905,5 @@ object ExtQueries {
 
   val all: Seq[QDef] = Seq(
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q40, q41, q49, q61, q62, q70, q71, q73, q74, q88)
+    q38, q40, q41, q49, q61, q62, q70, q71, q73, q74, q88, q89)
 }

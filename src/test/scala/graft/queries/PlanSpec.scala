@@ -21,8 +21,9 @@ class PlanSpec extends SparkTestBase {
     * q71 (token total) and q73 (heavy-hitter threshold). Everything else
     * must equi-join. */
   private val bnljWhitelist =
-    Set("q28_cosine_topk", "q40_ann_ivf", "q26_minhash_lsh", "q27_simhash",
-      "q71_unigram_lm", "q73_approx_heavy_words")
+    Set("q28_cosine_topk", "q89_quantized_topk", "q40_ann_ivf",
+      "q26_minhash_lsh", "q27_simhash", "q71_unigram_lm",
+      "q73_approx_heavy_words")
 
   private lazy val plans: Map[String, String] =
     graft.SparkEntry.queries.map { case (name, fn) =>
