@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Strongly connected components (the GraphFrames
@@ -13,19 +13,21 @@ import org.apache.spark.sql.functions._
   *  1. *Trim* to fixpoint: a vertex with no in-edges or no out-edges in the
   *     remaining subgraph is its own SCC — peel and repeat (resolves all
   *     DAG-like regions without any propagation phase).
-  *  2. *Color*: forward-propagate the minimum reaching vertex id to
-  *     fixpoint — each round folds one edge-push join AND one pointer
-  *     jump (color-of-color) into the min-aggregate, so rounds scale with
+  *  2. *Color*: forward-propagate the order-minimum reaching vertex to
+  *     fixpoint (the order is (xxhash64(id), id) — see minPropagate for
+  *     why) — each round folds one edge-push join AND one pointer jump
+  *     (color-of-color) into the min-aggregate, so rounds scale with
   *     O(log diameter) rather than diameter.
   *  3. *Collect*: a color class's root is the vertex that IS its color (the
-  *     class minimum); the SCC of that root = vertices of the class that
-  *     reach the root. "v reaches the root" is itself a min-propagation:
-  *     run the SAME pointer-jumped loop over the class-internal edges
-  *     *reversed* (SCC paths never leave the color class), giving each
-  *     vertex the minimum in-class vertex it reaches; v is in the SCC iff
-  *     that backward minimum equals its color. Both directions are thus
-  *     O(log diameter) rounds — a long cycle no longer degenerates the
-  *     collect phase to O(n) one-hop frontier rounds.
+  *     class order-minimum); the SCC of that root = vertices of the class
+  *     that reach the root. "v reaches the root" is itself a
+  *     min-propagation: run the SAME pointer-jumped loop over the
+  *     class-internal edges *reversed* (SCC paths never leave the color
+  *     class), giving each vertex the order-minimum in-class vertex it
+  *     reaches; v is in the SCC iff that backward minimum equals its
+  *     color. Both directions are thus O(log diameter) rounds — a long
+  *     cycle no longer degenerates the collect phase to O(n) one-hop
+  *     frontier rounds.
   *  4. Assign, remove, repeat on the remainder.
   *
   * Component id = minimum member id (deterministic, oracle-checkable,
@@ -81,14 +83,16 @@ object StronglyConnectedComponents {
         }
       }
       if (nLeft > 0) {
-        // 2. forward min-color propagation to fixpoint: color(v) = minimum
-        // vertex id that reaches v.
+        // 2. forward color propagation to fixpoint: color(v) = the
+        // hash-order-minimum vertex id that reaches v (see minPropagate for
+        // why the order is xxhash64(id), not id).
         val colors = minPropagate(verts, edges, ckpt, maxIter, strict, "forward")
         // 3. collect: SCC paths never leave a color class (a cross-class
-        // shortcut would merge the classes — see scaladoc), so restrict to
-        // class-internal edges, reverse them, and min-propagate again:
-        // bcolor(v) = minimum in-class vertex v reaches. The class root is
-        // the class minimum, so v is in the root's SCC iff bcolor(v) ==
+        // shortcut would merge the classes — the argument in minPropagate's
+        // scaladoc holds for any total order), so restrict to class-internal
+        // edges, reverse them, and propagate again: bcolor(v) = hash-order
+        // minimum in-class vertex v reaches. The class root is the class
+        // order-minimum, so v is in the root's SCC iff bcolor(v) ==
         // color(v). Same pointer-jumped loop, same O(log diameter) rounds.
         // A singleton class IS its root's SCC and can never carry an
         // in-class edge (both endpoints would have to be distinct members),
@@ -100,6 +104,9 @@ object StronglyConnectedComponents {
         val multi = ckpt(colors
           .join(classSizes.where(col("__n") > 1).select("color"), "color")
           .select(col("id"), col("color")))
+        // a singleton class's only member is its own root (color(v) = v —
+        // any other color c would pull c into the class too), so component
+        // = color = id = the min member id, no remap needed
         val singles = colors
           .join(classSizes.where(col("__n") === 1).select("color"), "color")
           .select(col("id"), col("color").as("component"))
@@ -109,10 +116,15 @@ object StronglyConnectedComponents {
           .where(col("__cs") === col("__cd"))
           .select(col("dst").as("src"), col("src").as("dst"))
         val bcolors = minPropagate(multi, inClassRev, ckpt, maxIter, strict, "backward")
-        val members = ckpt(singles.union(multi
+        // multi-class roots are hash-order minima, not id minima — remap
+        // each found SCC to its minimum member id so the public component
+        // id stays the deterministic oracle-checkable min-member contract
+        val found = multi
           .join(bcolors.withColumnRenamed("color", "bcolor"), Seq("id"))
           .where(col("color") === col("bcolor"))
-          .select(col("id"), col("color").as("component"))))
+        val minIds = found.groupBy("color").agg(min("id").as("component"))
+        val members = ckpt(singles.union(
+          found.join(minIds, "color").select(col("id"), col("component"))))
         // 4. assign and peel the found SCCs
         assigned = ckpt(assigned.union(members))
         verts = ckpt(verts.join(members, Seq("id"), "left_anti"))
@@ -134,59 +146,67 @@ object StronglyConnectedComponents {
     assigned
   }
 
-  /** Min-id propagation over `edges` (src → dst) to fixpoint, starting from
-    * color(v) = v: returns the minimum id with a directed path to each
-    * vertex (column `color`). Convergence is the (count, XOR-checksum)
-    * fingerprint idiom of [[ConnectedComponents]] — one aggregate scan of
-    * the checkpointed state instead of a change-detection join per round
-    * (state is distinct per id, so fingerprint equality <=> nothing moved,
-    * modulo 64-bit collision).
+  /** Order-min reacher propagation over `edges` (src → dst) to fixpoint,
+    * starting from color(v) = v: returns, per vertex, the minimum vertex
+    * *under the order (xxhash64(id), id)* with a directed path to it
+    * (column `color`). Convergence is the (count, XOR-checksum) fingerprint
+    * idiom of [[ConnectedComponents]] — one aggregate scan of the
+    * checkpointed state instead of a change-detection join per round (state
+    * is distinct per id, so fingerprint equality <=> nothing moved, modulo
+    * 64-bit collision).
     *
-    * Each round folds the edge-push join with pointer jumps
-    * (color-of-color): color(v) = m means "m reaches v", so anything known
-    * to reach m also reaches v transitively — known minima travel
+    * Each round folds the edge-push join with a pointer jump
+    * (color-of-color): color(v) = w means "w reaches v", so anything known
+    * to reach w also reaches v transitively — known minima travel
     * doubling-length paths, collapsing the round count from O(diameter) to
-    * O(log diameter). A single min-witness jump stalls when the witness is
-    * the vertex itself — on a cycle whose ids are *monotone along the
-    * propagation direction*, min(known reachers of v) = v for most v, the
-    * jump is a self-pointer, and progress degenerates to one hop per round
-    * (exactly the layout of a long ascending-id cycle in the backward
-    * phase). So the state tracks BOTH the minimum and maximum known
-    * reacher and jumps through both witnesses: whichever direction the id
-    * order runs, one of the two witnesses moves every round and keeps the
-    * doubling going (asserted on both cycle orientations in SccJumpSpec).
-    * The jump joins cost ~a round, so they are enabled only once the cheap
+    * O(log diameter). The order is the HASH of the id, not the id itself:
+    * a single min-witness jump stalls when the witness is a self-pointer,
+    * which under the raw-id order happens on every cycle whose ids run
+    * monotone along the propagation direction (a perfectly ordinary layout
+    * — round 3 paid for it with a second max-witness jump join and a wider
+    * 3-column state). Under a hash order a monotone-in-order cycle would
+    * require ids whose xxhash64 happens to be monotone along the cycle —
+    * measure-zero for real data, and any residual pathology is still
+    * bounded by `maxIter` + the strict-mode surfacing below. Net: one
+    * witness join instead of two, 2-column state instead of 3, same
+    * O(log diameter) rounds on both cycle orientations (SccJumpSpec).
+    * The jump join costs ~a round, so it is enabled only once the cheap
     * edge-push rounds have NOT converged (it >= 3) — small-diameter graphs
-    * finish before paying for them, long chains still get the log
-    * behavior. */
+    * finish before paying for it, long chains still get the log behavior.
+    *
+    * Correctness is order-agnostic (any total order yields a valid FW-BW
+    * coloring; callers remap SCCs to min member id), so the hash appears
+    * only in the aggregate's ordering key, never in the output. */
   private def minPropagate(verts: DataFrame, edges: DataFrame,
       ckpt: Checkpointer, maxIter: Int, strict: Boolean,
       phaseName: String): DataFrame = {
-    var st = ckpt(verts.select(col("id"), col("id").as("mn"), col("id").as("mx")))
+    // order key: (xxhash64(w), w) — the id tiebreak makes the order total
+    // even across hash collisions, keeping min() deterministic
+    def ord(w: Column): Column = struct(xxhash64(w).as("h"), w.as("w"))
+    var st = ckpt(verts.select(col("id"), col("id").as("w")))
     var stable = false
     var it = 0
     var prevFp = fingerprint(st)
     while (!stable && it < maxIter) {
       val pushed = edges
-        .join(st.select(col("id").as("src"), col("mn"), col("mx")), "src")
-        .select(col("dst").as("id"), col("mn"), col("mx"))
+        .join(st.select(col("id").as("src"), col("w")), "src")
+        .select(col("dst").as("id"), col("w"))
       val base = st.union(pushed)
       val folded = if (it < 3) base else {
-        val viaMin = st.select(col("id"), col("mn").as("__w"))
-          .join(st.select(col("id").as("__w"), col("mn"), col("mx")), "__w")
-          .select(col("id"), col("mn"), col("mx"))
-        val viaMax = st.select(col("id"), col("mx").as("__w"))
-          .join(st.select(col("id").as("__w"), col("mn"), col("mx")), "__w")
-          .select(col("id"), col("mn"), col("mx"))
-        base.union(viaMin).union(viaMax)
+        val jumped = st.select(col("id"), col("w").as("__w"))
+          .join(st.select(col("id").as("__w"), col("w").as("__w2")), "__w")
+          .select(col("id"), col("__w2").as("w"))
+        base.union(jumped)
       }
       val next = ckpt(folded.groupBy("id")
-        .agg(min("mn").as("mn"), max("mx").as("mx")))
+        .agg(min(ord(col("w"))).getField("w").as("w")))
       val fp = fingerprint(next)
       stable = fp == prevFp
       prevFp = fp
       st = next
       it += 1
+      if (sys.env.contains("GRAFT_SCC_DEBUG"))
+        System.err.println(s"[scc-debug] $phaseName it=$it fp=$fp stable=$stable t=${System.nanoTime() / 1000000}")
     }
     if (!stable) {
       val msg = s"SCC $phaseName propagation did not converge after " +
@@ -195,7 +215,7 @@ object StronglyConnectedComponents {
       System.err.println(s"[graft] WARN $msg")
     }
     lastRounds.set(lastRounds.get + it)
-    st.select(col("id"), col("mn").as("color"))
+    st.select(col("id"), col("w").as("color"))
   }
 
   /** Total propagation rounds (forward + backward, all phases) of the most

@@ -78,11 +78,13 @@ class SccJumpSpec extends SparkTestBase {
   // Both phases (forward coloring AND backward collect) run under
   // strict maxIter = 25, so each orientation proves O(log n) + warmup
   // rounds end-to-end: a 150-cycle needs ~150 one-hop rounds without
-  // jumping, and a single min-witness jump stalls on whichever direction
-  // has ids monotone *increasing* along the propagation (the witness is a
-  // self-pointer there). Ascending ids exercise that stall in the backward
-  // phase, descending ids in the forward phase — together they pin the
-  // dual min/max-witness jump in StronglyConnectedComponents.minPropagate.
+  // jumping, and a raw-id-ordered min-witness jump would stall on
+  // whichever direction has ids monotone *increasing* along the
+  // propagation (the witness is a self-pointer there) — ascending ids hit
+  // that stall in the backward phase, descending ids in the forward
+  // phase. minPropagate orders by xxhash64(id) precisely so neither
+  // orientation is monotone in the order; both tests pin that the single
+  // hash-ordered witness keeps the doubling going either way.
   private def cycleScc(edge: Int => (Long, Long)): Unit = {
     val n = 150
     val edges = (0 until n).map(edge)
