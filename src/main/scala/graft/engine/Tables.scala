@@ -22,12 +22,9 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    // reader rejects; read nanos as long and floor to Spark's native
-    // microsecond precision (matches the oracle's epoch_ms floor — `pmod`
-    // keeps it a floor, not a toward-zero truncation, for pre-epoch nanos;
-    // plain double division would lose precision above 2^53 nanos).
-    // Verify/Bench/SparkTestBase set this at session construction; the
+    // Some testdata generations write events.ts as TIMESTAMP(NANOS), which
+    // Spark's vectorized reader rejects; the legacy conf reads nanos as
+    // long. Verify/Bench/SparkTestBase set it at session construction; the
     // set-if-needed here only covers externally-created sessions (e.g. the
     // driver calling SparkEntry.entry directly) and never overrides an
     // explicit caller value of "true".
@@ -35,11 +32,26 @@ object Tables {
     if (!spark.conf.getOption(nanosKey).contains("true"))
       spark.conf.set(nanosKey, "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")))
-    else df
+    // Normalize events.ts to TimestampType regardless of how this testdata
+    // generation encoded it, so every downstream query and oracle sees one
+    // type: nanos-as-long (TIMESTAMP(NANOS) files) is floored to Spark's
+    // native microsecond precision — `pmod` keeps it a floor, not a
+    // toward-zero truncation, for pre-epoch nanos; plain double division
+    // would lose precision above 2^53 nanos — while micro-precision files
+    // (read as TIMESTAMP_NTZ under the UTC sessions all entry points pin)
+    // just cast, which preserves the wall-clock instant.
+    if (name == "events") {
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts",
+            timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => df
+      }
+    } else df
   }
 
   /** Register every testdata table as a temp view (reference pattern:
