@@ -38,6 +38,27 @@ private[graft] final case class Checkpointer(
   }
   def apply(df: DataFrame): DataFrame =
     if (effectiveDir.isDefined) df.checkpoint() else df.localCheckpoint()
+
+  /** Checkpoint AND reset the new leaf's statistics to the session default.
+    *
+    * `Dataset.checkpoint`/`localCheckpoint` copies the ORIGIN plan's
+    * *estimated* `sizeInBytes` onto the new `LogicalRDD` leaf. For an
+    * iterative algorithm whose round plan self-joins its own state — SCC's
+    * pointer jump is `state ⋈ state` — that estimate SQUARES every round:
+    * the stored BigInt doubles in bit-length per generation, and by round
+    * ~20 the driver spends minutes per round multiplying million-bit
+    * numbers inside the stats visitor (measured: an 18-minute driver stall
+    * on a 150-vertex cycle). Rewrapping the checkpointed RDD through
+    * `createDataFrame` makes the leaf a fresh `LogicalRDD` with default
+    * statistics, so per-round stats stay constant-size. The extra
+    * InternalRow↔Row conversion applies only to the narrow iteration state
+    * (2–3 fixed-width columns), not to operator payloads. Algorithms whose
+    * round plans join state with *input* (CC, Pregel, k-core) grow stats
+    * linearly and keep the cheaper [[apply]]. */
+  def fresh(df: DataFrame): DataFrame = {
+    val ck = apply(df)
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
 }
 
 private[graft] object Checkpointer {

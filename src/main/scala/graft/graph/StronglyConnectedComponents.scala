@@ -94,37 +94,55 @@ object StronglyConnectedComponents {
         // minimum in-class vertex v reaches. The class root is the class
         // order-minimum, so v is in the root's SCC iff bcolor(v) ==
         // color(v). Same pointer-jumped loop, same O(log diameter) rounds.
-        // A singleton class IS its root's SCC and can never carry an
-        // in-class edge (both endpoints would have to be distinct members),
-        // so the backward pass runs over multi-member-class vertices only —
-        // on graphs whose SCCs are mostly trivial (typical transaction
-        // graphs) this shrinks the propagated state to a sliver of the
-        // remaining vertices.
-        val classSizes = colors.groupBy("color").agg(count(lit(1)).as("__n"))
-        val multi = ckpt(colors
-          .join(classSizes.where(col("__n") > 1).select("color"), "color")
-          .select(col("id"), col("color")))
-        // a singleton class's only member is its own root (color(v) = v —
-        // any other color c would pull c into the class too), so component
-        // = color = id = the min member id, no remap needed
-        val singles = colors
-          .join(classSizes.where(col("__n") === 1).select("color"), "color")
-          .select(col("id"), col("color").as("component"))
-        val inClassRev = edges
-          .join(multi.select(col("id").as("src"), col("color").as("__cs")), "src")
-          .join(multi.select(col("id").as("dst"), col("color").as("__cd")), "dst")
+        //
+        // Two collect strategies, selected by spark.graft.scc.collect:
+        //
+        //  - "endpoints" (default): only an *endpoint of a class-internal
+        //    edge* can end up with bcolor(v) != v — every other vertex
+        //    keeps its seed and is in the root's SCC iff it IS a root
+        //    (color(v) == v; every nonempty class has exactly one, its
+        //    order-minimum — any vertex with color(c)=c' would drag the
+        //    whole class to c'). The backward pass runs over the
+        //    in-class-edge endpoint set only: strictly smaller state than
+        //    both round-3's all-remaining-vertices pass and round-4's
+        //    multi-member-class pass, at the price of one distinct + two
+        //    extra per-phase checkpoints.
+        //  - "full": propagate over all remaining vertices with no
+        //    class-size machinery at all — fewer fixed per-phase jobs,
+        //    right when in-class endpoints are most of the graph anyway.
+        val endpointsMode =
+          spark.conf.get("spark.graft.scc.collect", "endpoints") != "full"
+        val inClassRev0 = edges
+          .join(colors.select(col("id").as("src"), col("color").as("__cs")), "src")
+          .join(colors.select(col("id").as("dst"), col("color").as("__cd")), "dst")
           .where(col("__cs") === col("__cd"))
           .select(col("dst").as("src"), col("src").as("dst"))
-        val bcolors = minPropagate(multi, inClassRev, ckpt, maxIter, strict, "backward")
-        // multi-class roots are hash-order minima, not id minima — remap
-        // each found SCC to its minimum member id so the public component
-        // id stays the deterministic oracle-checkable min-member contract
-        val found = multi
-          .join(bcolors.withColumnRenamed("color", "bcolor"), Seq("id"))
-          .where(col("color") === col("bcolor"))
+        val found = if (endpointsMode) {
+          val inClassRev = ckpt(inClassRev0)
+          val endpoints = inClassRev.select(col("src").as("id"))
+            .union(inClassRev.select(col("dst").as("id"))).distinct()
+          val endVerts = ckpt(colors.join(endpoints, Seq("id"), "left_semi"))
+          val bcolors = minPropagate(endVerts, inClassRev, ckpt, maxIter, strict, "backward")
+          // roots (singleton-class or not) are members of their own SCC by
+          // reflexivity; non-root endpoints are members iff they reach the
+          // root (bcolor == color); non-root non-endpoints never are.
+          colors.where(col("id") === col("color"))
+            .union(endVerts
+              .join(bcolors.withColumnRenamed("color", "bcolor"), Seq("id"))
+              .where(col("color") === col("bcolor") && col("id") =!= col("color"))
+              .select(col("id"), col("color")))
+        } else {
+          val bcolors = minPropagate(verts, inClassRev0, ckpt, maxIter, strict, "backward")
+          colors.join(bcolors.withColumnRenamed("color", "bcolor"), Seq("id"))
+            .where(col("color") === col("bcolor"))
+            .select(col("id"), col("color"))
+        }
+        // roots are hash-order minima, not id minima — remap each found SCC
+        // to its minimum member id so the public component id stays the
+        // deterministic oracle-checkable min-member contract
         val minIds = found.groupBy("color").agg(min("id").as("component"))
-        val members = ckpt(singles.union(
-          found.join(minIds, "color").select(col("id"), col("component"))))
+        val members = ckpt(found.join(minIds, "color")
+          .select(col("id"), col("component")))
         // 4. assign and peel the found SCCs
         assigned = ckpt(assigned.union(members))
         verts = ckpt(verts.join(members, Seq("id"), "left_anti"))
@@ -183,7 +201,22 @@ object StronglyConnectedComponents {
     // order key: (xxhash64(w), w) — the id tiebreak makes the order total
     // even across hash collisions, keeping min() deterministic
     def ord(w: Column): Column = struct(xxhash64(w).as("h"), w.as("w"))
-    var st = ckpt(verts.select(col("id"), col("id").as("w")))
+    // The pointer jump below self-joins the state, so the sizeInBytes
+    // estimate each checkpoint inherits from its origin plan SQUARES every
+    // round — bit-length doubles per generation, and past ~15 rounds the
+    // driver stalls for minutes multiplying million-bit BigInts inside the
+    // stats visitor (see [[Checkpointer.fresh]]). Resetting the leaf stats
+    // EVERY round would pay fresh's InternalRow↔Row conversion on each of
+    // the ~3 state reads per round (measured ~8% of q60 at sf0.1);
+    // resetting every 4th round bounds the estimate at default·2⁴ bits —
+    // still trivial to multiply — at a quarter of the conversion cost.
+    // spark.graft.scc.freshStats=false disables the reset entirely (A/B
+    // escape hatch; unsafe past ~15 propagation rounds).
+    val fresh = verts.sparkSession.conf
+      .get("spark.graft.scc.freshStats", "true") != "false"
+    def ck(df: DataFrame, reset: Boolean): DataFrame =
+      if (fresh && reset) ckpt.fresh(df) else ckpt(df)
+    var st = ck(verts.select(col("id"), col("id").as("w")), reset = true)
     var stable = false
     var it = 0
     var prevFp = fingerprint(st)
@@ -198,8 +231,8 @@ object StronglyConnectedComponents {
           .select(col("id"), col("__w2").as("w"))
         base.union(jumped)
       }
-      val next = ckpt(folded.groupBy("id")
-        .agg(min(ord(col("w"))).getField("w").as("w")))
+      val next = ck(folded.groupBy("id")
+        .agg(min(ord(col("w"))).getField("w").as("w")), reset = it % 4 == 3)
       val fp = fingerprint(next)
       stable = fp == prevFp
       prevFp = fp
