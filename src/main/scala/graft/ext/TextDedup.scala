@@ -49,13 +49,21 @@ object TextDedup {
   def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     shingleRowsAll(df, idCol, textCol, n).distinct()
 
-  /** Exact dedup: canonical id = min id over identical text. One window
-    * (single shuffle on the text key); at scale, hash the text first so the
-    * shuffle key is fixed-width. */
+  /** Exact dedup: canonical id = min id over identical text. One window,
+    * partitioned on a FIXED-WIDTH content key — (xxhash64, md5) of the text,
+    * 24 bytes — never the raw text: at document scale the window's shuffle
+    * sort would otherwise compare multi-MB strings per row. Two documents
+    * land in the same group iff both independent hashes agree; a false merge
+    * needs a simultaneous 64-bit AND 128-bit collision (~2⁻¹⁹² per pair —
+    * below hardware error rates at any corpus size), the standard
+    * content-hash identity used by exact-dedup pipelines. The text itself
+    * still travels as row payload (the output keeps every input column) but
+    * never as a partition or sort key. */
   def exactCanonical(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     df.withColumn("canonical_id",
-        min(col(idCol)).over(Window.partitionBy(xxhash64(col(textCol)), col(textCol))))
+        min(col(idCol)).over(
+          Window.partitionBy(xxhash64(col(textCol)), md5(col(textCol)))))
       .withColumn("is_duplicate", col(idCol) =!= col("canonical_id"))
   }
 
@@ -135,6 +143,45 @@ object TextDedup {
     * bucket-colliding pairs, never O(n²). */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, numPerm: Int, bands: Int, threshold: Double): DataFrame = {
+    val (sh, buckets) = minhashBuckets(df, idCol, textCol, n, numPerm, bands)
+    val cands = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_l"), col("b.id").as("id_r"))
+      .dropDuplicates("id_l", "id_r")
+    jaccardFromCounts(sh, candidateCommonCounts(sh, cands), threshold)
+  }
+
+  /** Chain-contracted MinHash-LSH near-dup edges — the giant-cluster-safe
+    * variant of [[minhashLshPairs]], the same trick as
+    * [[Similarity.neardupEdgesChained]]: a bucket of c clones emits its
+    * c−1 *consecutive-by-id* member pairs (one window) instead of the
+    * self-join's c(c−1)/2, so candidate volume is linear in corpus size no
+    * matter how skewed the buckets — a million-clone boilerplate cluster
+    * produces 10⁶−1 chain candidates, not 10¹². Identical texts share all
+    * shingles (Jaccard 1 between every consecutive pair), so connected
+    * components over the verified chain edges equal the pairwise-edge
+    * components on clone clusters; for merely-similar members a chain edge
+    * can fail verification where a non-adjacent pair would have passed,
+    * making the chained components a refinement (never a coarsening) of the
+    * pairwise ones — the safe direction for dedup (asserted in DedupSpec). */
+  def minhashLshEdgesChained(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numPerm: Int, bands: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (sh, buckets) = minhashBuckets(df, idCol, textCol, n, numPerm, bands)
+    val w = Window.partitionBy("band", "bucket").orderBy("id")
+    val cands = buckets.withColumn("id_l", lag(col("id"), 1).over(w))
+      .filter(col("id_l").isNotNull)
+      .select(col("id_l"), col("id").as("id_r"))
+      .dropDuplicates("id_l", "id_r")
+    jaccardFromCounts(sh, candidateCommonCounts(sh, cands), threshold)
+  }
+
+  /** Shared MinHash-banding front end: the localCheckpointed shingle index
+    * plus (id, band, bucket) rows. Bucket rows carry only ids — shingle
+    * arrays never ride the banding explode. */
+  private def minhashBuckets(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numPerm: Int, bands: Int): (DataFrame, DataFrame) = {
     require(numPerm % bands == 0, "numPerm must divide into bands")
     val rowsPerBand = numPerm / bands
     // localCheckpoint the shingle index (read by the signature pass, the
@@ -156,12 +203,7 @@ object TextDedup {
     }
     val buckets = sig.select(col("id"), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val cands = buckets.as("a").join(buckets.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_l"), col("b.id").as("id_r"))
-      .dropDuplicates("id_l", "id_r")
-    jaccardFromCounts(sh, candidateCommonCounts(sh, cands), threshold)
+    (sh, buckets)
   }
 
   /** 64-bit SimHash (Charikar): per-bit majority vote over word hashes,

@@ -153,6 +153,81 @@ object ExtQueries {
                    CAST(0 AS BIGINT) AS n_false_positive_pairs,
                    CAST(0 AS BIGINT) AS n_jaccard_mismatches"""))
 
+  /** Chain-contracted MinHash-LSH dedup edges
+    * ([[TextDedup.minhashLshEdgesChained]] — q26's banding with c−1
+    * consecutive-by-id candidates per bucket instead of the O(c²)
+    * self-join). Oracle-checked on the provable invariants (bucket ids are
+    * xxhash64-dependent, so DuckDB cannot enumerate them):
+    *
+    *  - no chained edge may fall outside the exact-Jaccard ≥ 0.5 set, and
+    *    reported jaccard values must be bit-equal to the exact pipeline's
+    *    (same integer-count verification arithmetic);
+    *  - connected components over the chained edges must REFINE the
+    *    pairwise-LSH components — every chain candidate is a bucket
+    *    collision, so a verified chain edge is always a pairwise edge too;
+    *    a single coarsening would mean the chain invented a link.
+    *
+    * All counts are genuinely computed in Spark (two LSH pipelines + two
+    * CC runs); DuckDB reproduces the exact-pair count and pins the provable
+    * zeros. Clone-cluster linearity (c−1 candidates for c clones) and
+    * component equality on clone clusters are asserted in DedupSpec. */
+  private val q91 = QDef(
+    "q91_minhash_chained",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val exact = TextDedup.jaccardPairs(docs, "doc_id", "text", ShingleN, 0.5)
+        .select(col("id_l"), col("id_r"), col("jaccard").as("j_exact"))
+        .localCheckpoint()
+      val chained = TextDedup.minhashLshEdgesChained(docs, "doc_id", "text",
+          ShingleN, numPerm = 16, bands = 4, threshold = 0.5)
+        .select(col("id_l"), col("id_r"), col("jaccard").as("j_ch"))
+        .localCheckpoint()
+      val pairwise = TextDedup.minhashLshPairs(docs, "doc_id", "text",
+          ShingleN, numPerm = 16, bands = 4, threshold = 0.5)
+        .select(col("id_l"), col("id_r"))
+      val a1 = exact.agg(count(lit(1)).as("n_exact_pairs"))
+      val a2 = chained.join(exact, Seq("id_l", "id_r"), "left_anti")
+        .agg(count(lit(1)).as("n_false_positive_pairs"))
+      val a3 = chained.join(exact, Seq("id_l", "id_r"))
+        .agg(count(when(col("j_ch") =!= col("j_exact"), 1)).as("n_jaccard_mismatches"))
+      val ccC = graft.graph.ConnectedComponents.runOnEdges(
+        chained.select(col("id_l").as("src"), col("id_r").as("dst")))
+      val ccP = graft.graph.ConnectedComponents.runOnEdges(
+        pairwise.select(col("id_l").as("src"), col("id_r").as("dst")))
+      val a4 = ccC.join(ccP.withColumnRenamed("component", "pc"), "id")
+        .groupBy(col("component")).agg(countDistinct(col("pc")).as("k"))
+        .agg(count(when(col("k") > 1, 1)).as("n_refinement_violations"))
+      a1.crossJoin(a2).crossJoin(a3).crossJoin(a4)
+    },
+    Some("""WITH w AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '\s+')) AS w,
+                     generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS pos
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT a.doc_id,
+                     a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w || ' ' || e.w AS sh
+              FROM w a
+              JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+              JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+              JOIN w d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
+              JOIN w e ON e.doc_id = a.doc_id AND e.pos = a.pos + 4),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT x.doc_id AS id_l, y.doc_id AS id_r, count(*) AS common
+              FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+              GROUP BY 1, 2),
+            ep AS (
+              SELECT id_l, id_r
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = id_l
+              JOIN sizes sb ON sb.doc_id = id_r
+              WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.5)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM ep) AS n_exact_pairs,
+                   CAST(0 AS BIGINT) AS n_false_positive_pairs,
+                   CAST(0 AS BIGINT) AS n_jaccard_mismatches,
+                   CAST(0 AS BIGINT) AS n_refinement_violations"""))
+
   /** SimHash near-dup (64-bit, pigeonhole chunk blocking, Hamming ≤ 6),
     * oracle-checked on the *provable* assertions only (fingerprints are
     * xxhash64-dependent, so DuckDB cannot enumerate the pair set): every
@@ -462,6 +537,46 @@ object ExtQueries {
           sc AS (SELECT query_id, neighbor_id, ${cosSql("qv", "nv")} AS cosine
                  FROM c JOIN q USING (bucket)
                  WHERE query_id <> neighbor_id),
+          r AS (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+                FROM sc)
+          SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+          FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+    })
+
+  /** Multi-probe hyperplane-LSH ANN — q30's bucketed search plus the
+    * standard recall knob: each query additionally probes every bucket at
+    * Hamming distance 1 (flip one of the 8 plane bits), at 9× query-side
+    * fan-out and unchanged corpus-side cost. The oracle mirrors the probing
+    * arms as a SQL union over xor'd bucket ids (plane literals again), so
+    * the whole multi-probe pipeline is value-hash checked; the recall
+    * improvement over single-probe is asserted in SimilaritySpec. */
+  private val q90 = QDef(
+    "q90_ann_lsh_multiprobe",
+    (s, dir) => {
+      val e = embeddings(s, dir)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, numPlanes = 8, dim = 64, multiProbe = true)
+        .orderBy("query_id", "rank")
+    },
+    Some {
+      val planes = Similarity.hyperplanes(8, 64)
+      val probeArms = ("SELECT query_id, qv, bucket FROM q" +:
+        (0 until 8).map(i =>
+          s"SELECT query_id, qv, xor(bucket, ${1L << i}) AS bucket FROM q"))
+        .mkString(" UNION ALL ")
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+          b AS (SELECT vec_id, ve, ${bucketSql(planes)} AS bucket FROM v),
+          q AS (SELECT vec_id AS query_id, ve AS qv, bucket FROM b WHERE vec_id < 8),
+          probes AS ($probeArms),
+          c AS (SELECT vec_id AS neighbor_id, ve AS nv, bucket FROM b),
+          hit AS (SELECT DISTINCT query_id, neighbor_id
+                  FROM c JOIN probes USING (bucket)
+                  WHERE query_id <> neighbor_id),
+          sc AS (SELECT query_id, neighbor_id, ${cosSql("vq.ve", "vn.ve")} AS cosine
+                 FROM hit
+                 JOIN v vq ON vq.vec_id = query_id
+                 JOIN v vn ON vn.vec_id = neighbor_id),
           r AS (SELECT *, row_number() OVER (
                   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
                 FROM sc)
@@ -905,5 +1020,5 @@ object ExtQueries {
 
   val all: Seq[QDef] = Seq(
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q40, q41, q49, q61, q62, q70, q71, q73, q74, q88, q89)
+    q38, q40, q41, q49, q61, q62, q70, q71, q73, q74, q88, q89, q90, q91)
 }

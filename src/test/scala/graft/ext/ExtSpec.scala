@@ -51,6 +51,76 @@ class DedupSpec extends SparkTestBase {
     assert(lsh.contains((1L, 2L, 1.0)))
   }
 
+  test("exact dedup partitions on fixed-width content hashes, never raw text") {
+    val out = TextDedup.exactCanonical(docs, "doc_id", "text")
+    val windows = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    // the window key is (xxhash64(text), md5(text)) — projected `_w#`
+    // hash attributes, never the bare text attribute, so the shuffle sort
+    // at document scale compares 24-byte keys instead of multi-MB strings
+    windows.foreach { w =>
+      assert(w.partitionSpec.size == 2)
+      w.partitionSpec.foreach(e => assert(
+        !e.references.exists(a => a.name == "text" || a.name == "doc_id"),
+        s"raw column used as window partition key: $e"))
+    }
+    // the keys are computed hashes (visible pre-optimization; the optimizer
+    // may fold them into a LocalRelation for literal test data)
+    val planStr = out.queryExecution.analyzed.toString
+    assert(planStr.contains("xxhash64(") && planStr.contains("md5("),
+      s"expected hash-derived window keys in:\n$planStr")
+  }
+
+  test("chained minhash-LSH candidates are linear in clone-cluster size") {
+    val n = 1000
+    val clones = (1L to n).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val edges = TextDedup
+      .minhashLshEdgesChained(clones, "doc_id", "text", 3, 16, 4, 0.5)
+      .select("id_l", "id_r", "jaccard").as[(Long, Long, Double)].collect()
+    // identical texts collide in every band; the window emits exactly the
+    // consecutive-by-id chain — c−1 candidates, not the self-join's c(c−1)/2
+    // ≈ half a million — and every chain edge verifies at jaccard 1
+    assert(edges.length == n - 1, s"expected ${n - 1} chain edges, got ${edges.length}")
+    assert(edges.forall(_._3 == 1.0))
+    assert(edges.map(e => (e._1, e._2)).toSet ==
+      (1L until n).map(i => (i, i + 1)).toSet)
+  }
+
+  test("chained minhash components refine pairwise components; equal on clone clusters") {
+    // mixed corpus: a 6-clone cluster + the near-dup trio + unrelated docs
+    val corpus = docs.union(Seq(
+      (10L, "zeta omicron sigma tau upsilon phi chi psi omega now"),
+      (11L, "zeta omicron sigma tau upsilon phi chi psi omega now"),
+      (12L, "zeta omicron sigma tau upsilon phi chi psi omega now"),
+      (13L, "zeta omicron sigma tau upsilon phi chi psi omega now"),
+      (14L, "zeta omicron sigma tau upsilon phi chi psi omega now"),
+      (15L, "zeta omicron sigma tau upsilon phi chi psi omega now")
+    ).toDF("doc_id", "text"))
+    def comps(edges: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      graft.graph.ConnectedComponents.runOnEdges(
+        edges.select(col("id_l").as("src"), col("id_r").as("dst")))
+        .as[(Long, Long)].collect().toMap
+    val chained = comps(TextDedup
+      .minhashLshEdgesChained(corpus, "doc_id", "text", 3, 16, 4, 0.5))
+    val pairwise = comps(TextDedup
+      .minhashLshPairs(corpus, "doc_id", "text", 3, 16, 4, 0.5))
+    // refinement: ids sharing a chained component always share the pairwise
+    // component (a chain edge is always a bucket collision, hence a
+    // pairwise edge after the same verification)
+    for (Seq(a, b) <- chained.keys.toSeq.combinations(2)) {
+      if (chained(a) == chained(b)) assert(pairwise(a) == pairwise(b),
+        s"chain merged $a,$b but pairwise did not")
+    }
+    // exact-clone clusters: identical components both ways
+    val cloneIds = (10L to 15L).toSet
+    assert(cloneIds.forall(chained.get(_).contains(10L)),
+      s"clone cluster split by chaining: ${chained.view.filterKeys(cloneIds).toMap}")
+    assert(cloneIds.forall(pairwise.get(_).contains(10L)))
+  }
+
   test("simhash: identical docs distance 0, near-dups close, unrelated far") {
     val fp = docs.select(col("doc_id"), TextDedup.simhash(col("text")).as("fp"))
       .as[(Long, Long)].collect().toMap

@@ -22,8 +22,8 @@ class PlanSpec extends SparkTestBase {
     * must equi-join. */
   private val bnljWhitelist =
     Set("q28_cosine_topk", "q89_quantized_topk", "q40_ann_ivf",
-      "q26_minhash_lsh", "q27_simhash", "q71_unigram_lm",
-      "q73_approx_heavy_words")
+      "q26_minhash_lsh", "q27_simhash", "q91_minhash_chained",
+      "q71_unigram_lm", "q73_approx_heavy_words")
 
   private lazy val plans: Map[String, String] =
     graft.SparkEntry.queries.map { case (name, fn) =>
