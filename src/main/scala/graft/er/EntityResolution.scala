@@ -52,7 +52,30 @@ final case class ErSettings(
     comparisons: Seq[ComparisonColumn],
     maxIter: Int = 20,
     tol: Double = 1e-6,
-    initialLambda: Double = 0.1)
+    initialLambda: Double = 0.1,
+    /** Salt factor for the blocking self-join. Blocking rules like
+      * `l.amount = r.amount` are skew-prone: one hot value (the classic
+      * round-number transaction amount) sends every one of its c rows to a
+      * single sort-merge task that then emits ~c²/2 pairs alone. With
+      * `blockingSalt = Some(s)`, the left side scatters across s sub-keys
+      * and the right side replicates s× — per-task pair work drops to
+      * ~c²/(2s) while the generated pair SET is bit-identical (each (l, r)
+      * pair meets at exactly one salt). None (default) keeps the plain
+      * equi-join — right for well-distributed blocking keys, where salting
+      * would pay s× right-side duplication for nothing. */
+    blockingSalt: Option[Int] = None,
+    /** Splink's production `estimate_u` workflow: estimate u once from
+      * random pairs ([[FellegiSunter.estimateU]] — almost all random pairs
+      * are non-matches, so their gamma distribution IS u), hold it FIXED,
+      * and EM-fit only m and lambda from the blocked pairs. Blocked pairs
+      * over-represent matches by construction, so u estimated from them is
+      * biased toward agreement; fixing u from an unbiased sample is what
+      * the reference's tool does before `get_scored_comparisons`. Default
+      * false = classic joint EM over blocked pairs (the formulation the
+      * registered oracle queries pin). */
+    fixUFromRandomPairs: Boolean = false,
+    /** Target random-pair count for the fixed-u estimate. */
+    uTargetPairs: Long = 1000000L)
 
 /** Fitted Fellegi–Sunter parameters: P(gamma level | match) = m,
   * P(gamma level | non-match) = u, overall match proportion lambda. */
@@ -68,17 +91,41 @@ object Blocking {
     * deduplicated, with `l.uid < r.uid` halving the pair space. Output
     * columns are suffixed `_l` / `_r` (the splink convention, reference
     * `:138`). */
-  def pairs(df: DataFrame, settings: ErSettings): DataFrame = {
+  def pairs(df: DataFrame, settings: ErSettings): DataFrame =
+    settings.blockingRules.map(rulePairs(df, settings, _))
+      .reduce(_ union _)
+      .dropDuplicates(s"${settings.uniqueId}_l", s"${settings.uniqueId}_r")
+
+  /** One blocking rule's pair join — plain, or salted per
+    * [[ErSettings.blockingSalt]]. Salting conjoins `l.__salt = r.__salt`
+    * onto the rule: the left row's salt is a hash of the whole row, the
+    * right side carries every salt value, so Catalyst extracts
+    * (rule keys, __salt) as the equi-join key and a hot blocking value
+    * spreads over `salt` tasks instead of one. Exposed package-private so
+    * ErSpec can assert per-task pair bounds on the pre-dedup join. */
+  private[graft] def rulePairs(df: DataFrame, settings: ErSettings,
+      rule: String): DataFrame = {
     val uid = settings.uniqueId
     val outCols =
       df.columns.map(c => col(s"l.$c").as(s"${c}_l")) ++
         df.columns.map(c => col(s"r.$c").as(s"${c}_r"))
-    val perRule = settings.blockingRules.map { rule =>
-      df.as("l")
-        .join(df.as("r"), expr(rule) && col(s"l.$uid") < col(s"r.$uid"))
-        .select(outCols.toIndexedSeq: _*)
+    settings.blockingSalt match {
+      case None =>
+        df.as("l")
+          .join(df.as("r"), expr(rule) && col(s"l.$uid") < col(s"r.$uid"))
+          .select(outCols.toIndexedSeq: _*)
+      case Some(s) =>
+        require(s > 1, "blockingSalt must be > 1")
+        val allCols: Seq[Column] = df.columns.map(col).toIndexedSeq
+        val left = df.withColumn("__salt", pmod(xxhash64(allCols: _*), lit(s)))
+        val right = df.withColumn("__salt",
+          explode(sequence(lit(0), lit(s - 1)).cast("array<long>")))
+        left.as("l")
+          .join(right.as("r"),
+            expr(rule) && col("l.__salt") === col("r.__salt") &&
+              col(s"l.$uid") < col(s"r.$uid"))
+          .select(outCols.toIndexedSeq: _*)
     }
-    perRule.reduce(_ union _).dropDuplicates(s"${uid}_l", s"${uid}_r")
   }
 }
 
@@ -170,13 +217,42 @@ object FellegiSunter {
     (outM, outU)
   }
 
+  /** [[isotonic]] for the fixed-u EM mode: u is pinned, so monotonicity of
+    * the likelihood ratio is restored by redistributing M-MASS only — each
+    * PAV-pooled block's levels take m_g = u_g · (Σm / Σu over the block),
+    * which preserves the block's total m exactly while giving every level
+    * in it the same (now non-decreasing) ratio. */
+  private[graft] def isotonicAgainstFixedU(mIn: Array[Double], uFixed: Array[Double]): Array[Double] = {
+    final case class Block(var m: Double, var u: Double, var start: Int, var end: Int) {
+      def ratio: Double =
+        if (u > 0) m / u else if (m > 0) Double.PositiveInfinity else 0.0
+    }
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[Block]
+    for (g <- mIn.indices) {
+      blocks += Block(mIn(g), uFixed(g), g, g)
+      while (blocks.length >= 2 && blocks(blocks.length - 2).ratio > blocks.last.ratio) {
+        val b = blocks.remove(blocks.length - 1)
+        val a = blocks.last
+        a.m += b.m; a.u += b.u; a.end = b.end
+      }
+    }
+    val out = new Array[Double](mIn.length)
+    blocks.foreach { b =>
+      val r = if (b.u > 0) b.m / b.u else 0.0
+      for (g <- b.start to b.end)
+        out(g) = if (b.u > 0) uFixed(g) * r else mIn(g)
+    }
+    out
+  }
+
   /** EM fit over the agreement-pattern contingency table (the classic
     * Fellegi–Sunter formulation, and how splink scales its EM): ONE Spark
     * job aggregates the pair table down to (gamma vector → count) — at most
     * Π levels ≈ dozens of rows — then every EM iteration is a driver-side
     * loop over that table. Iteration cost is independent of pair count, so
     * the same fit runs on 10³ or 10¹² pairs. */
-  def fit(gammas: DataFrame, settings: ErSettings): FsParams = {
+  def fit(gammas: DataFrame, settings: ErSettings,
+      fixedU: Option[Map[String, Array[Double]]] = None): FsParams = {
     val cs = settings.comparisons
     val gcols = cs.map(c => col(s"gamma_${c.name}"))
     // the one distributed job: pattern counts
@@ -195,7 +271,8 @@ object FellegiSunter {
     var params = FsParams(
       settings.initialLambda,
       cs.map(c => c.name -> initArr(c.numLevels, 0.9)).toMap,
-      cs.map(c => c.name -> initArr(c.numLevels, 0.9).reverse).toMap)
+      fixedU.getOrElse(
+        cs.map(c => c.name -> initArr(c.numLevels, 0.9).reverse).toMap))
 
     var iter = 0
     var delta = Double.MaxValue
@@ -236,8 +313,14 @@ object FellegiSunter {
       def safe(x: Double): Double = if (x > 0) x else 1.0
       val ordered = cs.map { c =>
         val m = mAcc(c.name).map(x => clamp(x / safe(mMass(c.name))))
-        val u = uAcc(c.name).map(x => clamp(x / safe(uMass(c.name))))
-        c.name -> isotonic(m, u)
+        fixedU match {
+          // fixed-u mode: u never moves; monotonize m alone against the
+          // fixed u (same PAV pooling, m-only redistribution)
+          case Some(fu) => c.name -> (isotonicAgainstFixedU(m, fu(c.name)), fu(c.name))
+          case None =>
+            val u = uAcc(c.name).map(x => clamp(x / safe(uMass(c.name))))
+            c.name -> isotonic(m, u)
+        }
       }.toMap
       val newM = cs.map(c => c.name -> ordered(c.name)._1).toMap
       val newU = cs.map(c => c.name -> ordered(c.name)._2).toMap
@@ -379,7 +462,13 @@ object EntityResolver {
       materializePairs: Boolean = false): (DataFrame, FsParams) = {
     val pipeline = Comparison.withGammas(Blocking.pairs(df, settings), settings.comparisons)
     val gammas = if (materializePairs) pipeline.localCheckpoint() else pipeline
-    val params = FellegiSunter.fit(gammas, settings)
+    // fixed-u workflow (ErSettings.fixUFromRandomPairs): u from an unbiased
+    // random-pair sample, EM moves only m and lambda
+    val fixedU =
+      if (settings.fixUFromRandomPairs)
+        Some(FellegiSunter.estimateU(df, settings, settings.uTargetPairs))
+      else None
+    val params = FellegiSunter.fit(gammas, settings, fixedU)
     val scored = FellegiSunter.score(gammas, settings, params, Some(df))
     (scored, params)
   }

@@ -220,6 +220,80 @@ class FellegiSunterSpec extends SparkTestBase {
     }
   }
 
+  test("salted blocking: identical pair set, hot-key pairs spread over many tasks") {
+    // adversarial skew: 90% of rows share one amount — the classic hot
+    // round-number transaction value (reference 03_aml_entity_resolution.py
+    // blocks on amount equality)
+    val hot = (1L to 200L).map(i =>
+      (i, s"name$i", if (i <= 180) 42.0 else i.toDouble, i % 7))
+      .toDF("unique_id", "name", "amount", "block")
+    val st = settings.copy(blockingRules = Seq("l.amount = r.amount"))
+    val plain = Blocking.pairs(hot, st)
+      .select("unique_id_l", "unique_id_r").as[(Long, Long)].collect().toSet
+    val salted = Blocking.pairs(hot, st.copy(blockingSalt = Some(8)))
+      .select("unique_id_l", "unique_id_r").as[(Long, Long)].collect().toSet
+    // salting must never change the generated pair set
+    assert(salted == plain)
+    assert(plain.size == 180L * 179 / 2)
+
+    // per-task bound on the pre-dedup rule join: force the shuffle path
+    // (no broadcast, no AQE coalescing, enough partitions to spread into)
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
+      .map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "16")
+      def maxTaskPairs(s2: ErSettings): Long = Blocking
+        .rulePairs(hot, s2, "l.amount = r.amount")
+        .select(spark_partition_id().as("pid"))
+        .groupBy("pid").count().agg(max("count")).as[Long].head()
+      val plainMax = maxTaskPairs(st)
+      val saltedMax = maxTaskPairs(st.copy(blockingSalt = Some(8)))
+      // unsalted: every hot pair lands in ONE task (~16110); salted: spread
+      // across the 8 (amount, salt) sub-keys
+      assert(plainMax >= 180L * 179 / 2, s"expected one hot task, got $plainMax")
+      assert(saltedMax < plainMax / 3,
+        s"salting did not spread the hot key: $saltedMax vs $plainMax")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  test("fixed-u workflow: u pinned from random pairs, EM still separates dups") {
+    val stFixed = settings.copy(fixUFromRandomPairs = true, uTargetPairs = 500L)
+    val (scored, params) = EntityResolver.scoredComparisons(df, stFixed)
+    // u is exactly the standalone random-pair estimate — EM never moved it
+    val u = FellegiSunter.estimateU(df, settings, targetPairs = 500L)
+    for (c <- settings.comparisons)
+      assert(params.u(c.name).toSeq == u(c.name).toSeq,
+        s"u(${c.name}) moved: ${params.u(c.name).toSeq} vs ${u(c.name).toSeq}")
+    // the m-only fit still separates true duplicates from noise
+    val byPair = scored.select("unique_id_l", "unique_id_r", "match_probability")
+      .as[(Long, Long, Double)].collect().map { case (l, r, p) => (l, r) -> p }.toMap
+    val dupPairs = Seq((1L, 2L), (4L, 5L), (7L, 8L), (10L, 11L))
+    val minDup = dupPairs.map(byPair).min
+    val maxNoise = (byPair.keySet -- dupPairs).map(byPair).max
+    assert(minDup > 0.9, s"true-duplicate probability too low: $minDup")
+    assert(maxNoise < 0.5, s"noise-pair probability too high: $maxNoise")
+    // the monotone-ratio guarantee survives the m-only isotonic pass
+    for (c <- settings.comparisons) {
+      val rs = params.m(c.name).zip(params.u(c.name)).map { case (a, b) => a / b }
+      assert(rs.sliding(2).forall(p => p.head <= p.last + 1e-9), s"${c.name}: ${rs.toSeq}")
+    }
+  }
+
+  test("isotonicAgainstFixedU: u untouched, block m-mass preserved, ratios ordered") {
+    val m = Array(0.9, 0.05)
+    val u = Array(0.001, 0.9)
+    val mi = FellegiSunter.isotonicAgainstFixedU(m, u)
+    assert(math.abs(mi.sum - m.sum) < 1e-12, "total m mass preserved")
+    val ratios = mi.zip(u).map { case (a, b) => a / b }
+    assert(ratios.sliding(2).forall(p => p.head <= p.last + 1e-12), ratios.toSeq.toString)
+    // already-ordered input passes through unchanged
+    val mOk = FellegiSunter.isotonicAgainstFixedU(Array(0.1, 0.9), Array(0.9, 0.1))
+    assert(mOk.toSeq == Seq(0.1, 0.9))
+  }
+
   test("term-frequency adjustment weakens matches on common values") {
     val tfDf = Seq(
       (1L, "smith", 1L), (2L, "smith", 1L), (3L, "smith", 2L), (4L, "smith", 2L),
