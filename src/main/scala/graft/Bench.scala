@@ -9,7 +9,8 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      // testdata events.parquet carries TIMESTAMP(NANOS) — see Tables.load
+      .config("spark.sql.session.timeZone", "UTC")
+      // testdata events.ts encoding varies by generation — see Tables.load
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -21,9 +22,11 @@ object Bench {
     // untimed warmup: JVM/codegen/parquet-footer caches, so per-query times
     // measure the queries rather than first-touch JIT
     try materialize(SparkEntry.entry(spark)) catch { case _: Throwable => () }
-    // two passes, per-query best: the host has transient throttling windows
-    // and pass 1 still pays residual JIT — the min is the repeatable time
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    // three passes, per-query best: the host has transient throttling
+    // windows and pass 1 still pays residual JIT — the min is the
+    // repeatable time (round-4 cross-round comparisons were polluted by
+    // ambient load; best-of-3 keeps per-query values stable within ~10%)
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     def onePass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -36,12 +39,12 @@ object Bench {
     val results = (1 to passes).map(_ => onePass()).reduce { (a, b) =>
       a.zip(b).map { case ((n, x), (_, y)) => n -> math.min(x, y) }
     }
-    // Output framing: the driver tail-captures stdout, so the canonical
-    // JSON line must come LAST and stay small (round-3's full-precision
-    // doubles made a ~3.5 KB line whose head fell off the capture buffer).
-    // Per-query detail lines go first for humans; values in the canonical
-    // line are rounded to ms; the same JSON is also written to
-    // bench_results.json as a capture-independent copy.
+    // Output framing: exactly ONE canonical JSON line (the verify-skill
+    // contract), printed LAST so the driver's tail capture gets it whole,
+    // kept small (values rounded to cs, basename sf label — round-3's
+    // full-precision ~3.5 KB line lost its head to the capture buffer).
+    // Per-query detail lines go first for humans; the same JSON also goes
+    // to bench_results.json as a capture-independent copy.
     def line(prec: String, sf: String): String = {
       def fmt(v: Double): String = prec.format(v)
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-command scale datapoint for the iterative/motif headliners: builds a
+  * `factor`× blow-up of the sf0.1 `customer`/`orders` tables (id-offset
+  * copies — 10× the vertices AND 10× the edges of every graph query input),
+  * writes it under `target/`, and times q16 (CC), q44/q45 (motifs),
+  * q60 (SCC) on both the base and the scaled directory in one JVM.
+  *
+  * The point is the RATIO: a plan that is linear-ish in the data should show
+  * ~factor× wall time; catastrophic nonlinearity (a quadratic join, round
+  * counts tracking data volume, a stats blowup) shows up as ratio >> factor.
+  * Results are recorded in SCALE.md.
+  *
+  * Run: `sbt "runMain graft.ScaleCheck"` (env: SPARK_GRAFT_SCALE_FACTOR,
+  * SPARK_GRAFT_SCALE_QUERIES to override).
+  */
+object ScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val qNames = sys.env.getOrElse("SPARK_GRAFT_SCALE_QUERIES",
+      "q16_connected_components,q44_motif_structuring5,q45_motif_roundtrip4,q60_scc")
+      .split(",").toSeq
+    val outDir = s"target/scale${factor}x"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // id-offset copies: keys stay dense and disjoint per copy; the derived
+    // txn-graph beneficiary hash then wires copies together, so the scaled
+    // graph is one organism, not `factor` disconnected clones — the harder,
+    // more realistic shape for CC/SCC phases.
+    val off = 100000000L
+    def copies(df: DataFrame, shift: Map[String, Long]): DataFrame =
+      df.crossJoin(spark.range(factor).select(col("id").as("__c")))
+        .select(df.columns.map { c =>
+          shift.get(c).fold(col(c))(m => (col(c) + col("__c") * m).as(c))
+        }.toIndexedSeq: _*)
+    copies(spark.read.parquet(s"$base/customer.parquet"),
+      Map("c_custkey" -> off))
+      .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+    copies(spark.read.parquet(s"$base/orders.parquet"),
+      Map("o_orderkey" -> off, "o_custkey" -> off))
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+
+    def materialize(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      materialize(SparkEntry.queries(name)(spark, dir))
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warmup, then best-of-2 per (query, dir), interleaved base/scaled
+    qNames.foreach(time(_, base))
+    val rows = qNames.map { q =>
+      val b = math.min(time(q, base), time(q, base))
+      val s = math.min(time(q, outDir), time(q, outDir))
+      println(f"""{"query":"$q%s","base_sec":$b%.2f,"scaled_sec":$s%.2f,"factor":$factor%d,"ratio":${s / b}%.2f}""")
+      (q, b, s)
+    }
+    val tb = rows.map(_._2).sum; val ts = rows.map(_._3).sum
+    println(f"""{"total_base_sec":$tb%.2f,"total_scaled_sec":$ts%.2f,"factor":$factor%d,"ratio":${ts / tb}%.2f}""")
+    spark.stop()
+  }
+}

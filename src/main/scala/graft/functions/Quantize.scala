@@ -29,6 +29,11 @@ object QuantizeAlgo {
     var maxabs = 0.0
     var i = 0
     while (i < n) {
+      // explicit null-element check: UnsafeArrayData would otherwise read
+      // garbage for a null slot and GenericArrayData would NPE in the
+      // executor — both worse than a clean error at the offending row
+      if (v.isNullAt(i)) throw new IllegalArgumentException(
+        s"quantize_i8: null element at index $i — embeddings must be dense")
       val a = math.abs(if (isFloat) v.getFloat(i).toDouble else v.getDouble(i))
       if (a > maxabs) maxabs = a
       i += 1
@@ -47,9 +52,10 @@ object QuantizeAlgo {
 
   /** Cosine over int8 code vectors; exact integer accumulation, 0.0 when
     * either side is the zero vector (a zero input quantizes to all-zero
-    * codes). */
+    * codes). Mismatched dimensions are an error, not a silent truncation —
+    * a truncated cosine is a plausible-but-wrong score. */
   def cosineI8(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = VectorAlgo.sameDim("cosine_i8", a, b)
     var dot = 0L; var na = 0L; var nb = 0L
     var i = 0
     while (i < n) {

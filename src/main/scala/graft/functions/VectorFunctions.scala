@@ -17,9 +17,19 @@ import org.apache.spark.sql.types._
   */
 object VectorAlgo {
 
+  /** Shared dimension guard for the vector kernels: mismatched lengths are
+    * an error (a truncated dot/cosine silently excludes the longer vector's
+    * tail from its own norm — plausible but wrong), not a min-length walk. */
+  def sameDim(op: String, a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    if (n != b.numElements()) throw new IllegalArgumentException(
+      s"$op: mismatched vector dimensions (${a.numElements()} vs ${b.numElements()})")
+    n
+  }
+
   /** dot(a,b) / (|a|·|b|), accumulated left-to-right in one pass. */
   def cosine(a: ArrayData, b: ArrayData, isFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = sameDim("cosine_sim", a, b)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     if (isFloat) {
@@ -37,7 +47,7 @@ object VectorAlgo {
   }
 
   def dot(a: ArrayData, b: ArrayData, isFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = sameDim("dot_product", a, b)
     var acc = 0.0
     var i = 0
     if (isFloat) {

