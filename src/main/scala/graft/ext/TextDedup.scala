@@ -92,6 +92,14 @@ object TextDedup {
     // released by the ContextCleaner as soon as the plan is unreferenced,
     // so long-lived sessions embedding this operator don't leak memory.
     val sh = shingleRows(df, idCol, textCol, n).localCheckpoint()
+    jaccardPairsOn(sh, threshold, maxDf)
+  }
+
+  /** [[jaccardPairs]] over an existing (id, sh) shingle index — package-
+    * private so composite queries (q91) run exact and LSH strategies
+    * against ONE shared index instead of re-shingling per strategy. */
+  private[graft] def jaccardPairsOn(sh: DataFrame, threshold: Double,
+      maxDf: Option[Long] = None): DataFrame = {
     // one aggregate + equi-join (not a window): df is per-shingle, so a
     // broadcast-or-shuffle hash join beats sorting the whole index
     val joinSide = maxDf.fold(sh) { cap =>
@@ -108,7 +116,7 @@ object TextDedup {
   }
 
   /** Jaccard from per-pair intersection counts + per-doc set sizes. */
-  private def jaccardFromCounts(sh: DataFrame, common: DataFrame,
+  private[graft] def jaccardFromCounts(sh: DataFrame, common: DataFrame,
       threshold: Double): DataFrame = {
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     common
@@ -123,8 +131,10 @@ object TextDedup {
   /** Exact intersection counts for an explicit candidate set: expand each
     * pair by the left side's shingles, then probe the index on the
     * composite (id, shingle) key — only candidate pairs are ever expanded,
-    * so LSH keeps its no-O(n²) guarantee. */
-  private def candidateCommonCounts(sh: DataFrame, cands: DataFrame): DataFrame =
+    * so LSH keeps its no-O(n²) guarantee. Package-private so composite
+    * verification queries (q91) can verify several candidate sets against
+    * ONE shared shingle index. */
+  private[graft] def candidateCommonCounts(sh: DataFrame, cands: DataFrame): DataFrame =
     cands
       .join(sh.select(col("id").as("id_l"), col("sh")), "id_l")
       .join(sh.select(col("id").as("id_r"), col("sh")), Seq("id_r", "sh"))
@@ -144,12 +154,28 @@ object TextDedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, numPerm: Int, bands: Int, threshold: Double): DataFrame = {
     val (sh, buckets) = minhashBuckets(df, idCol, textCol, n, numPerm, bands)
-    val cands = buckets.as("a").join(buckets.as("b"),
+    jaccardFromCounts(sh, candidateCommonCounts(sh, pairCandidates(buckets)), threshold)
+  }
+
+  /** Bucket self-join candidates: every colliding pair. O(c²) per c-member
+    * bucket — the recall-complete shape; see [[chainCandidates]] for the
+    * skew-safe linear alternative. */
+  private[graft] def pairCandidates(buckets: DataFrame): DataFrame =
+    buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_l"), col("b.id").as("id_r"))
       .dropDuplicates("id_l", "id_r")
-    jaccardFromCounts(sh, candidateCommonCounts(sh, cands), threshold)
+
+  /** Consecutive-by-id candidates: c−1 rows per c-member bucket via one
+    * window — linear in corpus size no matter how skewed the buckets. */
+  private[graft] def chainCandidates(buckets: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("band", "bucket").orderBy("id")
+    buckets.withColumn("id_l", lag(col("id"), 1).over(w))
+      .filter(col("id_l").isNotNull)
+      .select(col("id_l"), col("id").as("id_r"))
+      .dropDuplicates("id_l", "id_r")
   }
 
   /** Chain-contracted MinHash-LSH near-dup edges — the giant-cluster-safe
@@ -167,20 +193,15 @@ object TextDedup {
     * pairwise ones — the safe direction for dedup (asserted in DedupSpec). */
   def minhashLshEdgesChained(df: DataFrame, idCol: String, textCol: String,
       n: Int, numPerm: Int, bands: Int, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val (sh, buckets) = minhashBuckets(df, idCol, textCol, n, numPerm, bands)
-    val w = Window.partitionBy("band", "bucket").orderBy("id")
-    val cands = buckets.withColumn("id_l", lag(col("id"), 1).over(w))
-      .filter(col("id_l").isNotNull)
-      .select(col("id_l"), col("id").as("id_r"))
-      .dropDuplicates("id_l", "id_r")
-    jaccardFromCounts(sh, candidateCommonCounts(sh, cands), threshold)
+    jaccardFromCounts(sh, candidateCommonCounts(sh, chainCandidates(buckets)), threshold)
   }
 
   /** Shared MinHash-banding front end: the localCheckpointed shingle index
     * plus (id, band, bucket) rows. Bucket rows carry only ids — shingle
-    * arrays never ride the banding explode. */
-  private def minhashBuckets(df: DataFrame, idCol: String, textCol: String,
+    * arrays never ride the banding explode. Package-private so composite
+    * queries comparing candidate strategies (q91) compute the banding once. */
+  private[graft] def minhashBuckets(df: DataFrame, idCol: String, textCol: String,
       n: Int, numPerm: Int, bands: Int): (DataFrame, DataFrame) = {
     require(numPerm % bands == 0, "numPerm must divide into bands")
     val rowsPerBand = numPerm / bands

@@ -55,10 +55,13 @@ private[graft] final case class Checkpointer(
     * (2–3 fixed-width columns), not to operator payloads. Algorithms whose
     * round plans join state with *input* (CC, Pregel, k-core) grow stats
     * linearly and keep the cheaper [[apply]]. */
-  def fresh(df: DataFrame): DataFrame = {
-    val ck = apply(df)
+  def fresh(df: DataFrame): DataFrame = resetStats(apply(df))
+
+  /** Stats reset alone, for a frame that is ALREADY checkpointed: rewraps
+    * the materialized RDD in a fresh leaf with default statistics, no new
+    * materialization. */
+  def resetStats(ck: DataFrame): DataFrame =
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
-  }
 }
 
 private[graft] object Checkpointer {

@@ -59,7 +59,14 @@ object ConnectedComponents {
     var iter = 0
     var prevFp = fingerprint(e)
     while (!converged && iter < maxIter) {
-      val next = ckpt(smallStar(largeStar(e)))
+      // periodic stats reset: each star round joins the edge state against
+      // aggregates of itself twice, so the sizeInBytes estimate each
+      // checkpoint inherits grows ~4x per round — by round ~10 the driver
+      // would multiply multi-megabit BigInts in the stats visitor (the
+      // [[Checkpointer.fresh]] failure mode, measured on SCC). Resetting
+      // every 4th round bounds the estimate at default*4^4 bits.
+      val round = ckpt(smallStar(largeStar(e)))
+      val next = if (iter % 4 == 3) ckpt.resetStats(round) else round
       val fp = fingerprint(next) // scan of checkpointed data, no shuffle
       converged = fp == prevFp
       prevFp = fp

@@ -56,7 +56,8 @@ object KCore {
     var und = ckpt(undirected(g.edges))
     var r = 0
     while (r < rounds) {
-      und = ckpt(peel(und, k))
+      // periodic stats reset — see the fixpoint loop below
+      und = if (r % 4 == 3) ckpt.fresh(peel(und, k)) else ckpt(peel(und, k))
       r += 1
     }
     degrees(und)
@@ -76,7 +77,11 @@ object KCore {
     var converged = prev == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
-      und = ckpt(peel(und, k))
+      // periodic stats reset: peel joins the edge set against its own
+      // degree aggregate, doubling the inherited sizeInBytes estimate per
+      // round — at maxIter=50 an unbounded estimate would reach 2^50-bit
+      // BigInts (the [[Checkpointer.fresh]] driver-stall failure mode)
+      und = if (iter % 4 == 3) ckpt.fresh(peel(und, k)) else ckpt(peel(und, k))
       val n = und.count() // scan of checkpointed data, no shuffle
       // the edge set shrinks monotonically, so an unchanged count IS the
       // fixpoint (no removal can follow a round that removed nothing)

@@ -76,7 +76,7 @@ final class Pregel private[graph] (g: PropertyGraph) {
     val (needSrc, needDst) =
       (references(Pregel.SrcMarker), references(Pregel.DstMarker))
 
-    for (_ <- 1 to maxIter) {
+    for (i <- 1 to maxIter) {
       val vCols = v.columns.toSeq
       val vs = v.select(struct(vCols.map(col): _*).as(Pregel.SrcMarker))
       val vd = v.select(struct(vCols.map(col): _*).as(Pregel.DstMarker))
@@ -93,9 +93,14 @@ final class Pregel private[graph] (g: PropertyGraph) {
           col(s"${Pregel.EdgeMarker}.src").as("__vid"), m.as("_pregel_msg")))
       ).flatten.reduce(_ union _)
       val msgs = sends.groupBy("__vid").agg(aggExpr.as("_pregel_msg"))
-      v = ckpt(v.join(msgs, v("id") === msgs("__vid"), "left_outer")
+      // periodic stats reset: each superstep joins the vertex state against
+      // messages derived from itself, so inherited sizeInBytes estimates
+      // grow ~3x per superstep — see [[Checkpointer.fresh]] for the
+      // BigInt-stall failure mode this bounds
+      val step = v.join(msgs, v("id") === msgs("__vid"), "left_outer")
         .withColumn(vcName, vcUpdate)
-        .drop("__vid", "_pregel_msg"))
+        .drop("__vid", "_pregel_msg")
+      v = if (i % 4 == 0) ckpt.fresh(step) else ckpt(step)
     }
     v
   }

@@ -49,7 +49,12 @@ object ShortestPaths {
         .groupBy("id", "landmark").agg(min("dist").as("dist"))
         .join(settled.select("id", "landmark"), Seq("id", "landmark"), "left_anti"))
       frontierSize = next.count()
-      settled = ckpt(settled.union(next))
+      // periodic stats reset — settled unions a frame derived from itself
+      // each round, doubling the inherited sizeInBytes estimate (see
+      // [[Checkpointer.fresh]] for the BigInt-stall failure mode)
+      settled =
+        if (iter % 4 == 3) ckpt.fresh(settled.union(next))
+        else ckpt(settled.union(next))
       frontier = next
       iter += 1
     }

@@ -175,15 +175,21 @@ object ExtQueries {
     "q91_minhash_chained",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val exact = TextDedup.jaccardPairs(docs, "doc_id", "text", ShingleN, 0.5)
+      // one shingle index + one banding, shared by all three strategies —
+      // the comparison is about CANDIDATE generation, so the front end
+      // (shingling, signatures, buckets) is computed exactly once
+      val (sh, buckets0) = TextDedup.minhashBuckets(docs, "doc_id", "text",
+        ShingleN, numPerm = 16, bands = 4)
+      val buckets = buckets0.localCheckpoint()
+      val exact = TextDedup.jaccardPairsOn(sh, 0.5)
         .select(col("id_l"), col("id_r"), col("jaccard").as("j_exact"))
         .localCheckpoint()
-      val chained = TextDedup.minhashLshEdgesChained(docs, "doc_id", "text",
-          ShingleN, numPerm = 16, bands = 4, threshold = 0.5)
+      val chained = TextDedup.jaccardFromCounts(sh,
+          TextDedup.candidateCommonCounts(sh, TextDedup.chainCandidates(buckets)), 0.5)
         .select(col("id_l"), col("id_r"), col("jaccard").as("j_ch"))
         .localCheckpoint()
-      val pairwise = TextDedup.minhashLshPairs(docs, "doc_id", "text",
-          ShingleN, numPerm = 16, bands = 4, threshold = 0.5)
+      val pairwise = TextDedup.jaccardFromCounts(sh,
+          TextDedup.candidateCommonCounts(sh, TextDedup.pairCandidates(buckets)), 0.5)
         .select(col("id_l"), col("id_r"))
       val a1 = exact.agg(count(lit(1)).as("n_exact_pairs"))
       val a2 = chained.join(exact, Seq("id_l", "id_r"), "left_anti")
