@@ -208,6 +208,56 @@ object TextAnalysis {
     * across engines and shuffle orders. `avg_logprob` sums `ln` values
     * whose last ulp is libm-specific, so it is spec-checked (tolerance)
     * rather than oracle-hashed. */
+  /** BM25 ranked retrieval (Robertson–Spärck Jones; Robertson & Zaragoza
+    * 2009, public) — the quality-retrieval primitive a curation pipeline
+    * uses to find documents matching a topic query at corpus scale.
+    * `queryTerms` is a small (query_id, term) table; returns the top-`k`
+    * documents per query by BM25 with parameters `k1`/`b`.
+    *
+    * Scale shape: one explode to token rows, three corpus aggregates
+    * (per-doc-term tf, per-doc length, per-term document frequency — all
+    * keyed shuffles with map-side combine), then the QUERY side drives the
+    * work: term-frequency rows semi-joined against the broadcast query
+    * terms, so only matching (doc, term) rows ever reach scoring; the
+    * corpus-level (N, Σdl) statistics ride along as a broadcast single-row
+    * aggregate, never a collect. Top-k is a per-query window over scored
+    * docs only.
+    *
+    * Determinism: tf/df/dl are exact integers; the score mixes `ln` (libm
+    * last-ulp) and a cross-term double sum (shuffle-order-dependent), so
+    * the returned `bm25` is rounded to 4 decimals and the rank is computed
+    * over the ROUNDED score with a doc-id tiebreak — both engines agree on
+    * every output bit (the q43/q71 rounding convention). */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: DataFrame, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("w"))
+    val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val parts = tf
+      .join(broadcast(queryTerms.select(col("query_id"), col("term").as("w"))), "w")
+      .join(dfreq, "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log((col("n_docs").cast("double") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("part",
+        col("idf") * (col("tf") * (lit(k1) + lit(1.0))) /
+          (col("tf") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+    val scored = parts.groupBy("query_id", "doc_id")
+      .agg(round(sum(col("part")), 4).as("bm25"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("bm25").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "bm25", "rank")
+  }
+
   def unigramScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("w"))
     val lm = tok.groupBy("w").agg(count(lit(1)).as("cnt"))

@@ -1024,7 +1024,87 @@ object ExtQueries {
             SELECT w, CAST(cnt AS BIGINT) AS cnt FROM ex, tot
             WHERE cnt * 513 > n ORDER BY cnt DESC, w"""))
 
+  /** BM25 ranked retrieval over the documents corpus for three fixed topic
+    * queries — the curation-pipeline "find documents about X" primitive.
+    * Full value oracle: tf/df/dl are exact integers, the scalar expression
+    * tree is mirrored operator-for-operator, and the score is rounded to 4
+    * decimals pre-ranking in BOTH engines (the q43/q71 convention for
+    * ln + order-dependent double sums). */
+  private val q92 = QDef(
+    "q92_bm25_topk",
+    (s, dir) => {
+      // SQL VALUES rather than Seq.toDF: no encoder derivation, so the
+      // query builds identically under the REPL-backed plan tooling
+      val queryTerms = s.sql(
+        """SELECT CAST(query_id AS BIGINT) AS query_id, term
+           FROM VALUES (1, 'hash'), (1, 'join'),
+                       (2, 'vector'), (2, 'scan'), (2, 'filter'),
+                       (3, 'customer'), (3, 'order') AS t(query_id, term)""")
+      TextAnalysis.bm25TopK(Tables.load(s, dir, "documents"), "doc_id", "text",
+          queryTerms, k = 10)
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH q(query_id, term) AS (VALUES
+              (1, 'hash'), (1, 'join'),
+              (2, 'vector'), (2, 'scan'), (2, 'filter'),
+              (3, 'customer'), (3, 'order')),
+            tok AS (SELECT doc_id,
+                           unnest(string_split_regex(lower(text), '\s+')) AS w
+                    FROM documents),
+            tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+            stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+            dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+            parts AS (
+              SELECT q.query_id, tf.doc_id,
+                     ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+                       * (tf * (1.2 + 1.0))
+                       / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl /
+                            (CAST(sum_dl AS DOUBLE) / n_docs))) AS part
+              FROM tf
+              JOIN q ON q.term = tf.w
+              JOIN dfreq USING (w)
+              JOIN dl USING (doc_id)
+              CROSS JOIN stats),
+            scored AS (SELECT query_id, doc_id, round(sum(part), 4) AS bm25
+                       FROM parts GROUP BY 1, 2),
+            r AS (SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rank
+                  FROM scored)
+            SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, bm25,
+                   CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 10 ORDER BY query_id, rank"""))
+
+  /** Per-language approximate distinct-token cardinality (HyperLogLog++,
+    * `approx_count_distinct` at rsd 0.05) validated against the exact
+    * count — the 100 TB cardinality-estimation primitive (an exact
+    * distinct over a web-scale vocabulary is a full shuffle; the sketch is
+    * O(kB) mergeable state per group). The sketch value itself is
+    * engine-specific, so the gated columns are the exact count plus a
+    * within-4x-rsd assertion computed genuinely in Spark; DuckDB
+    * reproduces the exact side and pins the assertion true (the q26/q73
+    * containment-oracle pattern). */
+  private val q93 = QDef(
+    "q93_approx_cardinality",
+    (s, dir) => Tables.load(s, dir, "documents")
+      .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("lang")
+      .agg(countDistinct(col("w")).as("exact_distinct"),
+        approx_count_distinct(col("w"), 0.05).as("__approx"))
+      .select(col("lang"), col("exact_distinct"),
+        (abs(col("__approx") - col("exact_distinct")).cast("double") <=
+          lit(0.2) * col("exact_distinct")).as("within_bound"))
+      .orderBy("lang"),
+    Some("""SELECT lang,
+                   CAST(count(DISTINCT w) AS BIGINT) AS exact_distinct,
+                   TRUE AS within_bound
+            FROM (SELECT lang,
+                         unnest(string_split_regex(lower(text), '\s+')) AS w
+                  FROM documents)
+            GROUP BY lang ORDER BY lang"""))
+
   val all: Seq[QDef] = Seq(
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q40, q41, q49, q61, q62, q70, q71, q73, q74, q88, q89, q90, q91)
+    q38, q40, q41, q49, q61, q62, q70, q71, q73, q74, q88, q89, q90, q91,
+    q92, q93)
 }

@@ -483,6 +483,25 @@ class TextAnalysisSpec extends SparkTestBase {
     val expected = codes.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
     assert(row.getLong(3) == expected)
   }
+
+  test("bm25: rare-term matches outrank common-term matches; k and ties honored") {
+    val docs = Seq(
+      (1L, "spark spark spark common common"),   // heavy on the rare term
+      (2L, "spark common common common common"), // one rare hit, longer on common
+      (3L, "common common common common"),
+      (4L, "unrelated words entirely here")
+    ).toDF("doc_id", "text")
+    val q = Seq((1L, "spark"), (1L, "common")).toDF("query_id", "term")
+    val got = TextAnalysis.bm25TopK(docs, "doc_id", "text", q, k = 3)
+      .orderBy("rank").as[(Long, Long, Double, Long)].collect().toSeq
+    // doc 4 matches no term -> absent; k=3 keeps the three scored docs
+    assert(got.map(_._2) == Seq(1L, 2L, 3L),
+      s"ranking was ${got.map(r => (r._2, r._3))}")
+    // 'spark' (df=2) carries more idf weight than 'common' (df=3): the
+    // spark-heavy doc wins even though doc 3 is pure common
+    assert(got.head._2 == 1L && got.head._3 > got(1)._3)
+    assert(got.map(_._4) == Seq(1L, 2L, 3L))
+  }
 }
 
 class MultimodalSpec extends SparkTestBase {
