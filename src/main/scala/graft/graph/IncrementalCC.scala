@@ -74,7 +74,12 @@ object IncrementalCC {
       .join(assign.select("id"), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("component"))
 
-    ckpt(assign.union(newNodes)
+    // resetStats: the updated assignment's plan references the previous
+    // assignment three times (both remap sides + the CC input), so the
+    // inherited sizeInBytes estimate ~triples per batch — harmless over
+    // q48's three batches, but a streaming sink folds hundreds of batches
+    // and would hit the BigInt-stats stall ([[Checkpointer.fresh]])
+    ckpt.fresh(assign.union(newNodes)
       .join(compMap, Seq("component"), "left_outer")
       .select(col("id"),
         coalesce(col("newc"), col("component")).as("component")))
