@@ -205,17 +205,7 @@ object Similarity {
     val edges = neardupEdgesChained(emb, idCol, vecCol, threshold, bands, rowsPerBand, dim)
       .select(col("id_l").as("src"), col("id_r").as("dst"))
     // chain edges are dropDuplicates'd and id_l < id_r, so already distinct
-    val assign = graft.graph.ConnectedComponents
-      .runOnEdges(edges, assumeDistinctEdges = true, checkpointDir = checkpointDir)
-    val withComp = quality
-      .join(assign, Seq("id"), "left_outer")
-      .select(col("id"), col("quality"),
-        coalesce(col("component"), col("id")).as("cluster_id"))
-    val keep = withComp.groupBy("cluster_id")
-      .agg(max_by(col("id"), struct(col("quality"), negate(col("id")))).as("__keep"))
-    withComp.join(keep, "cluster_id")
-      .select(col("id"), col("quality"), col("cluster_id"),
-        (col("id") =!= col("__keep")).as("is_dropped"))
+    ClusterKeep.assignAndKeep(quality, edges, checkpointDir)
   }
 
   /** Deterministic pseudo-random hyperplanes (splitmix64 over (plane, dim)),

@@ -227,6 +227,24 @@ object TextDedup {
     (sh, buckets)
   }
 
+  /** End-to-end text cluster dedup — the document-side twin of
+    * [[Similarity.semanticDedupClusters]]: chain-contracted MinHash-LSH
+    * edges ([[minhashLshEdgesChained]] — linear in corpus size under clone
+    * skew) → min-id connected components → exactly one best-quality keeper
+    * per cluster (ties keep the lowest id). `quality` is (id, quality);
+    * returns every quality row with its `cluster_id` (own id for
+    * singletons) and an `is_dropped` verdict — the keep-list a curation
+    * pipeline feeds to training. Nothing is quadratic in cluster size
+    * anywhere ([[ClusterKeep]]). */
+  def dedupClusters(df: DataFrame, idCol: String, textCol: String,
+      quality: DataFrame, n: Int, numPerm: Int, bands: Int, threshold: Double,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val edges = minhashLshEdgesChained(df, idCol, textCol, n, numPerm, bands, threshold)
+      .select(col("id_l").as("src"), col("id_r").as("dst"))
+    // chain edges are dropDuplicates'd and id_l < id_r, so already distinct
+    ClusterKeep.assignAndKeep(quality, edges, checkpointDir)
+  }
+
   /** 64-bit SimHash (Charikar): per-bit majority vote over word hashes,
     * entirely with built-in higher-order functions (bit loops as
     * sequence/transform, majority via aggregate, assembly via bitwise OR). */

@@ -1024,6 +1024,52 @@ object ExtQueries {
             SELECT w, CAST(cnt AS BIGINT) AS cnt FROM ex, tot
             WHERE cnt * 513 > n ORDER BY cnt DESC, w"""))
 
+  /** End-to-end text cluster dedup ([[TextDedup.dedupClusters]] — the
+    * document-side twin of q88): chain-contracted MinHash edges → min-id
+    * components → one best-quality keeper per cluster. Buckets are
+    * xxhash64-dependent, so the oracle pins the provable invariants, all
+    * genuinely computed in Spark:
+    *  - every cluster has exactly ONE keeper, and no member outscores it;
+    *  - the clusters REFINE the exact-Jaccard transitive closure (every
+    *    chain edge is a verified exact pair, so a cluster can never span
+    *    two exact-closure components).
+    * DuckDB reproduces the document count and pins the zeros. Clone-
+    * cluster behavior (linear candidates, exact component recovery) is
+    * DedupSpec-covered via the shared chained-edge machinery. */
+  private val q94 = QDef(
+    "q94_text_dedup_clusters",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val quality = docs.select(col("doc_id").as("id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      val clusters = TextDedup.dedupClusters(docs, "doc_id", "text", quality,
+          ShingleN, numPerm = 16, bands = 4, threshold = 0.5)
+        .localCheckpoint()
+      val a1 = clusters.agg(count(lit(1)).as("n_docs"))
+      val perCluster = clusters.groupBy("cluster_id").agg(
+        count(when(!col("is_dropped"), 1)).as("__k"),
+        max(col("quality")).as("__qmax"),
+        max(when(!col("is_dropped"), col("quality"))).as("__qkeep"))
+      val a2 = perCluster
+        .agg(count(when(col("__k") =!= 1, 1)).as("n_multi_keeper_clusters"))
+      val a3 = perCluster
+        .agg(count(when(col("__qkeep") < col("__qmax"), 1)).as("n_keeper_quality_violations"))
+      val sh = TextDedup.shingleRows(docs, "doc_id", "text", ShingleN).localCheckpoint()
+      val exactEdges = TextDedup.jaccardPairsOn(sh, 0.5)
+        .select(col("id_l").as("src"), col("id_r").as("dst"))
+      val ccExact = graft.graph.ConnectedComponents.runOnEdges(exactEdges)
+      val a4 = clusters.join(ccExact, Seq("id"), "left_outer")
+        .select(col("cluster_id"), coalesce(col("component"), col("id")).as("__ec"))
+        .groupBy("cluster_id").agg(countDistinct(col("__ec")).as("__necc"))
+        .agg(count(when(col("__necc") > 1, 1)).as("n_refinement_violations"))
+      a1.crossJoin(a2).crossJoin(a3).crossJoin(a4)
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(0 AS BIGINT) AS n_multi_keeper_clusters,
+                   CAST(0 AS BIGINT) AS n_keeper_quality_violations,
+                   CAST(0 AS BIGINT) AS n_refinement_violations
+            FROM documents"""))
+
   /** BM25 ranked retrieval over the documents corpus for three fixed topic
     * queries — the curation-pipeline "find documents about X" primitive.
     * Full value oracle: tf/df/dl are exact integers, the scalar expression
@@ -1106,5 +1152,5 @@ object ExtQueries {
   val all: Seq[QDef] = Seq(
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q40, q41, q49, q61, q62, q70, q71, q73, q74, q88, q89, q90, q91,
-    q92, q93)
+    q92, q93, q94)
 }

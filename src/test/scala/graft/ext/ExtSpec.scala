@@ -121,6 +121,25 @@ class DedupSpec extends SparkTestBase {
     assert(cloneIds.forall(pairwise.get(_).contains(10L)))
   }
 
+  test("text dedupClusters: one best-quality keeper per clone cluster, singletons kept") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "completely different text about engines here")
+    ).toDF("doc_id", "text")
+    val quality = Seq((1L, 0.3), (2L, 0.9), (3L, 0.9), (4L, 0.5))
+      .toDF("id", "quality")
+    val got = TextDedup
+      .dedupClusters(corpus, "doc_id", "text", quality, 3, 16, 4, 0.5)
+      .as[(Long, Double, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._3, r._4)).toMap
+    // clones 1-3 cluster under min id 1; quality tie 2 vs 3 keeps lowest id
+    assert(got(1L) == (1L, true) && got(2L) == (1L, false) && got(3L) == (1L, true))
+    // doc 4 is a singleton cluster and its own keeper
+    assert(got(4L) == (4L, false))
+  }
+
   test("simhash: identical docs distance 0, near-dups close, unrelated far") {
     val fp = docs.select(col("doc_id"), TextDedup.simhash(col("text")).as("fp"))
       .as[(Long, Long)].collect().toMap

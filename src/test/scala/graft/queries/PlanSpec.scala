@@ -23,7 +23,8 @@ class PlanSpec extends SparkTestBase {
   private val bnljWhitelist =
     Set("q28_cosine_topk", "q89_quantized_topk", "q40_ann_ivf",
       "q26_minhash_lsh", "q27_simhash", "q91_minhash_chained",
-      "q71_unigram_lm", "q73_approx_heavy_words", "q92_bm25_topk")
+      "q71_unigram_lm", "q73_approx_heavy_words", "q92_bm25_topk",
+      "q94_text_dedup_clusters")
 
   private lazy val plans: Map[String, String] =
     graft.SparkEntry.queries.map { case (name, fn) =>
