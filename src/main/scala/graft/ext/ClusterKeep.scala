@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * aggregate, so even a million-member component never sorts in one task
   * the way a row_number window would.
   */
-private[ext] object ClusterKeep {
+private[graft] object ClusterKeep {
 
   /** `quality` is (id, quality); `edges` is (src, dst), assumed distinct.
     * Returns (id, quality, cluster_id, is_dropped) for every quality row —

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.QDef
 import graft.engine.Tables
-import graft.ext.{Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.ext.{ClusterKeep, Multimodal, Similarity, TextAnalysis, TextDedup}
 import graft.streaming.Streams
 
 /** LLM-data-pipeline extension coverage (north-star operators beyond the
@@ -1042,8 +1042,16 @@ object ExtQueries {
       val docs = Tables.load(s, dir, "documents")
       val quality = docs.select(col("doc_id").as("id"),
         TextAnalysis.qualityScore(col("text")).as("quality"))
-      val clusters = TextDedup.dedupClusters(docs, "doc_id", "text", quality,
-          ShingleN, numPerm = 16, bands = 4, threshold = 0.5)
+      // one shingle index + banding feeds BOTH the cluster pipeline and the
+      // exact-closure refinement check (the q91 sharing pattern; the public
+      // dedupClusters operator builds its own front end for API users)
+      val (sh0, buckets) = TextDedup.minhashBuckets(docs, "doc_id", "text",
+        ShingleN, numPerm = 16, bands = 4)
+      val sh = sh0.localCheckpoint()
+      val chainEdges = TextDedup.jaccardFromCounts(sh,
+          TextDedup.candidateCommonCounts(sh, TextDedup.chainCandidates(buckets)), 0.5)
+        .select(col("id_l").as("src"), col("id_r").as("dst"))
+      val clusters = ClusterKeep.assignAndKeep(quality, chainEdges, None)
         .localCheckpoint()
       val a1 = clusters.agg(count(lit(1)).as("n_docs"))
       val perCluster = clusters.groupBy("cluster_id").agg(
@@ -1054,7 +1062,6 @@ object ExtQueries {
         .agg(count(when(col("__k") =!= 1, 1)).as("n_multi_keeper_clusters"))
       val a3 = perCluster
         .agg(count(when(col("__qkeep") < col("__qmax"), 1)).as("n_keeper_quality_violations"))
-      val sh = TextDedup.shingleRows(docs, "doc_id", "text", ShingleN).localCheckpoint()
       val exactEdges = TextDedup.jaccardPairsOn(sh, 0.5)
         .select(col("id_l").as("src"), col("id_r").as("dst"))
       val ccExact = graft.graph.ConnectedComponents.runOnEdges(exactEdges)
