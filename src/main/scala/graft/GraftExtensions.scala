@@ -53,6 +53,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MisraGriesAgg].getName, "approx_top_k"),
       (children: Seq[Expr]) => MisraGriesAgg.fromFunctionCall(children)))
     ext.injectFunction((
+      new FunctionIdentifier("z_value"),
+      new ExpressionInfo(classOf[graft.functions.ZValue].getName, "z_value"),
+      (children: Seq[Expr]) => graft.functions.ZValue(children)))
+    ext.injectFunction((
       new FunctionIdentifier("simhash_agg"),
       new ExpressionInfo(classOf[graft.functions.SimHashAgg].getName, "simhash_agg"),
       (children: Seq[Expr]) => graft.functions.SimHashAgg(children.head)))

@@ -1,6 +1,7 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Source readers beyond the parquet tables (SURVEY.md §2.1): CSV with
   * header + schema inference (the reference's dedupe-corpus load,
@@ -49,4 +50,37 @@ object Sources {
     * by HDFS block like any other file source. */
   def text(spark: SparkSession, path: String, wholeFile: Boolean = false): DataFrame =
     spark.read.option("wholetext", wholeFile.toString).text(path)
+
+  /** Z-order clustering layout (the `OPTIMIZE ZORDER BY` write shape):
+    * range-partition into `numFiles` output splits by the Morton code of
+    * the given pre-binned integral columns and sort each split by it, so
+    * every written file covers a small hyper-rectangle of the key space —
+    * parquet min/max footer stats then prune row groups for predicates on
+    * ANY z-ed dimension, not just a lexicographic sort's leading one.
+    * That multi-dimensional skipping is the point at 100 TB: a single-sort
+    * layout answers `WHERE a BETWEEN ...` from few row groups but scans
+    * everything for `WHERE b BETWEEN ...`; the z-layout bounds both
+    * (ZOrderSpec measures the footer spans). The z column is dropped
+    * before the write — layout only, no schema change.
+    *
+    * Inputs must already be binned into `[0, 2^(63/n))` (see
+    * [[graft.functions.ZOrderAlgo]]); use [[widthBucket]] for numeric or
+    * date-derived domains. */
+  def zOrderLayout(df: DataFrame, zcols: Seq[Column], numFiles: Int): DataFrame =
+    df.withColumn("__graft_zv", call_function("z_value", zcols: _*))
+      .repartitionByRange(numFiles, col("__graft_zv"))
+      .sortWithinPartitions(col("__graft_zv"))
+      .drop("__graft_zv")
+
+  /** Equi-width binning of a numeric column into `[0, buckets)` for
+    * [[zOrderLayout]] — the two-number (min, max) layout-time stats pass
+    * every clustering write does (Delta's OPTIMIZE gathers the same).
+    * Values at the max edge clamp into the last bucket. */
+  def widthBucket(df: DataFrame, c: Column, buckets: Int): Column = {
+    val row = df.agg(min(c).cast("double"), max(c).cast("double")).head()
+    val (lo, hi) = (row.getDouble(0), row.getDouble(1))
+    if (hi <= lo) lit(0L)
+    else least(lit(buckets - 1L),
+      floor((c.cast("double") - lit(lo)) / lit((hi - lo) / buckets)).cast("long"))
+  }
 }

@@ -1156,8 +1156,47 @@ object ExtQueries {
                   FROM documents)
             GROUP BY lang ORDER BY lang"""))
 
+  // ---------- data layout ----------
+
+  /** Z-order (Morton) curve values over (customer, order-day) — the
+    * multi-dimensional clustering key behind `Sources.zOrderLayout`
+    * (Delta/Iceberg `OPTIMIZE ZORDER BY`'s core). The codegen'd
+    * `z_value` expression's bit contract (LSB-first, column-major — see
+    * [[graft.functions.ZOrderAlgo]]) is deterministic pure bit
+    * arithmetic, so the oracle replicates it term-for-term with SQL
+    * shifts; the layout's footer-stats skipping effect is measured in
+    * ZOrderSpec (judge path: parquet row-group min/max spans bounded on
+    * BOTH dimensions, vs a single-sort layout's unbounded second dim). */
+  private val q95 = QDef(
+    "q95_zorder_curve",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      o.select(col("o_orderkey"),
+          call_function("z_value",
+            col("o_custkey"),
+            datediff(to_date(col("o_orderdate")), to_date(lit("1992-01-01")))
+              .cast("long")).as("zv"))
+        .orderBy("zv", "o_orderkey")
+        .limit(200)
+    },
+    Some {
+      // bit b of column j lands at output position b*n + j (n=2, bits=31):
+      // custkey (j=0) -> 2b, order-day (j=1) -> 2b+1. Terms are disjoint
+      // bits, so + == | and the sum stays inside BIGINT (max shift 61).
+      val terms = (0 until 31).flatMap(b => Seq(
+        s"(((a >> $b) & 1) << ${2 * b})",
+        s"(((b >> $b) & 1) << ${2 * b + 1})")).mkString(" + ")
+      s"""WITH t AS (SELECT o_orderkey,
+                 CAST(o_custkey AS BIGINT) AS a,
+                 CAST(date_diff('day', DATE '1992-01-01',
+                                CAST(o_orderdate AS DATE)) AS BIGINT) AS b
+               FROM orders)
+          SELECT o_orderkey, ($terms) AS zv
+          FROM t ORDER BY zv, o_orderkey LIMIT 200"""
+    })
+
   val all: Seq[QDef] = Seq(
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q40, q41, q49, q61, q62, q70, q71, q73, q74, q88, q89, q90, q91,
-    q92, q93, q94)
+    q92, q93, q94, q95)
 }
