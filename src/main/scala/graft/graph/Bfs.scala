@@ -34,12 +34,14 @@ object Bfs {
     var iter = 0
     var frontierSize = frontier.count()
     while (frontierSize > 0 && iter < maxHops) {
-      val next = ckpt(frontier
+      // one job: the frontier count materializes the lazy checkpoint
+      val nextCounted = ckpt.counted(frontier
         .join(edges, frontier("node") === edges("src"))
         .select(col("origin"), col("dst").as("node"), (col("hops") + 1).as("hops"))
         .groupBy("origin", "node").agg(min("hops").as("hops"))
         .join(settled.select("origin", "node"), Seq("origin", "node"), "left_anti"))
-      frontierSize = next.count()
+      val next = nextCounted._1
+      frontierSize = nextCounted._2
       // periodic stats reset — settled unions a frame derived from itself
       // each round, doubling the inherited sizeInBytes estimate (see
       // [[Checkpointer.fresh]] for the BigInt-stall failure mode)

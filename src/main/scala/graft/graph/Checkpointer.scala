@@ -1,6 +1,7 @@
 package graft.graph
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Lineage truncation for iterative DataFrame algorithms (CC, Pregel).
   *
@@ -62,9 +63,56 @@ private[graft] final case class Checkpointer(
     * materialization. */
   def resetStats(ck: DataFrame): DataFrame =
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+
+  /** Checkpoint `df` and return its convergence fingerprint, paying ONE
+    * Spark job in local mode instead of two: the checkpoint is taken
+    * lazily (`localCheckpoint(eager = false)` only marks the plan's RDD
+    * for caching) and the fingerprint aggregate is the materializing
+    * action — the scan that computes the checksum also computes and pins
+    * the blocks. The iterative loops' driver-action count was the
+    * dominant q60/q16 cost at bench scale (15k-row rounds are pure fixed
+    * job overhead), so halving jobs-per-round matters more than any
+    * per-row work. In reliable mode the checkpoint stays eager (the
+    * checkpoint-file write is its own job regardless) and the fingerprint
+    * scans the checkpointed state as before. */
+  def fingerprinted(df: DataFrame): (DataFrame, (Long, Long)) = {
+    val ck = if (effectiveDir.isDefined) apply(df) else df.localCheckpoint(false)
+    (ck, Checkpointer.fingerprint(ck))
+  }
+
+  /** Checkpoint `df` and return its row count — the same one-job fusion as
+    * [[fingerprinted]], for loops whose convergence check is a count. */
+  def counted(df: DataFrame): (DataFrame, Long) = {
+    val ck = if (effectiveDir.isDefined) apply(df) else df.localCheckpoint(false)
+    (ck, ck.count())
+  }
+
+  /** Lazy lineage truncation: no dedicated materialization job at all —
+    * the frame is marked for caching and the FIRST downstream action
+    * computes and pins it (later readers hit the cache). Right for
+    * checkpoints that exist only to bound plan depth and are consumed by
+    * a nearby action anyway (accumulator unions, per-phase edge subsets);
+    * wrong when the caller needs materialize-now semantics ([[fresh]]'s
+    * stats reset, or state read concurrently). Reliable mode stays eager:
+    * a lazily-reliable checkpoint would re-run the plan a second time to
+    * write the checkpoint files. */
+  def lazily(df: DataFrame): DataFrame =
+    if (effectiveDir.isDefined) apply(df) else df.localCheckpoint(false)
 }
 
 private[graft] object Checkpointer {
   /** Session conf key holding the default reliable-checkpoint directory. */
   val ConfKey = "spark.graft.checkpointDir"
+
+  /** (row count, XOR-combined xxhash64 over all columns) — the shared
+    * convergence checksum of the iterative operators: one aggregate scan,
+    * order-independent, and XOR-cancellation-free as long as the state is
+    * distinct per row (every caller's state is keyed). */
+  def fingerprint(state: DataFrame): (Long, Long) = {
+    val row = state
+      .select(xxhash64(state.columns.map(col).toIndexedSeq: _*).as("h"))
+      .agg(count(lit(1)).as("c"), coalesce(expr("bit_xor(h)"), lit(0L)).as("x"))
+      .head()
+    (row.getLong(0), row.getLong(1))
+  }
 }

@@ -51,13 +51,16 @@ object ConnectedComponents {
     val ckpt = Checkpointer(edges.sparkSession, checkpointDir)
     val base = edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst"))
-    var e = ckpt(if (assumeDistinctEdges) base else base.distinct())
+    // one job per checkpoint+fingerprint ([[Checkpointer.fingerprinted]]):
+    // at bench scale the loop cost is driver-action count, not row work
+    val e0 = ckpt.fingerprinted(if (assumeDistinctEdges) base else base.distinct())
+    var e = e0._1
+    var prevFp = e0._2
     val nodes = ckpt(
       e.select(explode(array(col("src"), col("dst"))).as("id")).distinct())
 
     var converged = false
     var iter = 0
-    var prevFp = fingerprint(e)
     while (!converged && iter < maxIter) {
       // periodic stats reset: each star round joins the edge state against
       // aggregates of itself twice, so the sizeInBytes estimate each
@@ -65,9 +68,8 @@ object ConnectedComponents {
       // would multiply multi-megabit BigInts in the stats visitor (the
       // [[Checkpointer.fresh]] failure mode, measured on SCC). Resetting
       // every 4th round bounds the estimate at default*4^4 bits.
-      val round = ckpt(smallStar(largeStar(e)))
+      val (round, fp) = ckpt.fingerprinted(smallStar(largeStar(e)))
       val next = if (iter % 4 == 3) ckpt.resetStats(round) else round
-      val fp = fingerprint(next) // scan of checkpointed data, no shuffle
       converged = fp == prevFp
       prevFp = fp
       e = next
@@ -128,14 +130,4 @@ object ConnectedComponents {
   private[graft] val lastRounds: ThreadLocal[Integer] =
     ThreadLocal.withInitial(() => Integer.valueOf(0))
 
-  /** Cheap convergence check: (row count, XOR-combined xxhash64 checksum) of
-    * the edge set — one aggregate job instead of a full EXCEPT diff per
-    * round. XOR is order-independent and cannot overflow (the edge set is
-    * distinct, so XOR cancellation of duplicates cannot occur). */
-  private def fingerprint(e: DataFrame): (Long, Long) = {
-    val row = e.select(xxhash64(col("src"), col("dst")).as("h"))
-      .agg(count(lit(1)).as("c"), coalesce(expr("bit_xor(h)"), lit(0L)).as("x"))
-      .head()
-    (row.getLong(0), row.getLong(1))
-  }
 }

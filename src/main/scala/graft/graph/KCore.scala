@@ -72,8 +72,11 @@ object KCore {
       strict: Boolean = false): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val ckpt = Checkpointer(g.edges.sparkSession, checkpointDir)
-    var und = ckpt(undirected(g.edges))
-    var prev = und.count()
+    // one job per round: the convergence count is the action that
+    // materializes each lazy checkpoint ([[Checkpointer.counted]])
+    val u0 = ckpt.counted(undirected(g.edges))
+    var und = u0._1
+    var prev = u0._2
     var converged = prev == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -81,8 +84,8 @@ object KCore {
       // degree aggregate, doubling the inherited sizeInBytes estimate per
       // round — at maxIter=50 an unbounded estimate would reach 2^50-bit
       // BigInts (the [[Checkpointer.fresh]] driver-stall failure mode)
-      und = if (iter % 4 == 3) ckpt.fresh(peel(und, k)) else ckpt(peel(und, k))
-      val n = und.count() // scan of checkpointed data, no shuffle
+      val (ck0, n) = ckpt.counted(peel(und, k))
+      und = if (iter % 4 == 3) ckpt.resetStats(ck0) else ck0
       // the edge set shrinks monotonically, so an unchanged count IS the
       // fixpoint (no removal can follow a round that removed nothing)
       converged = n == prev

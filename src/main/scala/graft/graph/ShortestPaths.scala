@@ -42,13 +42,15 @@ object ShortestPaths {
     var iter = 0
     var frontierSize = landmarks.size.toLong
     while (frontierSize > 0 && iter < maxIter) {
-      val next = ckpt(frontier
+      // one job: the frontier count materializes the lazy checkpoint
+      val nextCounted = ckpt.counted(frontier
         .join(bidir, frontier("id") === bidir("src"))
         .select(col("dst").as("id"), col("landmark"),
           (col("dist") + 1).as("dist"))
         .groupBy("id", "landmark").agg(min("dist").as("dist"))
         .join(settled.select("id", "landmark"), Seq("id", "landmark"), "left_anti"))
-      frontierSize = next.count()
+      val next = nextCounted._1
+      frontierSize = nextCounted._2
       // periodic stats reset — settled unions a frame derived from itself
       // each round, doubling the inherited sizeInBytes estimate (see
       // [[Checkpointer.fresh]] for the BigInt-stall failure mode)

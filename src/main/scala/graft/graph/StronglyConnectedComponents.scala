@@ -43,8 +43,9 @@ object StronglyConnectedComponents {
     val spark = g.vertices.sparkSession
     val ckpt = Checkpointer(spark, checkpointDir)
 
-    var verts = ckpt(g.vertices.select(col("id")).distinct())
-    var edges = ckpt(g.edges.select(col("src"), col("dst"))
+    val v0 = ckpt.counted(g.vertices.select(col("id")).distinct())
+    var verts = v0._1
+    var edges = ckpt.lazily(g.edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst")).distinct())
     var assigned = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -56,7 +57,7 @@ object StronglyConnectedComponents {
 
     lastRounds.set(0)
     var phase = 0
-    var nLeft = verts.count()
+    var nLeft = v0._2
     while (nLeft > 0 && phase < maxPhases) {
       // 1. trim to fixpoint: no-in or no-out vertices are singleton SCCs
       var trimmed = true
@@ -66,17 +67,17 @@ object StronglyConnectedComponents {
         val flags = edges.select(col("src").as("id"), lit(1).as("o"), lit(0).as("i"))
           .union(edges.select(col("dst").as("id"), lit(0).as("o"), lit(1).as("i")))
           .groupBy("id").agg(max(col("o")).as("has_out"), max(col("i")).as("has_in"))
-        val core = ckpt(verts.join(
+        // one job: the count is the action that materializes the checkpoint
+        val (core, nCore) = ckpt.counted(verts.join(
           flags.where(col("has_out") === 1 && col("has_in") === 1).select("id"),
           Seq("id"), "left_semi"))
-        val nCore = core.count()
         if (nCore == nLeft) trimmed = false
         else {
           val peeled = verts.join(core, Seq("id"), "left_anti")
             .select(col("id"), col("id").as("component"))
-          assigned = ckpt(assigned.union(peeled))
+          assigned = ckpt.lazily(assigned.union(peeled))
           verts = core
-          edges = ckpt(edges
+          edges = ckpt.lazily(edges
             .join(core.select(col("id").as("src")), Seq("src"), "left_semi")
             .join(core.select(col("id").as("dst")), Seq("dst"), "left_semi"))
           nLeft = nCore
@@ -118,10 +119,10 @@ object StronglyConnectedComponents {
           .where(col("__cs") === col("__cd"))
           .select(col("dst").as("src"), col("src").as("dst"))
         val found = if (endpointsMode) {
-          val inClassRev = ckpt(inClassRev0)
+          val inClassRev = ckpt.lazily(inClassRev0)
           val endpoints = inClassRev.select(col("src").as("id"))
             .union(inClassRev.select(col("dst").as("id"))).distinct()
-          val endVerts = ckpt(colors.join(endpoints, Seq("id"), "left_semi"))
+          val endVerts = ckpt.lazily(colors.join(endpoints, Seq("id"), "left_semi"))
           val bcolors = minPropagate(endVerts, inClassRev, ckpt, maxIter, strict, "backward")
           // roots (singleton-class or not) are members of their own SCC by
           // reflexivity; non-root endpoints are members iff they reach the
@@ -141,15 +142,16 @@ object StronglyConnectedComponents {
         // to its minimum member id so the public component id stays the
         // deterministic oracle-checkable min-member contract
         val minIds = found.groupBy("color").agg(min("id").as("component"))
-        val members = ckpt(found.join(minIds, "color")
+        val members = ckpt.lazily(found.join(minIds, "color")
           .select(col("id"), col("component")))
         // 4. assign and peel the found SCCs
-        assigned = ckpt(assigned.union(members))
-        verts = ckpt(verts.join(members, Seq("id"), "left_anti"))
-        edges = ckpt(edges
+        assigned = ckpt.lazily(assigned.union(members))
+        val vertsCounted = ckpt.counted(verts.join(members, Seq("id"), "left_anti"))
+        verts = vertsCounted._1
+        nLeft = vertsCounted._2
+        edges = ckpt.lazily(edges
           .join(verts.select(col("id").as("src")), Seq("src"), "left_semi")
           .join(verts.select(col("id").as("dst")), Seq("dst"), "left_semi"))
-        nLeft = verts.count()
       }
       phase += 1
     }
@@ -214,12 +216,22 @@ object StronglyConnectedComponents {
     // escape hatch; unsafe past ~15 propagation rounds).
     val fresh = verts.sparkSession.conf
       .get("spark.graft.scc.freshStats", "true") != "false"
-    def ck(df: DataFrame, reset: Boolean): DataFrame =
-      if (fresh && reset) ckpt.fresh(df) else ckpt(df)
-    var st = ck(verts.select(col("id"), col("id").as("w")), reset = true)
+    // one job per round: the fingerprint aggregate materializes the lazy
+    // checkpoint ([[Checkpointer.fingerprinted]]); stats reset afterwards
+    // on the already-materialized frame
+    def ckFp(df: DataFrame, reset: Boolean): (DataFrame, (Long, Long)) = {
+      val (ck0, fp) = ckpt.fingerprinted(df)
+      (if (fresh && reset) ckpt.resetStats(ck0) else ck0, fp)
+    }
+    // the seed is a plain projection of the already-checkpointed verts —
+    // no checkpoint or fingerprint job of its own. prevFp starts null, so
+    // the loop always runs at least one round; that trades the former
+    // seed-fingerprint job for one (cheap) extra round ONLY in the
+    // degenerate already-converged case (empty class-internal edge set).
+    var st = verts.select(col("id"), col("id").as("w"))
+    var prevFp: (Long, Long) = null
     var stable = false
     var it = 0
-    var prevFp = fingerprint(st)
     while (!stable && it < maxIter) {
       val pushed = edges
         .join(st.select(col("id").as("src"), col("w")), "src")
@@ -231,9 +243,8 @@ object StronglyConnectedComponents {
           .select(col("id"), col("__w2").as("w"))
         base.union(jumped)
       }
-      val next = ck(folded.groupBy("id")
+      val (next, fp) = ckFp(folded.groupBy("id")
         .agg(min(ord(col("w"))).getField("w").as("w")), reset = it % 4 == 3)
-      val fp = fingerprint(next)
       stable = fp == prevFp
       prevFp = fp
       st = next
@@ -258,14 +269,4 @@ object StronglyConnectedComponents {
   private[graft] val lastRounds: ThreadLocal[Integer] =
     ThreadLocal.withInitial(() => Integer.valueOf(0))
 
-  /** (row count, XOR-combined xxhash64 over every column) of a per-id
-    * assignment — the same one-aggregate convergence checksum
-    * [[ConnectedComponents]] uses (safe because the set is distinct per id:
-    * no XOR cancellation). */
-  private def fingerprint(state: DataFrame): (Long, Long) = {
-    val row = state.select(xxhash64(state.columns.map(col).toIndexedSeq: _*).as("h"))
-      .agg(count(lit(1)).as("c"), coalesce(expr("bit_xor(h)"), lit(0L)).as("x"))
-      .head()
-    (row.getLong(0), row.getLong(1))
-  }
 }
