@@ -258,6 +258,53 @@ object TextAnalysis {
       .select("query_id", "doc_id", "bm25", "rank")
   }
 
+  /** FastText-style hashed linear document classifier (Joulin et al. 2016,
+    * public) — the model-based quality-filter shape (DCLM / FineWeb-edu
+    * style): hash each token into one of `dim` feature buckets, sum the
+    * buckets' weights, keep documents whose score clears the threshold.
+    *
+    * Scale shape: explode to token rows → pure-arithmetic bucket →
+    * broadcast weight lookup → one keyed sum with map-side combine. The
+    * weight table is `dim` rows however large the corpus — always
+    * broadcastable — and nothing else shuffles except the per-doc sum.
+    *
+    * Trained weights arrive as a `(bucket, weight)` DataFrame in integer
+    * milli-units (exact sums, no shuffle-order float drift). Without one,
+    * a deterministic arithmetic stub stands in — same plumbing, and
+    * SQL-mirrorable end-to-end (the q96 oracle): the token hash is the
+    * portable two-char/length code folded through Knuth multiplicative
+    * hashing (the [[Sampling.arithHash]] idiom; xxhash64 would be the
+    * scale choice but is not cross-engine reproducible). `keep` is the
+    * integer comparison `raw_sum > 0` — no sigmoid, so zero libm/rounding
+    * hazards in the gate. */
+  def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
+      dim: Int = 1024, weights: Option[DataFrame] = None): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val w = col("__w")
+    val code = (ascii(w) * lit(961L) +
+      when(length(w) >= 2, ascii(substring(w, 2, 1))).otherwise(lit(0)) * lit(31L) +
+      length(w)).cast("long")
+    val bucket = pmod(code * lit(2654435761L), lit(1000000007L)) % lit(dim.toLong)
+    val tok = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("__w"))
+      .withColumn("__b", bucket)
+    val weighted = weights match {
+      case Some(tbl) => tok
+        .join(broadcast(tbl.select(col("bucket").as("__b"), col("weight").as("__wt"))),
+          Seq("__b"), "left_outer")
+        .withColumn("__wt", coalesce(col("__wt"), lit(0L)))
+      case None => tok
+        .withColumn("__wt", pmod(col("__b") * lit(48271L), lit(2001L)) - lit(1000L))
+    }
+    val agg = weighted.groupBy("id")
+      .agg(sum("__wt").as("raw_sum"), count(lit(1)).as("n_tokens"))
+    df.select(col(idCol).as("id"))
+      .join(agg, Seq("id"), "left_outer")
+      .select(col("id").as(idCol),
+        coalesce(col("raw_sum"), lit(0L)).as("raw_sum"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (coalesce(col("raw_sum"), lit(0L)) > 0).as("keep"))
+  }
+
   def unigramScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("w"))
     val lm = tok.groupBy("w").agg(count(lit(1)).as("cnt"))

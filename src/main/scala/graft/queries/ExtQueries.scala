@@ -1195,8 +1195,40 @@ object ExtQueries {
           FROM t ORDER BY zv, o_orderkey LIMIT 200"""
     })
 
+  /** FastText-style hashed linear quality classifier
+    * ([[TextAnalysis.hashedLinearScore]] with the deterministic stub
+    * weights) — every stage is exact integer arithmetic (portable token
+    * code → Knuth multiplicative bucket → integer milli-weights → exact
+    * sum → integer-comparison gate), so the oracle mirrors the classifier
+    * end-to-end including the keep decision. */
+  private val q96 = QDef(
+    "q96_quality_classifier",
+    (s, dir) => TextAnalysis
+      .hashedLinearScore(Tables.load(s, dir, "documents"), "doc_id", "text", dim = 1024)
+      .orderBy("doc_id"),
+    Some("""WITH w AS (
+              SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+              FROM documents),
+            b AS (
+              SELECT doc_id,
+                     ((ascii(w) * 961
+                       + CASE WHEN length(w) >= 2 THEN ascii(substr(w, 2, 1)) ELSE 0 END * 31
+                       + length(w)) * 2654435761) % 1000000007 % 1024 AS b
+              FROM w),
+            s AS (
+              SELECT doc_id,
+                     SUM((b * 48271) % 2001 - 1000) AS raw_sum,
+                     COUNT(*) AS n_tokens
+              FROM b GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(s.raw_sum, 0) AS BIGINT) AS raw_sum,
+                   CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   coalesce(s.raw_sum, 0) > 0 AS keep
+            FROM documents d LEFT JOIN s USING (doc_id)
+            ORDER BY d.doc_id"""))
+
   val all: Seq[QDef] = Seq(
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q40, q41, q49, q61, q62, q70, q71, q73, q74, q88, q89, q90, q91,
-    q92, q93, q94, q95)
+    q92, q93, q94, q95, q96)
 }

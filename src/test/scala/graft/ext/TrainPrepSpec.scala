@@ -214,4 +214,32 @@ class ChunkingSpec extends SparkTestBase {
       .orderBy("domain").as[(String, Long, Long, Double)].collect().toSeq
     assert(out == Seq(("code", 1L, 3L, math.sqrt(3.0)), ("web", 2L, 6L, math.sqrt(6.0))))
   }
+
+  test("hashed linear scorer: trained-weights path equals the stub formula") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dim = 256
+    // materialize the stub's arithmetic weights as an explicit (bucket,
+    // weight) table: the broadcast-join path must reproduce the stub
+    // bit-for-bit on every document
+    val weights = spark.range(dim).select(col("id").as("bucket"),
+      (pmod(col("id") * 48271L, lit(2001L)) - 1000L).as("weight"))
+    val stub = TextAnalysis.hashedLinearScore(docs, "doc_id", "text", dim)
+      .orderBy("doc_id").as[(Long, Long, Long, Boolean)].collect().toSeq
+    val trained = TextAnalysis
+      .hashedLinearScore(docs, "doc_id", "text", dim, Some(weights))
+      .orderBy("doc_id").as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(stub == trained)
+    // every document is scored exactly once and n_tokens is never 0 here
+    assert(stub.size == docs.count() && stub.forall(_._3 > 0))
+    // the gate is the integer comparison on the exact sum
+    assert(stub.forall { case (_, raw, _, keep) => keep == (raw > 0) })
+  }
+
+  test("hashed linear scorer: missing buckets in a sparse weight table score 0") {
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, Long)].toDF("bucket", "weight")
+    val out = TextAnalysis.hashedLinearScore(docs, "doc_id", "text", 64, Some(empty))
+      .orderBy("doc_id").as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq((1L, 0L, 2L, false), (2L, 0L, 1L, false)))
+  }
 }
