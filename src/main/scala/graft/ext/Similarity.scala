@@ -45,6 +45,30 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Hard-negative mining for contrastive training: per query, the top-k
+    * most-similar corpus items with a DIFFERENT label — the
+    * "looks like a positive, isn't one" pairs an embedding/reranker
+    * trainer needs (the in-batch-negatives upgrade every retrieval
+    * pipeline reaches for). Same broadcast-query scan shape as
+    * [[bruteForceTopK]] — the corpus is never shuffled, the label
+    * inequality rides the join, and only k·|queries| survivors move. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("__ql"))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+        col(labelCol).as("neighbor_label"))
+      .join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") &&
+          col("__ql") =!= col("neighbor_label"))
+      .withColumn("cosine", cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "neighbor_label", "cosine", "rank")
+  }
+
   /** [[bruteForceTopK]] over int8-quantized codes (graft.functions.QuantizeI8):
     * per-vector max-abs scaling, cosine on the codes directly (cosine is
     * scale-invariant). At 100 TB this is the 4×-compression path — the

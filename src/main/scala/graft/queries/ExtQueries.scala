@@ -1227,8 +1227,41 @@ object ExtQueries {
             FROM documents d LEFT JOIN s USING (doc_id)
             ORDER BY d.doc_id"""))
 
+  /** Hard-negative mining ([[Similarity.hardNegatives]]): per query, the
+    * top-5 most-similar corpus vectors with a DIFFERENT label — the
+    * contrastive-training pair miner. Same bit-stable scalar cosine as
+    * q28, so the oracle mirrors the whole selection including the label
+    * inequality. */
+  private val q97 = QDef(
+    "q97_hard_negatives",
+    (s, dir) => {
+      val e = embeddings(s, dir)
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 8),
+          "vec_id", "embedding", "label", 5)
+        .withColumn("neighbor_label", col("neighbor_label").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                              label AS ql
+                       FROM embeddings WHERE vec_id < 8),
+                 c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS nv,
+                              label AS nl
+                       FROM embeddings),
+                 sc AS (
+                   SELECT query_id, neighbor_id,
+                          CAST(nl AS BIGINT) AS neighbor_label,
+                          list_dot_product(qv, nv) /
+                            (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS cosine
+                   FROM q JOIN c ON query_id <> neighbor_id AND ql <> nl),
+                 r AS (SELECT *, row_number() OVER (
+                         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+                       FROM sc)
+            SELECT query_id, neighbor_id, neighbor_label, cosine,
+                   CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   val all: Seq[QDef] = Seq(
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q40, q41, q49, q61, q62, q70, q71, q73, q74, q88, q89, q90, q91,
-    q92, q93, q94, q95, q96)
+    q92, q93, q94, q95, q96, q97)
 }

@@ -353,6 +353,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall(multi) >= recall(single))
   }
 
+  test("hard negatives = brute-force top-k restricted to other labels") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val hard = Similarity.hardNegatives(emb, queries, "vec_id", "embedding", "label", 3)
+      .select("query_id", "neighbor_id", "neighbor_label")
+      .as[(Long, Long, Int)].collect().toSeq
+    // no neighbor may share its query's label
+    val labels = emb.select("vec_id", "label").as[(Long, Int)].collect().toMap
+    assert(hard.forall { case (q, _, nl) => labels(q.toInt) != nl })
+    assert(hard.forall { case (_, n, nl) => labels(n) == nl })
+    // equals the unrestricted top-k computed over only other-label vectors
+    val expected = queries.select("vec_id", "label").as[(Long, Int)].collect().flatMap {
+      case (qid, ql) =>
+        Similarity.bruteForceTopK(
+            emb.filter(col("label") =!= ql), queries.filter(col("vec_id") === qid),
+            "vec_id", "embedding", 3)
+          .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    }.toSet
+    assert(hard.map(t => (t._1, t._2)).toSet == expected)
+  }
+
   test("banded near-dup is a subset of brute force with identical cosines") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val brute = Similarity.neardupPairs(emb, "vec_id", "embedding", 0.3)
