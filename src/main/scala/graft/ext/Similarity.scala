@@ -69,6 +69,35 @@ object Similarity {
       .select("query_id", "neighbor_id", "neighbor_label", "cosine", "rank")
   }
 
+  /** kNN label prediction over an embedding corpus: each query's label is
+    * the majority vote of its k nearest (cosine) neighbors — the standard
+    * weak-labeling / embedding-quality-eval primitive (predict a held-out
+    * label from geometry; compare against the true one). Votes are exact
+    * integers; ties break to the smaller label, rank ties to the smaller
+    * neighbor id — fully deterministic, so the whole prediction is
+    * SQL-mirrorable. Same broadcast-query scan as [[bruteForceTopK]]. */
+  def knnPredict(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("true_label"))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+        col(labelCol).as("__nl"))
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("nv")))
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val topk = scored.withColumn("__r", row_number().over(wRank)).filter(col("__r") <= k)
+    val votes = topk.groupBy("query_id", "true_label", "__nl")
+      .agg(count(lit(1)).as("votes"))
+    val wVote = Window.partitionBy("query_id")
+      .orderBy(col("votes").desc, col("__nl"))
+    votes.withColumn("__vr", row_number().over(wVote)).filter(col("__vr") === 1)
+      .select(col("query_id"),
+        col("true_label").cast("long").as("true_label"),
+        col("__nl").cast("long").as("predicted_label"),
+        col("votes"))
+  }
+
   /** [[bruteForceTopK]] over int8-quantized codes (graft.functions.QuantizeI8):
     * per-vector max-abs scaling, cosine on the codes directly (cosine is
     * scale-invariant). At 100 TB this is the 4×-compression path — the

@@ -1260,8 +1260,47 @@ object ExtQueries {
                    CAST(rank AS BIGINT) AS rank
             FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** kNN label prediction ([[Similarity.knnPredict]]): majority-vote the
+    * top-5 neighbors' labels per query — the embedding-quality eval /
+    * weak-labeling primitive. Votes are exact integers with deterministic
+    * tie-breaks (smaller label wins; rank ties to smaller neighbor id),
+    * so the oracle mirrors the complete prediction. */
+  private val q98 = QDef(
+    "q98_knn_predict",
+    (s, dir) => {
+      val e = embeddings(s, dir)
+      Similarity.knnPredict(e, e.filter(col("vec_id") < 16),
+          "vec_id", "embedding", "label", 5)
+        .orderBy("query_id")
+    },
+    Some("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                              label AS tl
+                       FROM embeddings WHERE vec_id < 16),
+                 c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS nv,
+                              label AS nl
+                       FROM embeddings),
+                 sc AS (
+                   SELECT query_id, tl, neighbor_id, nl,
+                          list_dot_product(qv, nv) /
+                            (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS cosine
+                   FROM q JOIN c ON query_id <> neighbor_id),
+                 topk AS (SELECT * FROM (
+                            SELECT *, row_number() OVER (
+                              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS r
+                            FROM sc) WHERE r <= 5),
+                 v AS (SELECT query_id, tl, nl, count(*) AS votes
+                       FROM topk GROUP BY query_id, tl, nl),
+                 p AS (SELECT * FROM (
+                         SELECT *, row_number() OVER (
+                           PARTITION BY query_id ORDER BY votes DESC, nl) AS vr
+                         FROM v) WHERE vr = 1)
+            SELECT query_id, CAST(tl AS BIGINT) AS true_label,
+                   CAST(nl AS BIGINT) AS predicted_label,
+                   CAST(votes AS BIGINT) AS votes
+            FROM p ORDER BY query_id"""))
+
   val all: Seq[QDef] = Seq(
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q40, q41, q49, q61, q62, q70, q71, q73, q74, q88, q89, q90, q91,
-    q92, q93, q94, q95, q96, q97)
+    q92, q93, q94, q95, q96, q97, q98)
 }

@@ -374,6 +374,23 @@ class SimilaritySpec extends SparkTestBase {
     assert(hard.map(t => (t._1, t._2)).toSet == expected)
   }
 
+  test("knn predict: planted clusters recover their labels by majority vote") {
+    // three tight clusters along different axes; the 4th vector of each
+    // cluster must inherit the cluster's label from its 3 nearest peers
+    def v(axis: Int, jitter: Float): Seq[Float] =
+      Seq.tabulate(8)(i => if (i == axis) 1.0f else if (i == axis + 1) jitter else 0.0f)
+    val rows = (0 until 3).flatMap { cl =>
+      (0 until 4).map(j => (cl * 4L + j, v(cl * 2, 0.01f * (j + 1)), cl))
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnPredict(df, df, "vec_id", "embedding", "label", 3)
+      .select("query_id", "true_label", "predicted_label", "votes")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out.size == 12)
+    // every prediction is unanimous and correct: nearest 3 are the cluster
+    assert(out.forall { case (_, t, p, votes) => t == p && votes == 3L })
+  }
+
   test("banded near-dup is a subset of brute force with identical cosines") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val brute = Similarity.neardupPairs(emb, "vec_id", "embedding", 0.3)

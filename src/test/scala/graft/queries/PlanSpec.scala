@@ -24,7 +24,10 @@ class PlanSpec extends SparkTestBase {
     Set("q28_cosine_topk", "q89_quantized_topk", "q40_ann_ivf",
       "q26_minhash_lsh", "q27_simhash", "q91_minhash_chained",
       "q71_unigram_lm", "q73_approx_heavy_words", "q92_bm25_topk",
-      "q94_text_dedup_clusters")
+      "q94_text_dedup_clusters",
+      // broadcast-query ANN scans with non-equi predicates (self-exclusion
+      // / label inequality riding the broadcast join) — the q28 pattern
+      "q97_hard_negatives", "q98_knn_predict")
 
   private lazy val plans: Map[String, String] =
     graft.SparkEntry.queries.map { case (name, fn) =>
