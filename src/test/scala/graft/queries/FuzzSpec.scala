@@ -3,9 +3,11 @@ package graft.queries
 import graft.SparkTestBase
 
 /** Config-perturbation self-consistency gate over the committed fuzz corpus
-  * (`tools/fuzz_corpus.tsv`, 240 seeded queries: filtered aggregates, LEFT/
-  * FULL outer joins with ON-clause predicates, ROWS-framed window functions,
-  * correlated scalar/EXISTS subqueries — see tools/fuzz_gen.py).
+  * (`tools/fuzz_corpus.tsv`, 240 seeded queries: filtered aggregates with
+  * optional HAVING, LEFT/FULL outer joins with ON-clause predicates,
+  * ROWS-framed window functions, correlated scalar/EXISTS subqueries,
+  * UNION/INTERSECT/EXCEPT [ALL] set operations, and CASE-WHEN grouping
+  * keys — see tools/fuzz_gen.py).
   *
   * Every query must return identical rows under default session confs and
   * under a perturbed planner/runtime (AQE off, whole-stage codegen off, a

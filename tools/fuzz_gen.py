@@ -15,6 +15,11 @@ predicates, IN lists, totally-ordered output. Four template families:
              so frame contents are deterministic in both engines
   corrsub  - correlated scalar-count subqueries and [NOT] EXISTS against
              lineitem from an orders scan
+  setop    - UNION [ALL] / INTERSECT [ALL] / EXCEPT [ALL] between two
+             filtered projections (exercises distinct vs bag semantics and
+             set-op column resolution)
+  caseexpr - CASE WHEN grouping keys with integer-exact aggregates and
+             optional HAVING (exercises expression-keyed aggregation)
 
 Usage: python3 tools/fuzz_gen.py [n_queries] [seed] [out_path]
 Then:  sbt console < tools/fuzz_run.sc          # Spark side -> /tmp/fuzz_out
@@ -92,8 +97,10 @@ def query_agg(qi):
     gsel = ", ".join(
         f"{g.strip()} AS g{j}" for j, g in enumerate(group.split(",")))
     gord = ", ".join(f"g{j}" for j in range(len(group.split(","))))
+    having = (f" HAVING count(*) >= {rng.randint(2, 5)}"
+              if rng.random() < 0.3 else "")
     return (f"SELECT {gsel}, {aggs} FROM lineitem WHERE {preds} "
-            f"GROUP BY {group} ORDER BY {gord}")
+            f"GROUP BY {group}{having} ORDER BY {gord}")
 
 
 def query_outerjoin(qi):
@@ -181,11 +188,37 @@ def query_corrsub(qi):
         f"ORDER BY g0")
 
 
+def query_setop(qi):
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT",
+                     "INTERSECT ALL", "EXCEPT ALL"])
+    cols = ("l_returnflag AS g0, l_linestatus AS g1, "
+            "CAST(l_linenumber AS BIGINT) AS g2")
+    p1, p2 = predicate(), predicate()
+    # duplicate rows under ALL semantics are identical tuples, so the
+    # trailing total ORDER BY still yields one canonical row sequence
+    return (f"SELECT {cols} FROM lineitem WHERE {p1} "
+            f"{op} "
+            f"SELECT {cols} FROM lineitem WHERE {p2} "
+            f"ORDER BY g0, g1, g2")
+
+
+def query_case(qi):
+    p1, p2 = predicate(), predicate()
+    case = f"CASE WHEN {p1} THEN 'a' WHEN {p2} THEN 'b' ELSE 'c' END"
+    having = (f" HAVING count(*) >= {rng.randint(2, 4)}"
+              if rng.random() < 0.3 else "")
+    return (f"SELECT {case} AS g0, CAST(count(*) AS BIGINT) AS n0, "
+            f"CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq0 "
+            f"FROM lineitem GROUP BY {case}{having} ORDER BY g0")
+
+
 FAMILIES = [
-    ("agg", query_agg, 0.4),
-    ("oj", query_outerjoin, 0.2),
-    ("win", query_window, 0.2),
-    ("sub", query_corrsub, 0.2),
+    ("agg", query_agg, 0.3),
+    ("oj", query_outerjoin, 0.15),
+    ("win", query_window, 0.15),
+    ("sub", query_corrsub, 0.15),
+    ("set", query_setop, 0.15),
+    ("case", query_case, 0.10),
 ]
 
 
