@@ -46,8 +46,8 @@ object Bfs {
       // each round, doubling the inherited sizeInBytes estimate (see
       // [[Checkpointer.fresh]] for the BigInt-stall failure mode)
       settled =
-        if (iter % 4 == 3) ckpt.fresh(settled.union(next))
-        else ckpt(settled.union(next))
+        if (iter % 4 == 3) ckpt.lazyFresh(settled.union(next))
+        else ckpt.lazily(settled.union(next))
       frontier = next
       iter += 1
     }

@@ -98,6 +98,13 @@ private[graft] final case class Checkpointer(
     * write the checkpoint files. */
   def lazily(df: DataFrame): DataFrame =
     if (effectiveDir.isDefined) apply(df) else df.localCheckpoint(false)
+
+  /** [[lazily]] + stats reset — the lazy form of [[fresh]] for
+    * fixed-iteration loops with no per-round action: bounds both plan
+    * depth and the inherited stats estimate while deferring every round's
+    * materialization to the loop's consumer (one job cascade instead of a
+    * job per round). */
+  def lazyFresh(df: DataFrame): DataFrame = resetStats(lazily(df))
 }
 
 private[graft] object Checkpointer {

@@ -56,7 +56,8 @@ object ConnectedComponents {
     val e0 = ckpt.fingerprinted(if (assumeDistinctEdges) base else base.distinct())
     var e = e0._1
     var prevFp = e0._2
-    val nodes = ckpt(
+    // read once by the final join — lazy, no dedicated job
+    val nodes = ckpt.lazily(
       e.select(explode(array(col("src"), col("dst"))).as("id")).distinct())
 
     var converged = false

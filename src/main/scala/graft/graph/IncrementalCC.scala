@@ -79,7 +79,7 @@ object IncrementalCC {
     // inherited sizeInBytes estimate ~triples per batch — harmless over
     // q48's three batches, but a streaming sink folds hundreds of batches
     // and would hit the BigInt-stats stall ([[Checkpointer.fresh]])
-    ckpt.fresh(assign.union(newNodes)
+    ckpt.lazyFresh(assign.union(newNodes)
       .join(compMap, Seq("component"), "left_outer")
       .select(col("id"),
         coalesce(col("newc"), col("component")).as("component")))

@@ -53,11 +53,13 @@ object KCore {
     require(k >= 1, "k must be >= 1")
     require(rounds >= 0, "rounds must be >= 0")
     val ckpt = Checkpointer(g.edges.sparkSession, checkpointDir)
-    var und = ckpt(undirected(g.edges))
+    // lazy checkpoints: fixed-round loop, no per-round action — the final
+    // degrees aggregate materializes the cascade in one job (see Pregel)
+    var und = ckpt.lazily(undirected(g.edges))
     var r = 0
     while (r < rounds) {
       // periodic stats reset — see the fixpoint loop below
-      und = if (r % 4 == 3) ckpt.fresh(peel(und, k)) else ckpt(peel(und, k))
+      und = if (r % 4 == 3) ckpt.lazyFresh(peel(und, k)) else ckpt.lazily(peel(und, k))
       r += 1
     }
     degrees(und)

@@ -27,11 +27,12 @@ object LabelPropagation {
       checkpointDir: Option[String] = None): DataFrame = {
     require(maxIter >= 1, "labelPropagation needs at least one round")
     val ckpt = Checkpointer(g.vertices.sparkSession, checkpointDir)
-    val bidir = ckpt(g.edges.select(col("src"), col("dst"))
+    // lazy checkpoints: fixed-round loop, no per-round action — see Pregel
+    val bidir = ckpt.lazily(g.edges.select(col("src"), col("dst"))
       .union(g.edges.select(col("dst").as("src"), col("src").as("dst")))
       .where(col("src") =!= col("dst")))
     val ids = g.vertices.select(col("id"))
-    var labels = ckpt(ids.select(col("id"), col("id").as("label")))
+    var labels = ckpt.lazily(ids.select(col("id"), col("id").as("label")))
     for (_ <- 1 to maxIter) {
       val msgs = bidir
         .join(labels.select(col("id").as("src"), col("label")), "src")
@@ -41,7 +42,7 @@ object LabelPropagation {
       // lexicographic (-cnt, label) struct
       val winners = counts.groupBy("id")
         .agg(expr("min_by(label, struct(-cnt, label))").as("label"))
-      labels = ckpt(ids
+      labels = ckpt.lazyFresh(ids
         .join(winners, Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("label"), col("id")).as("label")))
     }

@@ -29,11 +29,12 @@ object PersonalizedPageRank {
     import spark.implicits._
 
     val outDeg = g.edges.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
-    val e = ckpt(g.edges.select(col("src"), col("dst")).join(outDeg, "src"))
+    // lazy checkpoints: fixed-round loop, no per-round action — see Pregel
+    val e = ckpt.lazily(g.edges.select(col("src"), col("dst")).join(outDeg, "src"))
     val reset = sources.toDF("source")
       .select(col("source").as("id"), col("source"), lit(resetProb).as("__r"))
 
-    var ranks = ckpt(sources.toDF("source")
+    var ranks = ckpt.lazily(sources.toDF("source")
       .select(col("source").as("id"), col("source"), lit(1.0).as("rank")))
     for (_ <- 1 to maxIter) {
       val contrib = ranks
@@ -42,7 +43,7 @@ object PersonalizedPageRank {
           (col("rank") / col("__deg")).as("__c"))
         .groupBy("id", "source")
         .agg((lit(1.0 - resetProb) * sum(col("__c"))).as("__damped"))
-      ranks = ckpt(contrib
+      ranks = ckpt.lazyFresh(contrib
         .join(reset, Seq("id", "source"), "full_outer")
         .select(col("id"), col("source"),
           (coalesce(col("__damped"), lit(0.0)) + coalesce(col("__r"), lit(0.0)))

@@ -62,7 +62,11 @@ final class Pregel private[graph] (g: PropertyGraph) {
 
     val ckpt = Checkpointer(g.vertices.sparkSession, checkpointDir)
     val eCols = g.edges.columns.toSeq
-    var v = ckpt(g.vertices.withColumn(vcName, vcInit))
+    // lazy checkpoints throughout: supersteps are fixed-count with no
+    // per-round action, so each round only MARKS its state for caching and
+    // the caller's first action materializes the whole cascade — one job
+    // instead of one per superstep, same bounded plan depth/stats
+    var v = ckpt.lazily(g.vertices.withColumn(vcName, vcInit))
 
     // Join only the triplet sides the message expressions actually read —
     // skipping an unused dst-state join halves the per-superstep shuffle.
@@ -100,7 +104,7 @@ final class Pregel private[graph] (g: PropertyGraph) {
       val step = v.join(msgs, v("id") === msgs("__vid"), "left_outer")
         .withColumn(vcName, vcUpdate)
         .drop("__vid", "_pregel_msg")
-      v = if (i % 4 == 0) ckpt.fresh(step) else ckpt(step)
+      v = if (i % 4 == 0) ckpt.lazyFresh(step) else ckpt.lazily(step)
     }
     v
   }
