@@ -189,6 +189,46 @@ object TextAnalysis {
       .select(col("domain"), col("n_docs"), col("n_tokens"),
         sqrt(col("n_tokens").cast("double")).as("alpha_half_weight"))
 
+  /** Apply the α=0.5 temperature mixture as an actual corpus resample —
+    * the step after [[mixtureWeights]] in a training pipeline: each
+    * document is replicated `multiplier(domain)` times (fractional parts
+    * resolved per-document by seeded hash, RNG-free and
+    * partitioning-invariant), producing the epoch-expanded corpus.
+    *
+    * The multiplier is `sqrt(T_max / t_d)` (largest domain keeps 1.0,
+    * smaller domains upsampled by the square root of the token-count
+    * ratio — √-temperature toward balance), computed in integer
+    * milli-units from EXACT integer token counts. Deliberately NOT the
+    * normalized-share formula: that needs a cross-domain sum of
+    * irrational doubles, which is shuffle-order-dependent (the q80
+    * caveat); `max` over integers is exact, and the remaining scalar
+    * chain (one division, one sqrt, one floor) is identical IEEE on any
+    * engine. The fractional copy uses [[Sampling.arithHash]], so adding
+    * documents later never flips an existing document's copy count.
+    *
+    * Scale shape: one token aggregate per domain (tiny), broadcast back,
+    * one in-row `sequence` explode — no corpus shuffle at all. */
+  def temperatureResample(df: DataFrame, idCol: String, domainCol: String,
+      textCol: String, seed: Long): DataFrame = {
+    val toks = mixtureWeights(df, domainCol, textCol)
+      .select(col("domain"), col("n_tokens"))
+    val tmax = toks.agg(max("n_tokens").as("__tmax"))
+    val mult = toks.crossJoin(broadcast(tmax))
+      .select(col("domain"),
+        floor(sqrt(col("__tmax").cast("double") / col("n_tokens").cast("double"))
+          * 1000).cast("long").as("multiplier_milli"))
+    df.select(col(idCol).as("id"), col(domainCol).as("domain"))
+      .join(broadcast(mult), "domain")
+      .withColumn("n_copies",
+        expr("multiplier_milli DIV 1000") +
+          when(pmod(Sampling.arithHash(col("id"), seed), lit(1000L))
+            < col("multiplier_milli") % 1000, 1L).otherwise(0L))
+      .withColumn("copy",
+        explode(when(col("n_copies") >= 1, sequence(lit(1L), col("n_copies")))
+          .otherwise(array().cast("array<bigint>"))))
+      .select(col("id").as(idCol), col("domain"), col("copy"), col("n_copies"))
+  }
+
   /** Unigram-LM document scoring — the shape of a CCNet/KenLM perplexity
     * filter (Wenzek et al. 2020, public) with the LM trained on the corpus
     * itself: per document, the count of tokens, the exact sum of corpus

@@ -356,5 +356,38 @@ object TrainPrepQueries {
             WHERE rn <= 5
             ORDER BY source, sample_rank"""))
 
-  val all: Seq[QDef] = Seq(q51, q52, q53, q54, q55, q56, q57, q79, q80, q87)
+  /** q99: temperature-mixture resampling
+    * ([[TextAnalysis.temperatureResample]]) — q80's weights applied as an
+    * actual corpus expansion. Multipliers are integer-milli from exact
+    * token counts (`sqrt(T_max/t_d)` — no cross-domain double sum, the
+    * q80 order-dependence caveat), fractional copies resolved by the
+    * mirrorable arithHash, so the oracle replicates every copy row. */
+  private val q99 = QDef(
+    "q99_mixture_resample",
+    (s, dir) => TextAnalysis
+      .temperatureResample(Tables.load(s, dir, "documents"), "doc_id",
+        "source", "text", seed = 7)
+      .orderBy("doc_id", "copy"),
+    Some("""WITH d AS (
+              SELECT source AS domain,
+                     CAST(sum(len(string_split_regex(lower(text), '\s+'))) AS BIGINT) AS t
+              FROM documents GROUP BY source),
+            m AS (
+              SELECT domain,
+                     CAST(floor(sqrt(CAST((SELECT max(t) FROM d) AS DOUBLE)
+                                     / CAST(t AS DOUBLE)) * 1000) AS BIGINT) AS mm
+              FROM d),
+            c AS (
+              SELECT doc_id, m.domain, mm,
+                     (mm // 1000) + CASE
+                       WHEN ((doc_id % 1000003 + 7) * 2654435761) % 1000000007 % 1000
+                            < mm % 1000 THEN 1 ELSE 0 END AS n_copies
+              FROM documents JOIN m ON m.domain = documents.source)
+            SELECT doc_id, domain,
+                   CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy,
+                   CAST(n_copies AS BIGINT) AS n_copies
+            FROM c WHERE n_copies >= 1
+            ORDER BY doc_id, copy"""))
+
+  val all: Seq[QDef] = Seq(q51, q52, q53, q54, q55, q56, q57, q79, q80, q87, q99)
 }

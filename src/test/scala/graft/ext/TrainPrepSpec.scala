@@ -215,6 +215,21 @@ class ChunkingSpec extends SparkTestBase {
     assert(out == Seq(("code", 1L, 3L, math.sqrt(3.0)), ("web", 2L, 6L, math.sqrt(6.0))))
   }
 
+  test("temperature resample: largest domain keeps 1 copy, smaller upsample by sqrt ratio") {
+    // web: 16 tokens, code: 4 tokens -> multiplier(code) = sqrt(16/4) = 2.0
+    // exactly, so every code doc gets exactly 2 copies (no fractional part)
+    val docs = Seq(
+      (1L, "web", "a b c d e f g h"), (2L, "web", "i j k l m n o p"),
+      (3L, "code", "x y"), (4L, "code", "z w")).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.temperatureResample(docs, "doc_id", "source", "text", 7)
+      .select("doc_id", "copy", "n_copies").as[(Long, Long, Long)].collect().toSeq
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc(1L).map(_._2).sorted == Seq(1L) && byDoc(2L).map(_._2).sorted == Seq(1L))
+    assert(byDoc(3L).map(_._2).sorted == Seq(1L, 2L) && byDoc(4L).map(_._2).sorted == Seq(1L, 2L))
+    // copy rows always agree with the declared n_copies
+    assert(out.groupBy(r => (r._1, r._3)).forall { case ((_, n), rows) => rows.size == n })
+  }
+
   test("hashed linear scorer: trained-weights path equals the stub formula") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val dim = 256

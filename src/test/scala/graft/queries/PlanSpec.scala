@@ -27,7 +27,9 @@ class PlanSpec extends SparkTestBase {
       "q94_text_dedup_clusters",
       // broadcast-query ANN scans with non-equi predicates (self-exclusion
       // / label inequality riding the broadcast join) — the q28 pattern
-      "q97_hard_negatives", "q98_knn_predict")
+      "q97_hard_negatives", "q98_knn_predict",
+      // broadcast cross of a single-row aggregate (T_max) — the q71 pattern
+      "q99_mixture_resample")
 
   private lazy val plans: Map[String, String] =
     graft.SparkEntry.queries.map { case (name, fn) =>
