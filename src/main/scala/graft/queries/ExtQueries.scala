@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.QDef
 import graft.engine.Tables
-import graft.ext.{ClusterKeep, Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.ext.{ClusterKeep, Eval, Multimodal, Similarity, TextAnalysis, TextDedup}
 import graft.streaming.Streams
 
 /** LLM-data-pipeline extension coverage (north-star operators beyond the
@@ -1299,8 +1299,142 @@ object ExtQueries {
                    CAST(votes AS BIGINT) AS votes
             FROM p ORDER BY query_id"""))
 
+  // ---------- evaluation diagnostics ----------
+
+  /** Distributed exact ROC-AUC ([[Eval.auc]]) of the hashed-linear quality
+    * score (q96's raw_sum) against the lang=='en' label — the measurement
+    * step after training any corpus-quality classifier. Integer raw_sum
+    * scores collide heavily, so this exercises the midrank tie correction;
+    * every sum is an exact integer and the one double division at the end
+    * is replicated verbatim, so the oracle checks the full AUC value. */
+  private val q100 = QDef(
+    "q100_auc",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val scored = TextAnalysis
+        .hashedLinearScore(docs, "doc_id", "text", dim = 1024)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      Eval.auc(scored, col("raw_sum"), col("lang") === "en")
+    },
+    Some("""WITH w AS (
+              SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+              FROM documents),
+            b AS (
+              SELECT doc_id,
+                     ((ascii(w) * 961
+                       + CASE WHEN length(w) >= 2 THEN ascii(substr(w, 2, 1)) ELSE 0 END * 31
+                       + length(w)) * 2654435761) % 1000000007 % 1024 AS b
+              FROM w),
+            s AS (
+              SELECT doc_id, SUM((b * 48271) % 2001 - 1000) AS raw_sum
+              FROM b GROUP BY doc_id),
+            lbl AS (
+              SELECT coalesce(s.raw_sum, 0) AS score, d.lang = 'en' AS pos
+              FROM documents d LEFT JOIN s USING (doc_id)),
+            g AS (
+              SELECT score,
+                     SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS pos,
+                     SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS neg
+              FROM lbl GROUP BY score),
+            c AS (
+              SELECT pos, neg,
+                     coalesce(SUM(neg) OVER (ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+              FROM g)
+            SELECT CAST(SUM(pos) AS BIGINT) AS pos_total,
+                   CAST(SUM(neg) AS BIGINT) AS neg_total,
+                   CASE WHEN SUM(pos) > 0 AND SUM(neg) > 0 THEN
+                     CAST(SUM(pos * (2 * neg_below + neg)) AS DOUBLE)
+                       / (CAST(SUM(pos) AS DOUBLE) * SUM(neg) * 2.0)
+                   END AS auc
+            FROM c"""))
+
+  /** ANN recall@5 ([[Eval.recallAtK]]): single-probe hyperplane LSH (q30's
+    * pipeline) measured against brute force (q28's) — the quality gate an
+    * ANN index ships with. The oracle mirrors BOTH arms (plane literals
+    * again) and the per-query hit count, so the recall values themselves
+    * are value-hash checked. */
+  private val q101 = QDef(
+    "q101_ann_recall",
+    (s, dir) => {
+      val e = embeddings(s, dir)
+      val qs = e.filter(col("vec_id") < 8)
+      val exact = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding", 5)
+      val approx = Similarity.lshTopK(e, qs, "vec_id", "embedding",
+        k = 5, numPlanes = 8, dim = 64)
+      Eval.recallAtK(exact, approx, "query_id", "neighbor_id", 5)
+        .orderBy("query_id")
+    },
+    Some {
+      val planes = Similarity.hyperplanes(8, 64)
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+          q AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < 8),
+          ex_sc AS (SELECT query_id, vec_id AS neighbor_id,
+                           ${cosSql("qv", "ve")} AS cosine
+                    FROM v JOIN q ON query_id <> vec_id),
+          ex AS (SELECT query_id, neighbor_id FROM (
+                   SELECT *, row_number() OVER (
+                     PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+                   FROM ex_sc) WHERE rank <= 5),
+          b AS (SELECT vec_id, ve, ${bucketSql(planes)} AS bucket FROM v),
+          qb AS (SELECT vec_id AS query_id, ve AS qv, bucket FROM b WHERE vec_id < 8),
+          ap_sc AS (SELECT query_id, vec_id AS neighbor_id,
+                           ${cosSql("qv", "ve")} AS cosine
+                    FROM b JOIN qb USING (bucket)
+                    WHERE query_id <> vec_id),
+          ap AS (SELECT query_id, neighbor_id FROM (
+                   SELECT *, row_number() OVER (
+                     PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+                   FROM ap_sc) WHERE rank <= 5),
+          j AS (SELECT ex.query_id,
+                       CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+                FROM ex LEFT JOIN ap
+                  ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id)
+          SELECT query_id, CAST(count(*) AS BIGINT) AS exact_k,
+                 CAST(SUM(hit) AS BIGINT) AS hits,
+                 CAST(SUM(hit) AS DOUBLE) / count(*) AS recall
+          FROM j GROUP BY query_id ORDER BY query_id"""
+    })
+
+  /** Cross-source 5-gram overlap matrix ([[Eval.sourceOverlap]]) — the
+    * corpus-contamination diagnostic ("how much of source A is also in
+    * source B"). Per-shingle join fan-out is bounded by the source count
+    * (distinct (source, shingle) index), so this is safe however many
+    * documents share a boilerplate shingle. */
+  private val q102 = QDef(
+    "q102_source_overlap",
+    (s, dir) => Eval
+      .sourceOverlap(Tables.load(s, dir, "documents"), "source", "text", n = 5)
+      .orderBy("source_l", "source_r"),
+    Some("""WITH w AS (
+              SELECT doc_id, source,
+                     unnest(string_split_regex(lower(text), '\s+')) AS w,
+                     generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS pos
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT a.source,
+                     a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w || ' ' || e.w AS sh
+              FROM w a
+              JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+              JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+              JOIN w d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
+              JOIN w e ON e.doc_id = a.doc_id AND e.pos = a.pos + 4),
+            sizes AS (SELECT source, count(*) AS sz FROM sh GROUP BY source),
+            inter AS (
+              SELECT x.source AS source_l, y.source AS source_r,
+                     count(*) AS common
+              FROM sh x JOIN sh y ON x.sh = y.sh AND x.source < y.source
+              GROUP BY 1, 2)
+            SELECT source_l, source_r, CAST(common AS BIGINT) AS common,
+                   CAST(sa.sz AS BIGINT) AS sz_l, CAST(sb.sz AS BIGINT) AS sz_r,
+                   CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.source = source_l
+            JOIN sizes sb ON sb.source = source_r
+            ORDER BY source_l, source_r"""))
+
   val all: Seq[QDef] = Seq(
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q40, q41, q49, q61, q62, q70, q71, q73, q74, q88, q89, q90, q91,
-    q92, q93, q94, q95, q96, q97, q98)
+    q92, q93, q94, q95, q96, q97, q98, q100, q101, q102)
 }
