@@ -1433,8 +1433,57 @@ object ExtQueries {
             JOIN sizes sb ON sb.source = source_r
             ORDER BY source_l, source_r"""))
 
+  /** Product-quantized ANN ([[graft.ext.Pq]]): strided training-free
+    * codebooks (IVF's device), integer-quantized distance tables, codegen'd
+    * `pq_adc` scan. Nothing is hash-dependent — seeds, argmin encoding,
+    * table quantization and the exact-integer ADC sum are all mirrored in
+    * SQL, so the full pipeline (codes, tables, ranking) is value-hash
+    * checked. */
+  private val q103 = QDef(
+    "q103_pq_topk",
+    (s, dir) => {
+      val e = embeddings(s, dir)
+      graft.ext.Pq.topK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, dim = 64, m = 8, ksub = 16, stride = 20)
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+            ss AS (SELECT unnest(range(8)) AS s),
+            seeds AS (SELECT * FROM (
+                        SELECT ve, row_number() OVER (ORDER BY vec_id) - 1 AS j
+                        FROM v WHERE vec_id % 20 = 0) WHERE j < 16),
+            cb AS (SELECT s, j, ve[s*8+1 : (s+1)*8] AS cv FROM seeds CROSS JOIN ss),
+            subc AS (SELECT vec_id, s, ve[s*8+1 : (s+1)*8] AS sv FROM v CROSS JOIN ss),
+            codes AS (SELECT vec_id, s, j AS code FROM (
+                        SELECT c.vec_id, cb.s, cb.j,
+                               row_number() OVER (PARTITION BY c.vec_id, cb.s ORDER BY
+                                 list_dot_product(c.sv, c.sv)
+                                   - 2 * list_dot_product(c.sv, cb.cv)
+                                   + list_dot_product(cb.cv, cb.cv),
+                                 cb.j) AS rn
+                        FROM subc c JOIN cb USING (s)) WHERE rn = 1),
+            q AS (SELECT vec_id AS query_id, s, ve[s*8+1 : (s+1)*8] AS qv
+                  FROM v CROSS JOIN ss WHERE vec_id < 8),
+            tbl AS (SELECT query_id, s, j,
+                           CAST(floor((list_dot_product(qv, qv)
+                                         - 2 * list_dot_product(qv, cv)
+                                         + list_dot_product(cv, cv))
+                                      * 1048576.0 + 0.5) AS BIGINT) AS entry
+                    FROM q JOIN cb USING (s)),
+            adc AS (SELECT t.query_id, c.vec_id AS neighbor_id,
+                           SUM(t.entry) AS adc
+                    FROM codes c JOIN tbl t ON t.s = c.s AND t.j = c.code
+                    WHERE t.query_id <> c.vec_id
+                    GROUP BY 1, 2),
+            r AS (SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY adc ASC, neighbor_id) AS rank
+                  FROM adc)
+            SELECT query_id, neighbor_id, CAST(adc AS BIGINT) AS adc,
+                   CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   val all: Seq[QDef] = Seq(
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q40, q41, q49, q61, q62, q70, q71, q73, q74, q88, q89, q90, q91,
-    q92, q93, q94, q95, q96, q97, q98, q100, q101, q102)
+    q92, q93, q94, q95, q96, q97, q98, q100, q101, q102, q103)
 }
