@@ -22,7 +22,9 @@ object ScaleCheck {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
     val qNames = sys.env.getOrElse("SPARK_GRAFT_SCALE_QUERIES",
-      "q16_connected_components,q44_motif_structuring5,q45_motif_roundtrip4,q60_scc")
+      "q16_connected_components,q44_motif_structuring5,q45_motif_roundtrip4,q60_scc," +
+        "q24_dedup_exact,q26_minhash_lsh,q94_text_dedup_clusters," +
+        "q88_semantic_dedup_clusters,q103_pq_topk")
       .split(",").toSeq
     val outDir = s"target/scale${factor}x"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -67,9 +69,42 @@ object ScaleCheck {
     customer.write.mode("overwrite").parquet(s"$e2Dir/customer.parquet")
     copies(orders, 2, Map("o_orderkey" -> off))
       .write.mode("overwrite").parquet(s"$e2Dir/orders.parquet")
+    // `d<f>`: factor× DOCUMENTS + EMBEDDINGS with consistent id offsets —
+    // the text/vector volume axis. Structure preserving:
+    //  - text copies tag every WORD with the copy index, so every shingle
+    //    is distinct across copies: no cross-copy duplicate pairs appear,
+    //    within-copy duplicate structure replicates exactly, and dedup
+    //    output grows linearly (volume growth at fixed structure);
+    //  - embedding copies scale each vector by (1 + c/1000): cosine with
+    //    the original is EXACTLY 1 (cosine is scale-invariant) and all
+    //    hyperplane signs are preserved, so every vector becomes a
+    //    factor-clone near-dup cluster — deliberately exercising the
+    //    chained-candidate linearity path (the round-4 giant-cluster fix)
+    //    rather than the O(c²) pairwise blowup.
+    val dDir = s"$outDir-d"
+    val documents = spark.read.parquet(s"$base/documents.parquet")
+    val embeddings = spark.read.parquet(s"$base/embeddings.parquet")
+    documents.crossJoin(spark.range(factor).select(col("id").as("__c")))
+      .select(
+        (col("doc_id") + col("__c") * off).as("doc_id"),
+        when(col("__c") === 0, col("text")).otherwise(
+          array_join(transform(split(col("text"), "\\s+"),
+            w => concat(w, lit("x"), col("__c"))), " ")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$dDir/documents.parquet")
+    embeddings.crossJoin(spark.range(factor).select(col("id").as("__c")))
+      .select(
+        (col("vec_id") + col("__c") * off).as("vec_id"),
+        transform(col("embedding"),
+          x => (x * (lit(1.0) + col("__c").cast("double") / 1000.0)).cast("float"))
+          .as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$dDir/embeddings.parquet")
     def armFor(q: String): (String, Int) =
       if (q.contains("connected_components")) (vDir, factor)
       else if (q.contains("motif")) (e2Dir, 2)
+      else if (q.contains("dedup") || q.contains("minhash") || q.contains("pq"))
+        (dDir, factor)
       else (eDir, factor)
 
     def materialize(df: DataFrame): Unit =
