@@ -33,6 +33,13 @@ object Pq {
       lit(2.0) * call_function("dot_product", a, b) +
       call_function("dot_product", b, b)
 
+  // All subvectors/centroids flow as array<double> (per-element widening is
+  // exact, so this matches the float arithmetic bit-for-bit and the DuckDB
+  // ::DOUBLE[] oracle), which lets float corpora and double k-means
+  // centroids share one encode/search path.
+  private def subSlice(vec: Column, s: Column, subdim: Int): Column =
+    slice(vec, s * subdim + 1, lit(subdim)).cast("array<double>")
+
   private val Scale = 1048576.0 // 2^20 fixed-point quantization of d²
 
   /** Strided training-free codebook: one row per (subspace s, centroid j),
@@ -50,7 +57,61 @@ object Pq {
       .select(col(vecCol).as("__seed"),
         (row_number().over(Window.orderBy(col(idCol))) - 1).as("j"))
     seeds.select(col("j"), explode(sequence(lit(0), lit(m - 1))).as("s"),
-        slice(col("__seed"), col("s") * subdim + 1, lit(subdim)).as("centroid"))
+        subSlice(col("__seed"), col("s"), subdim).as("centroid"))
+  }
+
+  /** Per-subspace Lloyd's k-means refinement of [[codebook]] — real PQ
+    * trains its subquantizers (Jégou 2011 §III); the strided codebook is
+    * the deterministic init. All `m` subspaces train simultaneously: one
+    * broadcast-assignment join + one (s, j, position) average per
+    * iteration, the corpus shuffled only at its exploded subvector size.
+    * Empty cells keep their previous centroid (the [[Ivf.trainCentroids]]
+    * convention). Mean centroids are shuffle-order-dependent doubles, so
+    * the trained path is spec-gated, not oracle-gated — exactly like
+    * IVF's trained tier. */
+  def trainCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, ksub: Int, stride: Int, iters: Int): DataFrame = {
+    val subdim = dim / m
+    val sub = corpus.select(col(idCol).as("__id"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"),
+        subSlice(col(vecCol), col("s"), subdim).as("sv"))
+      .localCheckpoint() // re-read every iteration
+    var cb = codebook(corpus, idCol, vecCol, dim, m, ksub, stride)
+      .localCheckpoint()
+    var it = 0
+    while (it < iters) {
+      val best = sub.join(broadcast(cb), Seq("s"))
+        .groupBy(col("__id"), col("s"))
+        .agg(min_by(struct(col("j"), col("sv")),
+          struct(l2sq(col("sv"), col("centroid")).as("d2"), col("j"))).as("b"))
+        .select(col("s"), col("b.j").as("j"), col("b.sv").as("sv"))
+      val means = best.select(col("s"), col("j"), posexplode(col("sv")))
+        .groupBy("s", "j", "pos").agg(avg("col").as("v"))
+        .groupBy("s", "j")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+          x => x.getField("v")).as("ncv"))
+      cb = cb.join(means, Seq("s", "j"), "left_outer")
+        .select(col("j"), col("s"),
+          coalesce(col("ncv"), col("centroid")).as("centroid"))
+        .localCheckpoint()
+      it += 1
+    }
+    cb
+  }
+
+  /** Mean squared quantization error of a codebook over a corpus — the
+    * training objective, exposed so callers can compare codebooks (and
+    * PqSpec can assert training helps). */
+  def quantizationError(corpus: DataFrame, idCol: String, vecCol: String,
+      cb: DataFrame, dim: Int, m: Int): DataFrame = {
+    val subdim = dim / m
+    corpus.select(col(idCol).as("__id"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"),
+        subSlice(col(vecCol), col("s"), subdim).as("sv"))
+      .join(broadcast(cb), Seq("s"))
+      .groupBy(col("__id"), col("s"))
+      .agg(min(l2sq(col("sv"), col("centroid"))).as("d2"))
+      .agg(sum("d2").as("total_sq_error"), count(lit(1)).as("n_subvectors"))
   }
 
   /** Encode every corpus vector to `m` centroid indices: explode into
@@ -62,7 +123,7 @@ object Pq {
     val subdim = dim / m
     val sub = corpus.select(col(idCol).as("__id"),
       explode(sequence(lit(0), lit(m - 1))).as("s"),
-      slice(col(vecCol), col("s") * subdim + 1, lit(subdim)).as("sv"))
+      subSlice(col(vecCol), col("s"), subdim).as("sv"))
     sub.join(broadcast(cb), Seq("s"))
       .groupBy(col("__id"), col("s"))
       // struct min = lexicographic (d², then j): deterministic argmin
@@ -82,7 +143,7 @@ object Pq {
     val subdim = dim / m
     val sub = queries.select(col(idCol).as("query_id"),
       explode(sequence(lit(0), lit(m - 1))).as("s"),
-      slice(col(vecCol), col("s") * subdim + 1, lit(subdim)).as("qv"))
+      subSlice(col(vecCol), col("s"), subdim).as("qv"))
     sub.join(broadcast(cb), Seq("s"))
       .select(col("query_id"), col("s"), col("j"),
         floor(l2sq(col("qv"), col("centroid")) * Scale + lit(0.5))
@@ -101,8 +162,9 @@ object Pq {
     * payload instead of `4·dim` vector bytes. */
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, dim: Int, m: Int = 8, ksub: Int = 16,
-      stride: Int = 20): DataFrame = {
-    val cb = codebook(corpus, idCol, vecCol, dim, m, ksub, stride)
+      stride: Int = 20, trainedCodebook: Option[DataFrame] = None): DataFrame = {
+    val cb = trainedCodebook
+      .getOrElse(codebook(corpus, idCol, vecCol, dim, m, ksub, stride))
       .localCheckpoint() // read by both encode and distTables
     val codes = encode(corpus, idCol, vecCol, cb, dim, m)
       .withColumnRenamed(idCol, "neighbor_id")

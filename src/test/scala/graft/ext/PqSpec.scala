@@ -74,6 +74,37 @@ class PqSpec extends SparkTestBase {
     assert(codes.select(size(col("codes"))).distinct().as[Int].collect().toSeq == Seq(4))
   }
 
+  test("trained codebook reduces quantization error; trained topK recovers clusters") {
+    // 8 well-separated cluster centers in 16-dim, 10 members each with
+    // small jitter: k-means should land near the true centers and beat the
+    // strided init's error substantially
+    val rnd = new scala.util.Random(9)
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextGaussian().toFloat * 10f))
+    val corpus = Seq.tabulate(80) { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat * 0.1f))
+    }.toDF("vec_id", "embedding")
+
+    def errOf(cb: org.apache.spark.sql.DataFrame): Double =
+      Pq.quantizationError(corpus, "vec_id", "embedding", cb, dim = 16, m = 4)
+        .select("total_sq_error").as[Double].collect().head
+    val init = Pq.codebook(corpus, "vec_id", "embedding", 16, m = 4, ksub = 8, stride = 1)
+    val trained = Pq.trainCodebook(corpus, "vec_id", "embedding", 16,
+      m = 4, ksub = 8, stride = 1, iters = 5)
+    val (e0, e1) = (errOf(init), errOf(trained))
+    assert(e1 < e0 * 0.5, s"training should at least halve the error: $e0 -> $e1")
+
+    // trained search: each query's top-3 must come from its own cluster
+    val qs = corpus.filter(col("vec_id") < 4)
+    val top = Pq.topK(corpus, qs, "vec_id", "embedding", k = 3, dim = 16,
+      m = 4, ksub = 8, stride = 1, trainedCodebook = Some(trained))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(top.length == 12)
+    top.foreach { case (q, n) =>
+      assert(n % 8 == q % 8, s"neighbor $n of query $q is from another cluster")
+    }
+  }
+
   test("pq_adc: hand-computed lookup sum; rejects out-of-range codes") {
     val df = Seq((Array(1, 0), Array(10L, 20L, 30L, 40L))).toDF("codes", "table")
     // m=2, ksub=2: table[0*2+1] + table[1*2+0] = 20 + 30

@@ -29,7 +29,9 @@ class PlanSpec extends SparkTestBase {
       // / label inequality riding the broadcast join) — the q28 pattern
       "q97_hard_negatives", "q98_knn_predict",
       // broadcast cross of a single-row aggregate (T_max) — the q71 pattern
-      "q99_mixture_resample")
+      "q99_mixture_resample",
+      // broadcast of the tiny query set (LSH arm) / per-query ADC tables
+      "q101_ann_recall", "q103_pq_topk")
 
   private lazy val plans: Map[String, String] =
     graft.SparkEntry.queries.map { case (name, fn) =>
