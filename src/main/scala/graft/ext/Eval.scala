@@ -73,6 +73,35 @@ object Eval {
           .as("auc"))
   }
 
+  /** Calibration bins (reliability-diagram data) for a score against a
+    * boolean label: equi-width bins over [lo, hi), out-of-range scores
+    * clamped into the edge bins. Per bin: row count, positive count,
+    * positive fraction, and mean score. One keyed aggregate — the
+    * companion diagnostic to [[auc]] (discrimination) measuring
+    * calibration.
+    *
+    * Determinism: the bin index is scalar per-row arithmetic; the
+    * aggregates are exact integer counts/sums (callers pass an integral
+    * score column — a double-summed score would be shuffle-order
+    * dependent), so the two final divisions are reproduced bit-for-bit by
+    * the SQL oracle. */
+  def calibrationBins(df: DataFrame, score: Column, label: Column,
+      lo: Long, hi: Long, bins: Int): DataFrame = {
+    require(bins > 0 && hi > lo, "need bins > 0 and hi > lo")
+    val width = (hi - lo).toDouble / bins
+    val bin = least(greatest(
+      floor((score.cast("double") - lo) / width).cast("long"), lit(0L)),
+      lit(bins - 1L))
+    df.groupBy(bin.as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(label, 1L).otherwise(0L)).as("pos"),
+        sum(score.cast("long")).as("__score_sum"))
+      .select(col("bin"), col("n"), col("pos"),
+        (col("pos").cast("double") / col("n")).as("frac_pos"),
+        (col("__score_sum").cast("double") / col("n")).as("mean_score"))
+  }
+
   /** Recall@k of an approximate top-k result against the exact one — the
     * standard ANN quality gate. Both inputs are (queryCol, idCol, rankCol)
     * shaped (what [[Similarity.lshTopK]] / [[Similarity.bruteForceTopK]] /

@@ -1482,8 +1482,51 @@ object ExtQueries {
                    CAST(rank AS BIGINT) AS rank
             FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** Calibration bins ([[Eval.calibrationBins]]) of the q96 quality score
+    * against the lang=='en' label — q100's AUC measures discrimination,
+    * this measures calibration (reliability-diagram data). Integer score
+    * sums keep every aggregate exact; the two divisions are mirrored. */
+  private val q104 = QDef(
+    "q104_calibration",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val scored = TextAnalysis
+        .hashedLinearScore(docs, "doc_id", "text", dim = 1024)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      Eval.calibrationBins(scored, col("raw_sum"), col("lang") === "en",
+        lo = -40000L, hi = 40000L, bins = 16)
+        .orderBy("bin")
+    },
+    Some("""WITH w AS (
+              SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+              FROM documents),
+            b AS (
+              SELECT doc_id,
+                     ((ascii(w) * 961
+                       + CASE WHEN length(w) >= 2 THEN ascii(substr(w, 2, 1)) ELSE 0 END * 31
+                       + length(w)) * 2654435761) % 1000000007 % 1024 AS b
+              FROM w),
+            s AS (
+              SELECT doc_id, SUM((b * 48271) % 2001 - 1000) AS raw_sum
+              FROM b GROUP BY doc_id),
+            lbl AS (
+              SELECT CAST(coalesce(s.raw_sum, 0) AS BIGINT) AS score,
+                     d.lang = 'en' AS pos
+              FROM documents d LEFT JOIN s USING (doc_id)),
+            binned AS (
+              SELECT least(greatest(
+                       CAST(floor((CAST(score AS DOUBLE) - (-40000)) / 5000.0) AS BIGINT),
+                       0), 15) AS bin,
+                     score, pos
+              FROM lbl)
+            SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+                   CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS frac_pos,
+                   CAST(SUM(score) AS DOUBLE) / count(*) AS mean_score
+            FROM binned GROUP BY bin ORDER BY bin"""))
+
   val all: Seq[QDef] = Seq(
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q40, q41, q49, q61, q62, q70, q71, q73, q74, q88, q89, q90, q91,
-    q92, q93, q94, q95, q96, q97, q98, q100, q101, q102, q103)
+    q92, q93, q94, q95, q96, q97, q98, q100, q101, q102, q103, q104)
 }

@@ -53,6 +53,21 @@ class EvalSpec extends SparkTestBase {
     assert(row.getLong(0) == 2 && row.getLong(1) == 0 && row.isNullAt(2))
   }
 
+  test("calibrationBins: hand-computed bins with edge clamping") {
+    // [0, 100) in 4 bins of width 25; scores -5 and 120 clamp to bins 0, 3
+    val df = Seq(
+      (-5L, false), (10L, false), (30L, true), (40L, false),
+      (80L, true), (90L, true), (120L, true)).toDF("score", "label")
+    val got = Eval.calibrationBins(df, col("score"), col("label"), 0L, 100L, 4)
+      .select("bin", "n", "pos", "frac_pos", "mean_score")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(0L) == ((2L, 0L, 0.0, 2.5)))        // -5 (clamped), 10
+    assert(got(1L) == ((2L, 1L, 0.5, 35.0)))       // 30, 40
+    assert(got(3L) == ((3L, 3L, 1.0, 290.0 / 3)))  // 80, 90, 120 (clamped)
+    assert(!got.contains(2L)) // empty bin emits no row
+  }
+
   // ---------- recallAtK ----------
 
   test("recallAtK: counts overlap per query, keeps zero-hit queries") {
