@@ -61,6 +61,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.SimHashAgg].getName, "simhash_agg"),
       (children: Seq[Expr]) => graft.functions.SimHashAgg(children.head)))
     ext.injectFunction((
+      new FunctionIdentifier("vec_sub"),
+      new ExpressionInfo(classOf[graft.functions.VecSub].getName, "vec_sub"),
+      (children: Seq[Expr]) => graft.functions.VecSub(children(0), children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("pq_adc"),
       new ExpressionInfo(classOf[graft.functions.PqAdc].getName, "pq_adc"),
       (children: Seq[Expr]) => graft.functions.PqAdc(children(0), children(1))))

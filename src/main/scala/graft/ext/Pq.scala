@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
   */
 object Pq {
 
-  private def l2sq(a: Column, b: Column): Column =
+  private[ext] def l2sq(a: Column, b: Column): Column =
     call_function("dot_product", a, a) -
       lit(2.0) * call_function("dot_product", a, b) +
       call_function("dot_product", b, b)
@@ -37,10 +37,10 @@ object Pq {
   // exact, so this matches the float arithmetic bit-for-bit and the DuckDB
   // ::DOUBLE[] oracle), which lets float corpora and double k-means
   // centroids share one encode/search path.
-  private def subSlice(vec: Column, s: Column, subdim: Int): Column =
+  private[ext] def subSlice(vec: Column, s: Column, subdim: Int): Column =
     slice(vec, s * subdim + 1, lit(subdim)).cast("array<double>")
 
-  private val Scale = 1048576.0 // 2^20 fixed-point quantization of d²
+  private[ext] val Scale = 1048576.0 // 2^20 fixed-point quantization of d²
 
   /** Strided training-free codebook: one row per (subspace s, centroid j),
     * `centroid` = the s-th slice of the j-th seed vector. Seeds are the
@@ -48,11 +48,11 @@ object Pq {
     * deterministic and SQL-mirrorable. The row_number window runs over the
     * `ksub` seed rows only (bounded by a parameter, not by data). */
   def codebook(corpus: DataFrame, idCol: String, vecCol: String,
-      dim: Int, m: Int, ksub: Int, stride: Int): DataFrame = {
+      dim: Int, m: Int, ksub: Int, stride: Int, offset: Int = 0): DataFrame = {
     require(dim % m == 0, s"dim $dim must be divisible by m $m")
     val subdim = dim / m
     val seeds = corpus
-      .filter(pmod(col(idCol), lit(stride.toLong)) === 0)
+      .filter(pmod(col(idCol), lit(stride.toLong)) === offset.toLong)
       .orderBy(col(idCol)).limit(ksub)
       .select(col(vecCol).as("__seed"),
         (row_number().over(Window.orderBy(col(idCol))) - 1).as("j"))

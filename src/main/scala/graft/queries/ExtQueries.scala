@@ -1525,8 +1525,83 @@ object ExtQueries {
                    CAST(SUM(score) AS DOUBLE) / count(*) AS mean_score
             FROM binned GROUP BY bin ORDER BY bin"""))
 
+  /** IVF-PQ ANN ([[graft.ext.IvfPq]]): coarse L2 lists + product-quantized
+    * residuals + selective probing — the FAISS IndexIVFPQ composition.
+    * Deterministic end-to-end (strided seeds with the residual offset,
+    * argmin tie-breaks, fixed-point tables, exact integer ADC), so the
+    * oracle mirrors the complete pipeline: assignment, residuals, residual
+    * codebook, codes, probes, per-list tables, ranking. */
+  private val q105 = QDef(
+    "q105_ivfpq_topk",
+    (s, dir) => {
+      val e = embeddings(s, dir)
+      graft.ext.IvfPq.topK(e, e.filter(col("vec_id") < 8), "vec_id",
+        "embedding", k = 5, dim = 64, m = 8, ksub = 16,
+        ivfStride = 20, seedStride = 20, nProbe = 4)
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+            ss AS (SELECT unnest(range(8)) AS s),
+            cent AS (SELECT vec_id AS list_id, ve AS cv FROM v WHERE vec_id % 20 = 0),
+            asg AS (SELECT vec_id, list_id,
+                           list_transform(range(1, 65), i -> ve[i] - cv[i]) AS rv
+                    FROM (
+                      SELECT v.vec_id, v.ve, c.list_id, c.cv,
+                             row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                               list_dot_product(v.ve, v.ve)
+                                 - 2 * list_dot_product(v.ve, c.cv)
+                                 + list_dot_product(c.cv, c.cv),
+                               c.list_id) AS rn
+                      FROM v CROSS JOIN cent c) WHERE rn = 1),
+            seeds AS (SELECT * FROM (
+                        SELECT rv, row_number() OVER (ORDER BY vec_id) - 1 AS j
+                        FROM asg WHERE vec_id % 20 = 7) WHERE j < 16),
+            cb AS (SELECT s, j, rv[s*8+1 : (s+1)*8] AS cv FROM seeds CROSS JOIN ss),
+            subc AS (SELECT vec_id, s, rv[s*8+1 : (s+1)*8] AS sv FROM asg CROSS JOIN ss),
+            codes AS (SELECT vec_id, s, j AS code FROM (
+                        SELECT c.vec_id, cb.s, cb.j,
+                               row_number() OVER (PARTITION BY c.vec_id, cb.s ORDER BY
+                                 list_dot_product(c.sv, c.sv)
+                                   - 2 * list_dot_product(c.sv, cb.cv)
+                                   + list_dot_product(cb.cv, cb.cv),
+                                 cb.j) AS rn
+                        FROM subc c JOIN cb USING (s)) WHERE rn = 1),
+            q0 AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < 8),
+            probes AS (SELECT query_id, list_id,
+                              list_transform(range(1, 65), i -> qv[i] - cv[i]) AS rq
+                       FROM (
+                         SELECT q0.query_id, q0.qv, c.list_id, c.cv,
+                                row_number() OVER (PARTITION BY q0.query_id ORDER BY
+                                  list_dot_product(q0.qv, q0.qv)
+                                    - 2 * list_dot_product(q0.qv, c.cv)
+                                    + list_dot_product(c.cv, c.cv),
+                                  c.list_id) AS rn
+                         FROM q0 CROSS JOIN cent c) WHERE rn <= 4),
+            tbl AS (SELECT query_id, list_id, p.s, cb.j,
+                           CAST(floor((list_dot_product(p.qs, p.qs)
+                                         - 2 * list_dot_product(p.qs, cb.cv)
+                                         + list_dot_product(cb.cv, cb.cv))
+                                      * 1048576.0 + 0.5) AS BIGINT) AS entry
+                    FROM (SELECT query_id, list_id, s, rq[s*8+1 : (s+1)*8] AS qs
+                          FROM probes CROSS JOIN ss) p
+                    JOIN cb ON cb.s = p.s),
+            adcx AS (SELECT t.query_id, c.vec_id AS neighbor_id,
+                            SUM(t.entry) AS adc
+                     FROM (SELECT codes.vec_id, codes.s, codes.code, asg.list_id
+                           FROM codes JOIN asg USING (vec_id)) c
+                     JOIN tbl t ON t.list_id = c.list_id AND t.s = c.s
+                               AND t.j = c.code
+                     WHERE t.query_id <> c.vec_id
+                     GROUP BY 1, 2),
+            r AS (SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY adc ASC, neighbor_id) AS rank
+                  FROM adcx)
+            SELECT query_id, neighbor_id, CAST(adc AS BIGINT) AS adc,
+                   CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   val all: Seq[QDef] = Seq(
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q40, q41, q49, q61, q62, q70, q71, q73, q74, q88, q89, q90, q91,
-    q92, q93, q94, q95, q96, q97, q98, q100, q101, q102, q103, q104)
+    q92, q93, q94, q95, q96, q97, q98, q100, q101, q102, q103, q104, q105)
 }
