@@ -31,7 +31,9 @@ class PlanSpec extends SparkTestBase {
       // broadcast cross of a single-row aggregate (T_max) — the q71 pattern
       "q99_mixture_resample",
       // broadcast of the tiny query set (LSH arm) / per-query ADC tables
-      "q101_ann_recall", "q103_pq_topk")
+      "q101_ann_recall", "q103_pq_topk",
+      // broadcast(centroids) coarse assignment + query probing crosses
+      "q105_ivfpq_topk")
 
   private lazy val plans: Map[String, String] =
     graft.SparkEntry.queries.map { case (name, fn) =>
