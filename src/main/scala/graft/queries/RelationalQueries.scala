@@ -639,7 +639,34 @@ object RelationalQueries {
                    repeat(o_orderstatus, 3) AS st3
             FROM orders ORDER BY o_orderkey"""))
 
+  /** q106: ANALYZE-style per-column statistics ([[graft.engine.Stats]]) —
+    * row/null/distinct counts plus numeric min/max over every lineitem
+    * column in one unpivot + keyed aggregate. The oracle enumerates the
+    * same profile per column (exact NDV; the HLL variant is spec-gated). */
+  private val q106 = {
+    val cols = Seq( // (name, isNumeric) — lineitem schema, TESTDATA.md
+      "l_orderkey" -> true, "l_partkey" -> true, "l_suppkey" -> true,
+      "l_linenumber" -> true, "l_quantity" -> true, "l_extendedprice" -> true,
+      "l_discount" -> true, "l_tax" -> true, "l_returnflag" -> false,
+      "l_linestatus" -> false, "l_shipdate" -> false)
+    val branches = cols.map { case (c, num) =>
+      val (mn, mx) =
+        if (num) (s"CAST(min($c) AS DOUBLE)", s"CAST(max($c) AS DOUBLE)")
+        else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                 CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+                 $mn AS min_num, $mx AS max_num
+          FROM lineitem"""
+    }
+    QDef(
+      "q106_table_stats",
+      (s, dir) => graft.engine.Stats.columnStats(t(s, dir, "lineitem"))
+        .orderBy("col_name"),
+      Some(branches.mkString("", " UNION ALL ", " ORDER BY col_name")))
+  }
+
   val all: Seq[QDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-      q39, q43, q66, q67, q68, q72, q75, q76, q77, q81, q82)
+      q39, q43, q66, q67, q68, q72, q75, q76, q77, q81, q82, q106)
 }

@@ -1,0 +1,36 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class StatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val df = Seq(
+    (1L, Some(2.5), Some("a")),
+    (2L, Some(2.5), None),
+    (3L, None, Some("b")),
+    (4L, Some(7.0), Some("a"))
+  ).toDF("id", "x", "tag")
+
+  test("columnStats: counts, nulls, ndv, numeric min/max per column") {
+    val got = Stats.columnStats(df)
+      .select("col_name", "n_rows", "n_nulls", "ndv", "min_num", "max_num")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)), Option(r.get(5))))).toMap
+    assert(got("id") == ((4L, 0L, 4L, Some(1.0), Some(4.0))))
+    assert(got("x") == ((4L, 1L, 2L, Some(2.5), Some(7.0))))
+    assert(got("tag") == ((4L, 1L, 2L, None, None)))
+  }
+
+  test("columnStats: approx NDV stays within the HLL error bound") {
+    val big = spark.range(5000).select(col("id"), (col("id") % 100).as("m"))
+    val got = Stats.columnStats(big.toDF(), approxNdv = true)
+      .select("col_name", "ndv").as[(String, Long)].collect().toMap
+    // default rsd is 5% (one sigma) — allow ~2 sigma
+    assert(math.abs(got("id") - 5000L) <= 500, s"id ndv ${got("id")}")
+    assert(math.abs(got("m") - 100L) <= 10, s"m ndv ${got("m")}")
+  }
+}
