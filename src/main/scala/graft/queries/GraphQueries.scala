@@ -593,7 +593,34 @@ object GraphQueries {
              WHERE floor(c.c_acctbal) >= 5000
              GROUP BY e.dst ORDER BY id"""))
 
+  /** q107: landmark-sampled harmonic/closeness centrality
+    * ([[graft.graph.Centrality]], Eppstein–Wang estimator over q50's BFS) —
+    * the "short hop from everything" intermediary score. 1/d terms are
+    * exact integers via lcm(1..20) scaling, so the only doubles are two
+    * final divisions, mirrored verbatim. */
+  private val q107 = QDef(
+    "q107_harmonic_centrality",
+    (s, dir) => graft.graph.Centrality
+      .harmonic(sharedAttrGraph(s, dir), Seq(1L, 7L), maxIter = 20)
+      .orderBy("id"),
+    Some(s"""WITH RECURSIVE
+             e AS ($sharedAttrEdgesSql),
+             eb AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+             walk(landmark, node, d) AS (
+               SELECT CAST(landmark AS BIGINT), CAST(landmark AS BIGINT), 0
+               FROM (VALUES (1), (7)) t(landmark)
+               UNION
+               SELECT w.landmark, eb.dst, w.d + 1
+               FROM walk w JOIN eb ON w.node = eb.src WHERE w.d < 20),
+             dist AS (SELECT node AS id, landmark, min(d) AS dist
+                      FROM walk GROUP BY node, landmark)
+             SELECT id, CAST(count(*) AS BIGINT) AS n_reached,
+                    CAST(SUM(232792560 // dist) AS DOUBLE) / 232792560 AS harmonic,
+                    CAST(count(*) AS DOUBLE) / SUM(dist) AS closeness
+             FROM dist WHERE dist > 0
+             GROUP BY id ORDER BY id"""))
+
   val all: Seq[QDef] =
     Seq(q15, q16, q17, q18, q19, q20, q42, q44, q45, q48, q50, q58, q59, q60,
-      q69, q85, q86)
+      q69, q85, q86, q107)
 }
