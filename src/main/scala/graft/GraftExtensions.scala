@@ -61,6 +61,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.SimHashAgg].getName, "simhash_agg"),
       (children: Seq[Expr]) => graft.functions.SimHashAgg(children.head)))
     ext.injectFunction((
+      new FunctionIdentifier("hll_init"),
+      new ExpressionInfo(classOf[graft.functions.HllInit].getName, "hll_init"),
+      (children: Seq[Expr]) => graft.functions.HllInit(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("hll_count"),
+      new ExpressionInfo(classOf[graft.functions.HllCount].getName, "hll_count"),
+      (children: Seq[Expr]) => graft.functions.HllCount(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("hll_merge"),
+      new ExpressionInfo(classOf[graft.functions.HllMergeAgg].getName, "hll_merge"),
+      (children: Seq[Expr]) => graft.functions.HllMergeAgg(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("vec_sub"),
       new ExpressionInfo(classOf[graft.functions.VecSub].getName, "vec_sub"),
       (children: Seq[Expr]) => graft.functions.VecSub(children(0), children(1))))
