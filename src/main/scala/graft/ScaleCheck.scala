@@ -101,7 +101,8 @@ object ScaleCheck {
         col("label"))
       .write.mode("overwrite").parquet(s"$dDir/embeddings.parquet")
     def armFor(q: String): (String, Int) =
-      if (q.contains("connected_components")) (vDir, factor)
+      if (q.contains("connected_components") || q.contains("hyperball"))
+        (vDir, factor) // identity-graph growth axis
       else if (q.contains("motif")) (e2Dir, 2)
       else if (q.contains("dedup") || q.contains("minhash") || q.contains("pq"))
         (dDir, factor)
