@@ -666,7 +666,42 @@ object RelationalQueries {
       Some(branches.mkString("", " UNION ALL ", " ORDER BY col_name")))
   }
 
+  /** q109: snapshot diff ([[graft.engine.Diff]]) between documents and a
+    * deterministically perturbed v2 (drop id%7==0, edit text of id%5==0,
+    * add id%11==0 clones under offset ids) — per-key added/removed/
+    * changed/unchanged status via one full-outer join + null-safe struct
+    * compare, mirrored column-wise with IS DISTINCT FROM. */
+  private val q109 = QDef(
+    "q109_snapshot_diff",
+    (s, dir) => {
+      val v1 = t(s, dir, "documents")
+      val v2 = v1.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .withColumn("text", when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .union(v1.filter(pmod(col("doc_id"), lit(11)) === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      graft.engine.Diff.diff(v1, v2, "doc_id").orderBy("doc_id")
+    },
+    Some("""WITH v2 AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text,
+                     lang, source, n_chars
+              FROM documents WHERE doc_id % 7 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000, text, lang, source, n_chars
+              FROM documents WHERE doc_id % 11 = 0)
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN o.text IS DISTINCT FROM n.text
+                          OR o.lang IS DISTINCT FROM n.lang
+                          OR o.source IS DISTINCT FROM n.source
+                          OR o.n_chars IS DISTINCT FROM n.n_chars THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM documents o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id
+            ORDER BY doc_id"""))
+
   val all: Seq[QDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-      q39, q43, q66, q67, q68, q72, q75, q76, q77, q81, q82, q106)
+      q39, q43, q66, q67, q68, q72, q75, q76, q77, q81, q82, q106, q109)
 }

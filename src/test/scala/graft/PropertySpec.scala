@@ -180,3 +180,37 @@ class MisraGriesPropertySpec extends SparkTestBase {
       }
   }
 }
+
+class AucPropertySpec extends SparkTestBase {
+  import spark.implicits._
+  import PropertySupport.samples
+  import org.apache.spark.sql.functions._
+
+  private val rows = for {
+    n <- Gen.choose(20, 120)
+    r <- Gen.listOfN(n, Gen.zip(Gen.choose(0, 15), Gen.oneOf(true, false)))
+  } yield r.map { case (s, l) => (s.toDouble, l) }
+
+  private def aucOf(df: Seq[(Double, Boolean)], f: Double => Double = identity) =
+    graft.ext.Eval.auc(
+      df.map { case (s, l) => (f(s), l) }.toDF("score", "label"),
+      col("score"), col("label"))
+      .select("auc").as[java.lang.Double].collect().head
+
+  test("auc complement: relabeling flips the score to 1 - auc") {
+    samples(rows, 8).foreach { r =>
+      val a = aucOf(r)
+      val b = graft.ext.Eval.auc(r.toDF("score", "label"),
+        col("score"), !col("label")).select("auc").as[java.lang.Double].collect().head
+      if (a != null && b != null)
+        assert(math.abs(a + b - 1.0) < 1e-12, s"auc $a + complement $b != 1")
+    }
+  }
+
+  test("auc is invariant under strictly monotone score transforms") {
+    samples(rows, 8).foreach { r =>
+      assert(aucOf(r) == aucOf(r, s => 2.0 * s + 7.0),
+        "affine transform changed auc")
+    }
+  }
+}
