@@ -181,5 +181,33 @@ object JoinQueries {
             GROUP BY p.user_id, p.purchase_id
             ORDER BY p.user_id, p.purchase_id"""))
 
-  def all: Seq[QDef] = Seq(q63, q64, q65, q83, q84)
+  /** q110: cohort retention over the events stream — the product-analytics
+    * staple: users bucketed by first-seen week, activity counted per
+    * (cohort, weeks-since-first) cell. All time arithmetic is integer
+    * epoch-ms (`div` on both engines), so the matrix is exact: one min
+    * aggregate + one broadcast-back join + one distinct count. */
+  private val q110 = QDef(
+    "q110_cohort_retention",
+    (s, dir) => {
+      val wk = 604800000L // 7 * 86_400_000 ms
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), unix_millis(col("ts")).as("ms"))
+      val first = ev.groupBy("user_id").agg(min("ms").as("first_ms"))
+      ev.join(first, Seq("user_id"))
+        .select(col("user_id"),
+          expr(s"first_ms div $wk").as("cohort_week"),
+          expr(s"(ms - first_ms) div $wk").as("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    },
+    Some("""WITH ev AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+                 f AS (SELECT user_id, min(ms) AS first_ms FROM ev GROUP BY user_id)
+            SELECT first_ms // 604800000 AS cohort_week,
+                   (ms - first_ms) // 604800000 AS week_offset,
+                   CAST(count(DISTINCT ev.user_id) AS BIGINT) AS active_users
+            FROM ev JOIN f ON ev.user_id = f.user_id
+            GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""))
+
+  def all: Seq[QDef] = Seq(q63, q64, q65, q83, q84, q110)
 }
