@@ -209,5 +209,38 @@ object JoinQueries {
             FROM ev JOIN f ON ev.user_id = f.user_id
             GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""))
 
-  def all: Seq[QDef] = Seq(q63, q64, q65, q83, q84, q110)
+  /** q111: time-series gap filling — the dense weekly activity grid per
+    * user, absent weeks filled with 0 (the resample step before any
+    * trend/seasonality computation). The grid is an IN-ROW `sequence`
+    * explode per user (no cross join against a calendar table), then one
+    * left join back to the sparse counts. */
+  private val q111 = QDef(
+    "q111_gap_fill",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), expr("unix_millis(ts) div 604800000").as("week"))
+      val act = ev.groupBy("user_id", "week").agg(count(lit(1)).as("n_events"))
+      val grid = act.groupBy("user_id")
+        .agg(min("week").as("w0"), max("week").as("w1"))
+        .select(col("user_id"), explode(sequence(col("w0"), col("w1"))).as("week"))
+      grid.join(act, Seq("user_id", "week"), "left")
+        .select(col("user_id"), col("week"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+        .orderBy("user_id", "week")
+    },
+    Some("""WITH ev AS (SELECT user_id, epoch_ms(ts) // 604800000 AS week
+                        FROM events),
+                 act AS (SELECT user_id, week, count(*) AS n
+                         FROM ev GROUP BY 1, 2),
+                 span AS (SELECT user_id, min(week) AS w0, max(week) AS w1
+                          FROM act GROUP BY 1),
+                 grid AS (SELECT user_id, unnest(generate_series(w0, w1)) AS week
+                          FROM span)
+            SELECT g.user_id AS user_id, g.week AS week,
+                   CAST(coalesce(a.n, 0) AS BIGINT) AS n_events
+            FROM grid g LEFT JOIN act a
+              ON a.user_id = g.user_id AND a.week = g.week
+            ORDER BY g.user_id, g.week"""))
+
+  def all: Seq[QDef] = Seq(q63, q64, q65, q83, q84, q110, q111)
 }
