@@ -13,7 +13,8 @@ object SparkEntry {
       graft.queries.ErQueries.all ++
       graft.queries.ExtQueries.all ++
       graft.queries.TrainPrepQueries.all ++
-      graft.queries.JoinQueries.all
+      graft.queries.JoinQueries.all ++
+      graft.queries.AnalyticsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The matching-attribute-entities query (SURVEY.md §7.2, reference

@@ -85,4 +85,26 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w).cast("long"))
       .filter(col("sample_rank") <= k)
   }
+
+  /** Weight-proportional fixed-size sampling WITHOUT replacement via
+    * priority sampling (Duffield, Lund & Thorup 2007): each row gets
+    * priority `w / u` for a uniform `u ∈ (0,1]` and the k highest
+    * priorities are kept — near-optimal variance for subset-sum estimates
+    * under any weights, which is why it (not Bernoulli) is the standard
+    * for weighted corpus subsampling.
+    *
+    * `u` is derived from [[arithHash]] (`(h mod 1000003 + 1) / 1000004`),
+    * so the sample is deterministic across runs/engines/partitionings;
+    * the priority `w · 1000004 / (h+1)` is two IEEE ops over exactly-
+    * representable integers — bit-identical everywhere. Top-k evaluates as
+    * TakeOrderedAndProject: per-partition heaps, no global sort. */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, seed: Long): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val h1 = pmod(arithHash(col(idCol), seed), lit(1000003L)) + lit(1L)
+    df.withColumn("priority",
+        round(col(weightCol) * lit(1000004.0) / h1, 4))
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -1,0 +1,119 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over a (user, ts, value) log: ordered funnels,
+  * rolling-window anomaly scores, and exponential smoothing. These are the
+  * product-analytics twins of the reference's time-bucketed risk views
+  * (`/root/reference/01_aml_network_analysis.py` aggregates transactions
+  * per entity; these add the per-entity ORDERED semantics — step A before
+  * step B, deviation from the entity's own recent history).
+  *
+  * Scale rules: every operator is either a per-key aggregate or a bounded
+  * per-key window — the only shuffles are on `user_id` (or the step-join
+  * key), frames are ROWS-bounded so state per key is O(frame), and no
+  * global window or driver loop exists anywhere. All arithmetic follows
+  * the repo determinism contract (fixed evaluation order, exact integer
+  * counts, doubles only through identically-associating expressions) so
+  * results are bit-stable across engines and partitionings.
+  */
+object TimeSeries {
+
+  /** Ordered conversion funnel: for consecutive steps s1 → s2 → … the
+    * per-step cohort is users whose step-k event happens strictly AFTER
+    * their step-(k−1) entry time and within `windowHours` of it — the
+    * standard product-analytics funnel (each step re-anchors the clock).
+    * Output: one row per step with the surviving user count and the
+    * conversion percent vs step 1 (exact integer ratio, rounded).
+    *
+    * Shape: one filtered min-aggregate per step plus an equi-join on
+    * `user_id` to the previous step's anchor — k steps = k keyed shuffles
+    * over an already-reduced (one row per user) frame, never over the raw
+    * log twice. */
+  def funnel(events: DataFrame, steps: Seq[String], windowHours: Int,
+      typeCol: String = "event_type", userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val u = col(userCol); val t = col(tsCol)
+    // anchor of step 1: first occurrence per user
+    val first = events.where(col(typeCol) === steps.head)
+      .groupBy(u.as("user")).agg(min(t).as("anchor"))
+    val cohorts = steps.tail.scanLeft(first) { (prev, step) =>
+      events.where(col(typeCol) === step).as("e")
+        .join(prev.as("p"), col("e." + userCol) === col("p.user"))
+        .where(t > col("p.anchor") &&
+          t <= col("p.anchor") + expr(s"INTERVAL $windowHours HOURS"))
+        .groupBy(col("p.user").as("user")).agg(min(t).as("anchor"))
+    }
+    val counts = cohorts.zip(steps).zipWithIndex.map { case ((df, step), i) =>
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).cast("long").as("step"), lit(step).as("event_type"),
+          col("users").cast("long").as("users"))
+    }
+    val all = counts.reduce(_ unionAll _)
+    val base = all.where(col("step") === 1)
+      .select(col("users").as("base_users"))
+    all.crossJoin(broadcast(base))
+      .select(col("step"), col("event_type"), col("users"),
+        round(col("users") * lit(100.0) / col("base_users"), 2).as("conv_pct"))
+      .orderBy("step")
+  }
+
+  /** Rolling z-score anomaly detection: each event scored against the
+    * mean/stddev of the SAME entity's previous `lookback` values (frame
+    * excludes the current row, so the score is a true one-step-ahead
+    * residual). Variance via the explicit sum-of-squares identity — NOT
+    * `stddev_samp` — so both engines associate identically and the score
+    * is bit-stable. Emits only rows with `|z| > threshold` after at least
+    * `minObs` prior observations.
+    *
+    * One bounded window per entity; at 100 TB this is the cheapest possible
+    * shape (single shuffle on the entity key, O(lookback) state). */
+  def rollingZScore(events: DataFrame, lookback: Int = 16, minObs: Int = 8,
+      threshold: Double = 2.5, userCol: String = "user_id",
+      tsCol: String = "ts", idCol: String = "event_id",
+      valueCol: String = "value"): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-lookback, -1)
+    val v = col(valueCol)
+    val scored = events.select(col(userCol), col(idCol), col(tsCol), v,
+      count(v).over(w).as("cnt"), sum(v).over(w).as("s"),
+      sum(v * v).over(w).as("ss"))
+    val varNum = col("ss") - col("s") * col("s") / col("cnt")
+    scored.where(col("cnt") >= minObs && varNum > 0)
+      .withColumn("z",
+        (v - col("s") / col("cnt")) / sqrt(varNum / (col("cnt") - 1)))
+      .where(abs(col("z")) > threshold)
+      .select(col(userCol), col(idCol), v, round(col("z"), 3).as("z"))
+  }
+
+  /** EWMA smoothing with α = 1/2 over the last `terms` observations per
+    * entity: `ewma = Σ_k 0.5^k · x_{n−k} / Σ_k 0.5^k` over the present
+    * lags. α = 1/2 makes every weight an EXACT binary double, and the
+    * fixed left-to-right sum of ≤ `terms` products is associated
+    * identically by any engine — bit-stable without quantization. The lag
+    * formulation (vs the recursive definition) keeps the operator a pure
+    * bounded window: one shuffle on the entity key, no state carried
+    * across rows beyond the frame. */
+  def ewmaHalf(events: DataFrame, terms: Int = 8, userCol: String = "user_id",
+      tsCol: String = "ts", idCol: String = "event_id",
+      valueCol: String = "value"): DataFrame = {
+    require(terms >= 1 && terms <= 30, "terms must be in [1, 30]")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val lags: Seq[(Column, Double)] = (0 until terms).map { k =>
+      (lag(col(valueCol), k).over(w), math.pow(0.5, k))
+    }
+    // fixed-order chains: (((w0·x0) + w1·x1) + …) on both engines
+    val num = lags.map { case (x, wk) =>
+      when(x.isNotNull, x * lit(wk)).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    val den = lags.map { case (x, wk) =>
+      when(x.isNotNull, lit(wk)).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    events.select(col(userCol), col(idCol), col(tsCol), col(valueCol),
+      round(num / den, 4).as("ewma"))
+  }
+}

@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.QDef
+import graft.engine.Tables
+import graft.ext.{MarketBasket, Sampling, TfIdf, TimeSeries}
+import graft.graph.LinkPrediction
+
+/** Behavioral / affinity analytics over the event log and baskets, plus
+  * the lexical similarity join — q112–q118. Each operator's scale shape is
+  * documented on its implementation ([[TimeSeries]], [[MarketBasket]],
+  * [[LinkPrediction]], [[TfIdf]], [[Sampling.prioritySample]]); every
+  * query here is a thin registration with a full DuckDB oracle.
+  */
+object AnalyticsQueries {
+
+  /** q112: link prediction on the transaction graph — common-neighbor
+    * count + integer-quantized Resource-Allocation index for unobserved
+    * pairs (reference graph per `01_aml_network_analysis.py`'s txn shape;
+    * scoring per Zhou/Lü/Zhang 2009). Hub centers capped at degree 64
+    * before the wedge join — the O(d²) explosion guard. */
+  private val q112 = QDef(
+    "q112_link_prediction",
+    (s, dir) => LinkPrediction
+      .resourceAllocation(GraphQueries.txnGraph(s, dir).edges,
+        hubCap = 64, minCommon = 3)
+      .orderBy("x", "y"),
+    Some(s"""WITH e0 AS (${GraphQueries.txnEdgesSql}),
+             und AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b
+                     FROM e0 WHERE src <> dst),
+             adj AS (SELECT a AS u, b AS v FROM und
+                     UNION ALL SELECT b AS u, a AS v FROM und),
+             deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY u),
+             cand AS (SELECT a1.v AS x, a2.v AS y, 1000000000 // sd.d AS w
+                      FROM adj a1 JOIN adj a2 ON a1.u = a2.u AND a1.v < a2.v
+                      JOIN deg sd ON sd.u = a1.u AND sd.d <= 64),
+             scored AS (SELECT x, y, CAST(count(*) AS BIGINT) AS cn,
+                               CAST(sum(w) AS BIGINT) AS ra_q
+                        FROM cand GROUP BY x, y HAVING count(*) >= 3)
+             SELECT x, y, cn, ra_q FROM scored s
+             WHERE NOT EXISTS (SELECT 1 FROM und
+                               WHERE und.a = s.x AND und.b = s.y)
+             ORDER BY x, y"""))
+
+  /** q113: ordered conversion funnel view → click → purchase, each step
+    * within 24h of the previous step's anchor. */
+  private val q113 = QDef(
+    "q113_funnel",
+    (s, dir) => TimeSeries.funnel(Tables.load(s, dir, "events"),
+      steps = Seq("view", "click", "purchase"), windowHours = 24),
+    Some("""WITH s1 AS (SELECT user_id AS uid, min(ts) AS anchor FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id AS uid, min(e.ts) AS anchor
+                   FROM events e JOIN s1 ON e.user_id = s1.uid
+                   WHERE e.event_type = 'click' AND e.ts > s1.anchor
+                     AND e.ts <= s1.anchor + INTERVAL 24 HOURS
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id AS uid, min(e.ts) AS anchor
+                   FROM events e JOIN s2 ON e.user_id = s2.uid
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.anchor
+                     AND e.ts <= s2.anchor + INTERVAL 24 HOURS
+                   GROUP BY e.user_id),
+            counts AS (
+              SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+                     CAST(count(*) AS BIGINT) AS users FROM s1
+              UNION ALL SELECT 2, 'click', count(*) FROM s2
+              UNION ALL SELECT 3, 'purchase', count(*) FROM s3),
+            base AS (SELECT users AS base_users FROM counts WHERE step = 1)
+            SELECT step, event_type, users,
+                   round(users * 100.0 / base_users, 2) AS conv_pct
+            FROM counts CROSS JOIN base ORDER BY step"""))
+
+  /** q114: rolling z-score anomaly detection — each event vs the same
+    * user's previous ≤16 values (≥8 required), explicit sum-of-squares
+    * variance for cross-engine bit-stability, |z| > 2.5 flagged. */
+  private val q114 = QDef(
+    "q114_anomaly_zscore",
+    (s, dir) => TimeSeries.rollingZScore(Tables.load(s, dir, "events"),
+        lookback = 16, minObs = 8, threshold = 2.5)
+      .orderBy("user_id", "event_id"),
+    Some("""WITH o AS (SELECT user_id, ts, event_id, value,
+                   count(value) OVER w AS cnt, sum(value) OVER w AS s,
+                   sum(value * value) OVER w AS ss
+                 FROM events
+                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 16 PRECEDING AND 1 PRECEDING)),
+            z AS (SELECT user_id, event_id, value,
+                         (value - s/cnt) / sqrt((ss - s*s/cnt)/(cnt-1)) AS z
+                  FROM o WHERE cnt >= 8 AND (ss - s*s/cnt) > 0)
+            SELECT user_id, event_id, value, round(z, 3) AS z
+            FROM z WHERE abs(z) > 2.5 ORDER BY user_id, event_id"""))
+
+  /** q115: market-basket pair lift over order lines — co-occurrence
+    * counts + lift from exact integer supports. */
+  private val q115 = QDef(
+    "q115_copurchase_lift",
+    (s, dir) => MarketBasket.pairLift(Tables.load(s, dir, "lineitem"),
+        basketCol = "l_orderkey", itemCol = "l_partkey", minSupport = 2)
+      .orderBy("p1", "p2"),
+    Some("""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                           FROM lineitem),
+            n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM items),
+            pc AS (SELECT pk, CAST(count(*) AS BIGINT) AS c
+                   FROM items GROUP BY pk),
+            pairs AS (SELECT i1.pk AS p1, i2.pk AS p2,
+                             CAST(count(*) AS BIGINT) AS cab
+                      FROM items i1
+                      JOIN items i2 ON i1.ok = i2.ok AND i1.pk < i2.pk
+                      GROUP BY i1.pk, i2.pk HAVING count(*) >= 2)
+            SELECT p1, p2, cab, c1.c AS c1, c2.c AS c2,
+                   round(cab * n.n / (c1.c * c2.c), 4) AS lift
+            FROM pairs JOIN pc c1 ON p1 = c1.pk JOIN pc c2 ON p2 = c2.pk
+            CROSS JOIN n ORDER BY p1, p2"""))
+
+  /** q116: weight-proportional corpus subsample (priority sampling,
+    * Duffield-Lund-Thorup) — 100 documents by n_chars weight,
+    * deterministic via the SQL-mirrorable arithmetic hash. */
+  private val q116 = QDef(
+    "q116_priority_sample",
+    (s, dir) => Sampling.prioritySample(Tables.load(s, dir, "documents"),
+        idCol = "doc_id", weightCol = "n_chars", k = 100, seed = 17)
+      .select(col("doc_id"), col("n_chars"), col("priority")),
+    Some("""WITH p AS (SELECT doc_id, n_chars,
+                 round(n_chars * 1000004.0 /
+                   (((doc_id % 1000003 + 17) * 2654435761)
+                      % 1000000007 % 1000003 + 1), 4) AS priority
+               FROM documents)
+            SELECT doc_id, n_chars, priority FROM p
+            ORDER BY priority DESC, doc_id LIMIT 100"""))
+
+  /** q117: EWMA(α=1/2) smoothing of each user's value series over the
+    * last 8 observations — exact binary weights + fixed-order sums keep
+    * the double arithmetic bit-identical across engines. */
+  private val q117 = QDef(
+    "q117_ewma",
+    (s, dir) => TimeSeries.ewmaHalf(Tables.load(s, dir, "events"), terms = 8)
+      .select(col("user_id"), col("event_id"), col("value"), col("ewma"))
+      .orderBy("user_id", "event_id"),
+    Some {
+      val terms = (0 until 8).map { k =>
+        val w = java.math.BigDecimal.valueOf(math.pow(0.5, k)).toPlainString
+        (s"CASE WHEN x$k IS NOT NULL THEN x$k * $w ELSE 0.0 END",
+          s"CASE WHEN x$k IS NOT NULL THEN $w ELSE 0.0 END")
+      }
+      val lagCols = (0 until 8)
+        .map(k => s"lag(value, $k) OVER w AS x$k").mkString(", ")
+      s"""WITH o AS (SELECT user_id, event_id, value, $lagCols
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+          SELECT user_id, event_id, value,
+                 round((${terms.map(_._1).mkString(" + ")}) /
+                       (${terms.map(_._2).mkString(" + ")}), 4) AS ewma
+          FROM o ORDER BY user_id, event_id"""
+    })
+
+  /** q118: TF-IDF cosine similarity join over the document corpus —
+    * inverted-index candidates with the df cut, integer-quantized IDF so
+    * dot products and norms are exact. */
+  private val q118 = QDef(
+    "q118_tfidf_cosine",
+    (s, dir) => TfIdf.cosinePairs(Tables.load(s, dir, "documents"),
+        minCosine = 0.5, dfCapRatio = 0.5)
+      .orderBy("d1", "d2"),
+    Some("""WITH tf AS (SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\s+')) AS term
+                 FROM documents),
+            tfc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                    FROM tf GROUP BY doc_id, term),
+            n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tfc),
+            dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                    FROM tfc GROUP BY term),
+            kept AS (SELECT tfc.doc_id, tfc.term,
+                       tf * CAST(floor(ln(CAST(n.n AS DOUBLE)/df)*1000 + 0.5)
+                                 AS BIGINT) AS w
+                     FROM tfc JOIN dfc ON tfc.term = dfc.term CROSS JOIN n
+                     WHERE df <= n.n * 0.5),
+            norms AS (SELECT doc_id, CAST(sum(w*w) AS BIGINT) AS n2
+                      FROM kept GROUP BY doc_id),
+            dots AS (SELECT k1.doc_id AS d1, k2.doc_id AS d2,
+                            CAST(sum(k1.w * k2.w) AS BIGINT) AS dot
+                     FROM kept k1
+                     JOIN kept k2 ON k1.term = k2.term
+                                 AND k1.doc_id < k2.doc_id
+                     GROUP BY k1.doc_id, k2.doc_id),
+            cos AS (SELECT d1, d2, dot,
+                      dot / (sqrt(CAST(n1.n2 AS DOUBLE)) *
+                             sqrt(CAST(n2.n2 AS DOUBLE))) AS cosine
+                    FROM dots JOIN norms n1 ON d1 = n1.doc_id
+                              JOIN norms n2 ON d2 = n2.doc_id)
+            SELECT d1, d2, dot, round(cosine, 4) AS cosine
+            FROM cos WHERE cosine >= 0.5 ORDER BY d1, d2"""))
+
+  val all: Seq[QDef] = Seq(q112, q113, q114, q115, q116, q117, q118)
+}

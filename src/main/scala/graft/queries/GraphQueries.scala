@@ -73,7 +73,7 @@ object GraphQueries {
     PropertyGraph(verts, edges)
   }
 
-  private val txnEdgesSql =
+  private[queries] val txnEdgesSql =
     """SELECT * FROM (
          SELECT o_custkey AS src,
                 1 + (o_orderkey * 7919) % (SELECT max(c_custkey) FROM customer) AS dst,

@@ -1,0 +1,185 @@
+package graft.ext
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.graph.LinkPrediction
+
+/** Unit properties for the behavioral-analytics operators (q112–q118):
+  * link prediction, funnels, rolling anomaly scores, market-basket lift,
+  * priority sampling, EWMA, and the TF-IDF cosine join. */
+class AnalyticsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  // ---------- link prediction ----------
+
+  test("linkPrediction: hand-checked wedge scores, observed edges excluded") {
+    // star around z=1: 1-2, 1-3, 1-4; plus observed edge 2-3
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L)).toDF("src", "dst")
+    val got = LinkPrediction.resourceAllocation(edges, hubCap = 64, minCommon = 1)
+      .orderBy("x", "y").as[(Long, Long, Long, Long)].collect()
+    // candidate pairs through z=1 (deg 3): (2,3) observed → dropped;
+    // (2,4), (3,4) survive with cn=1, ra_q = 1e9/3
+    assert(got.toSeq == Seq(
+      (2L, 4L, 1L, 333333333L), (3L, 4L, 1L, 333333333L)))
+  }
+
+  test("linkPrediction: hub cap drops wedges through high-degree centers") {
+    val hub = (2L to 20L).map(i => (1L, i)).toDF("src", "dst")
+    val none = LinkPrediction.resourceAllocation(hub, hubCap = 10, minCommon = 1)
+    assert(none.count() == 0)
+    val some = LinkPrediction.resourceAllocation(hub, hubCap = 64, minCommon = 1)
+    // 19 spokes → C(19,2) unobserved pairs through the hub
+    assert(some.count() == 19L * 18 / 2)
+  }
+
+  test("linkPrediction: orientation and multi-edges are normalized away") {
+    val e1 = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val e2 = Seq((2L, 1L), (3L, 1L), (3L, 1L)).toDF("src", "dst")
+    val r1 = LinkPrediction.resourceAllocation(e1, minCommon = 1)
+      .orderBy("x", "y").collect().toSeq
+    val r2 = LinkPrediction.resourceAllocation(e2, minCommon = 1)
+      .orderBy("x", "y").collect().toSeq
+    assert(r1 == r2 && r1.nonEmpty)
+  }
+
+  // ---------- funnel ----------
+
+  private val funnelEvents = Seq(
+    // u1 completes a->b->c in order, within the hour
+    (1L, "a", ts(0), 1L), (1L, "b", ts(10), 2L), (1L, "c", ts(20), 3L),
+    // u2 does b BEFORE its first a — not a conversion
+    (2L, "b", ts(0), 4L), (2L, "a", ts(10), 5L), (2L, "c", ts(20), 6L),
+    // u3 converts to b only outside the window
+    (3L, "a", ts(0), 7L), (3L, "b", ts(600), 8L)
+  ).toDF("user_id", "event_type", "ts", "event_id")
+
+  test("funnel: ordering and window constraints hold") {
+    val got = TimeSeries.funnel(funnelEvents, Seq("a", "b", "c"),
+        windowHours = 1)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, "a", 3L, 100.0), (2L, "b", 1L, 33.33), (3L, "c", 1L, 33.33)))
+  }
+
+  test("funnel: step counts are monotonically non-increasing") {
+    val users = TimeSeries.funnel(funnelEvents, Seq("a", "b"), 24)
+      .orderBy("step").select("users").as[Long].collect()
+    assert(users.sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
+
+  // ---------- rolling z-score ----------
+
+  test("rollingZScore: constant history then a spike flags only the spike") {
+    val base = (1 to 10).map(i => (1L, ts(i), i.toLong, 10.0 + (i % 2)))
+    val spike = Seq((1L, ts(11), 11L, 500.0))
+    val df = (base ++ spike).toDF("user_id", "ts", "event_id", "value")
+    val got = TimeSeries.rollingZScore(df, lookback = 16, minObs = 8,
+      threshold = 2.5).select("event_id").as[Long].collect()
+    assert(got.toSeq == Seq(11L))
+  }
+
+  test("rollingZScore: needs minObs prior rows and nonzero variance") {
+    // constant history → zero variance → never flagged, no div-by-zero
+    val const = (1 to 12).map(i => (1L, ts(i), i.toLong, 7.0))
+    val df = const.toDF("user_id", "ts", "event_id", "value")
+    assert(TimeSeries.rollingZScore(df).count() == 0)
+  }
+
+  // ---------- ewma ----------
+
+  test("ewmaHalf: hand-computed smoothing with alpha=1/2 weights") {
+    val df = Seq((1L, ts(1), 1L, 8.0), (1L, ts(2), 2L, 4.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = TimeSeries.ewmaHalf(df, terms = 8)
+      .orderBy("event_id").select("ewma").as[Double].collect()
+    // row1: 8.0; row2: (4*1 + 8*0.5) / 1.5 = 5.3333
+    assert(got.toSeq == Seq(8.0, 5.3333))
+  }
+
+  test("ewmaHalf: smoothed value stays within the observed range") {
+    val rnd = new scala.util.Random(3)
+    val df = (1 to 50).map(i => (i.toLong % 3, ts(i), i.toLong,
+      rnd.nextDouble() * 100)).toDF("user_id", "ts", "event_id", "value")
+    val bad = TimeSeries.ewmaHalf(df, terms = 8)
+      .where(col("ewma") < 0 || col("ewma") > 100)
+    assert(bad.count() == 0)
+  }
+
+  // ---------- market basket ----------
+
+  test("pairLift: exact supports and lift on a hand-built basket set") {
+    // baskets: {1,2} {1,2} {1,3} {3}  → n=4, c1=3, c2=2, c3=2, c12=2
+    val b = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 3L), (13L, 3L)).toDF("ok", "pk")
+    val got = MarketBasket.pairLift(b, "ok", "pk", minSupport = 2)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    // lift(1,2) = 4*2/(3*2) = 1.3333
+    assert(got == Seq((1L, 2L, 2L, 3L, 2L, 1.3333)))
+  }
+
+  test("pairLift: duplicate lines in one basket count once") {
+    val b = Seq((10L, 1L), (10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L))
+      .toDF("ok", "pk")
+    val got = MarketBasket.pairLift(b, "ok", "pk", minSupport = 2)
+      .select("cab").as[Long].collect()
+    assert(got.toSeq == Seq(2L))
+  }
+
+  // ---------- priority sampling ----------
+
+  test("prioritySample: deterministic, size-k, partitioning-invariant") {
+    val docs = (1 to 500).map(i => (i.toLong, (i % 37) + 1L))
+      .toDF("doc_id", "w")
+    val a = Sampling.prioritySample(docs, "doc_id", "w", k = 50, seed = 17)
+      .select("doc_id").as[Long].collect().toSeq
+    val b = Sampling.prioritySample(docs.repartition(7), "doc_id", "w",
+      k = 50, seed = 17).select("doc_id").as[Long].collect().toSeq
+    assert(a.length == 50 && a == b)
+  }
+
+  test("prioritySample: heavier weights are sampled more often") {
+    // half the corpus has 20x the weight; it should dominate the sample
+    val docs = (1 to 400).map(i =>
+      (i.toLong, if (i <= 200) 200L else 10L)).toDF("doc_id", "w")
+    val heavy = Sampling.prioritySample(docs, "doc_id", "w", k = 100, seed = 5)
+      .where(col("doc_id") <= 200).count()
+    assert(heavy > 75, s"expected heavy-weight dominance, got $heavy/100")
+  }
+
+  // ---------- tf-idf cosine ----------
+
+  test("tfidf cosinePairs: exact clones score 1.0, disjoint docs absent") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "epsilon zeta eta theta")).toDF("doc_id", "text")
+    val got = TfIdf.cosinePairs(docs, minCosine = 0.5, dfCapRatio = 0.9)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._4)) == Seq((1L, 2L, 1.0)))
+  }
+
+  test("tfidf cosinePairs: df cap drops corpus-wide terms from scoring") {
+    // 'common' appears everywhere; with the cap, docs 1/2 share nothing
+    val docs = Seq(
+      (1L, "common unique1"), (2L, "common unique2"),
+      (3L, "common unique3"), (4L, "common unique4")).toDF("doc_id", "text")
+    assert(TfIdf.cosinePairs(docs, minCosine = 0.01, dfCapRatio = 0.5)
+      .count() == 0)
+  }
+
+  test("tfidf weights: rarer terms weigh more at equal tf") {
+    val docs = Seq(
+      (1L, "rare shared"), (2L, "shared x"), (3L, "shared y"),
+      (4L, "z w")).toDF("doc_id", "text")
+    val w = TfIdf.weights(docs, dfCapRatio = 0.9)
+      .where(col("doc_id") === 1).orderBy("term")
+      .select("term", "w").as[(String, Long)].collect().toMap
+    assert(w("rare") > w("shared"))
+  }
+}

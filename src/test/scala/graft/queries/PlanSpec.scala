@@ -33,7 +33,10 @@ class PlanSpec extends SparkTestBase {
       // broadcast of the tiny query set (LSH arm) / per-query ADC tables
       "q101_ann_recall", "q103_pq_topk",
       // broadcast(centroids) coarse assignment + query probing crosses
-      "q105_ivfpq_topk")
+      "q105_ivfpq_topk",
+      // broadcast cross of a single-row aggregate (funnel base cohort /
+      // basket total N / corpus size N) — the q71 pattern
+      "q113_funnel", "q115_copurchase_lift", "q118_tfidf_cosine")
 
   private lazy val plans: Map[String, String] =
     graft.SparkEntry.queries.map { case (name, fn) =>
