@@ -50,7 +50,11 @@ object TfIdf {
   def cosinePairs(docs: DataFrame, minCosine: Double = 0.5,
       dfCapRatio: Double = 0.5, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val kept = weights(docs, dfCapRatio, idCol, textCol)
+    // the weights table feeds three consumers (both join sides + norms);
+    // a lazy checkpoint computes the tokenize+tf+df cascade once instead
+    // of three times (and keeps the final plan shallow)
+    val kept = graft.graph.Checkpointer(docs.sparkSession, None)
+      .lazily(weights(docs, dfCapRatio, idCol, textCol))
     val norms = kept.groupBy("doc_id")
       .agg(sum(col("w") * col("w")).as("n2"))
     val dots = kept.as("k1")
