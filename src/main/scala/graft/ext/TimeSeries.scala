@@ -90,6 +90,30 @@ object TimeSeries {
       .select(col(userCol), col(idCol), v, round(col("z"), 3).as("z"))
   }
 
+  /** First-order Markov transition matrix over each entity's event-type
+    * sequence: consecutive (prev → next) pairs via one bounded lag window,
+    * exact BIGINT transition counts, and the row-normalized probability
+    * `cnt / Σ_next cnt` as a single division of exact integers
+    * (bit-identical everywhere). The output is |types|² rows regardless of
+    * corpus size — the log is reduced by one keyed window + one keyed
+    * aggregate, nothing corpus-sized survives the first shuffle. */
+  def transitionMatrix(events: DataFrame, typeCol: String = "event_type",
+      userCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .select(col(userCol), lag(col(typeCol), 1).over(w).as("prev_type"),
+        col(typeCol).as("next_type"))
+      .where(col("prev_type").isNotNull)
+      .groupBy("prev_type", "next_type").agg(count(lit(1)).as("cnt"))
+    val totals = pairs.groupBy("prev_type")
+      .agg(sum(col("cnt")).as("total"))
+    pairs.join(totals, "prev_type")
+      .select(col("prev_type"), col("next_type"),
+        col("cnt").cast("long").as("cnt"),
+        (col("cnt") / col("total")).as("prob"))
+  }
+
   /** EWMA smoothing with α = 1/2 over the last `terms` observations per
     * entity: `ewma = Σ_k 0.5^k · x_{n−k} / Σ_k 0.5^k` over the present
     * lags. α = 1/2 makes every weight an EXACT binary double, and the

@@ -72,6 +72,39 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       .withColumn("count", coalesce(col("count"), lit(0L)))
   }
 
+  /** Per-vertex local clustering coefficient
+    * `2·tri(v) / (deg(v)·(deg(v)−1))` over the canonical undirected
+    * simple graph (Watts–Strogatz 1998) — triangles from the same ordered
+    * a<b<c enumeration as [[triangleCount]], degree over the DISTINCT
+    * undirected edge set (multi-edges collapse, so the denominator counts
+    * neighbors, matching the numerator's simple-graph triangles). The
+    * coefficient is one double division of exact integers — bit-identical
+    * on any engine/partitioning. Vertices with deg < 2 score 0.0. */
+  def clusteringCoefficient: DataFrame = {
+    val und = edges.select(
+        least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .join(und.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(explode(array(col("e1.a"), col("e1.b"), col("e2.b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    vertices.select(col("id"))
+      .join(deg, Seq("id"), "left_outer")
+      .join(tri, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("coeff",
+        when(col("degree") >= 2,
+          lit(2.0) * col("triangles") / (col("degree") * (col("degree") - 1)))
+          .otherwise(lit(0.0)))
+  }
+
   /** Landmark BFS hop distances over undirected edges (GraphFrames
     * `shortestPaths` surface, relational output). See [[ShortestPaths]]. */
   def shortestPaths(landmarks: Seq[Long], maxIter: Int = 20): DataFrame =

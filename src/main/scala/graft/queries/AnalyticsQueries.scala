@@ -191,5 +191,62 @@ object AnalyticsQueries {
             SELECT d1, d2, dot, round(cosine, 4) AS cosine
             FROM cos WHERE cosine >= 0.5 ORDER BY d1, d2"""))
 
-  val all: Seq[QDef] = Seq(q112, q113, q114, q115, q116, q117, q118)
+  /** q119: per-vertex local clustering coefficient on the transaction
+    * graph (Watts–Strogatz) — exact triangle/degree integers, the
+    * coefficient a single division of exact values. */
+  private val q119 = QDef(
+    "q119_clustering_coeff",
+    (s, dir) => GraphQueries.txnGraph(s, dir).clusteringCoefficient
+      .orderBy("id"),
+    Some(s"""WITH e0 AS (${GraphQueries.txnEdgesSql}),
+             und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                     FROM e0 WHERE src <> dst),
+             deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree FROM
+                       (SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+                     GROUP BY id),
+             tri AS (
+               SELECT e1.a AS x, e1.b AS y, e2.b AS z
+               FROM und e1
+               JOIN und e2 ON e1.b = e2.a
+               JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+             cnt AS (SELECT id, CAST(count(*) AS BIGINT) AS triangles FROM
+                       (SELECT x AS id FROM tri UNION ALL
+                        SELECT y FROM tri UNION ALL SELECT z FROM tri)
+                     GROUP BY id),
+             base AS (SELECT c.c_custkey AS id,
+                             coalesce(deg.degree, 0) AS degree,
+                             coalesce(cnt.triangles, 0) AS triangles
+                      FROM customer c
+                      LEFT JOIN deg ON c.c_custkey = deg.id
+                      LEFT JOIN cnt ON c.c_custkey = cnt.id)
+             SELECT id, degree, triangles,
+                    CASE WHEN degree >= 2
+                         THEN (2.0 * triangles) / (degree * (degree - 1))
+                         ELSE 0.0 END AS coeff
+             FROM base ORDER BY id"""))
+
+  /** q120: first-order Markov transition matrix of event types per user —
+    * exact transition counts + row-normalized probabilities. */
+  private val q120 = QDef(
+    "q120_transition_matrix",
+    (s, dir) => TimeSeries.transitionMatrix(Tables.load(s, dir, "events"))
+      .orderBy("prev_type", "next_type"),
+    Some("""WITH pairs AS (
+              SELECT prev_type, event_type AS next_type,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM (SELECT event_type,
+                           lag(event_type, 1) OVER
+                             (PARTITION BY user_id ORDER BY ts, event_id)
+                             AS prev_type
+                    FROM events)
+              WHERE prev_type IS NOT NULL
+              GROUP BY prev_type, event_type),
+            totals AS (SELECT prev_type, CAST(sum(cnt) AS BIGINT) AS total
+                       FROM pairs GROUP BY prev_type)
+            SELECT p.prev_type, p.next_type, p.cnt, p.cnt / t.total AS prob
+            FROM pairs p JOIN totals t ON p.prev_type = t.prev_type
+            ORDER BY p.prev_type, p.next_type"""))
+
+  val all: Seq[QDef] =
+    Seq(q112, q113, q114, q115, q116, q117, q118, q119, q120)
 }

@@ -152,6 +152,54 @@ class AnalyticsSpec extends SparkTestBase {
     assert(heavy > 75, s"expected heavy-weight dominance, got $heavy/100")
   }
 
+  // ---------- clustering coefficient ----------
+
+  test("clusteringCoefficient: triangle closes to 1.0, path scores 0") {
+    import graft.graph.PropertyGraph
+    val verts = Seq(1L, 2L, 3L, 4L).toDF("id")
+    // triangle 1-2-3 plus pendant 3-4
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val got = PropertyGraph(verts, edges).clusteringCoefficient
+      .orderBy("id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, 1.0), (2L, 2L, 1L, 1.0),
+      // vertex 3: deg 3, 1 triangle of C(3,2)=3 wedges → 1/3
+      (3L, 3L, 1L, 1.0 / 3.0), (4L, 1L, 0L, 0.0)))
+  }
+
+  test("clusteringCoefficient: multi-edges and direction do not inflate") {
+    import graft.graph.PropertyGraph
+    val verts = Seq(1L, 2L, 3L).toDF("id")
+    val dup = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val got = PropertyGraph(verts, dup).clusteringCoefficient
+      .orderBy("id").select("coeff").as[Double].collect()
+    assert(got.toSeq == Seq(1.0, 1.0, 1.0))
+  }
+
+  // ---------- transition matrix ----------
+
+  test("transitionMatrix: counts consecutive pairs per user, rows normalize") {
+    val ev = Seq(
+      (1L, "a", ts(0), 1L), (1L, "b", ts(1), 2L), (1L, "a", ts(2), 3L),
+      (1L, "b", ts(3), 4L),
+      (2L, "a", ts(0), 5L), (2L, "a", ts(1), 6L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val got = TimeSeries.transitionMatrix(ev)
+      .orderBy("prev_type", "next_type")
+      .as[(String, String, Long, Double)].collect().toSeq
+    // u1: a→b, b→a, a→b; u2: a→a  ⇒ a→{a:1, b:2}, b→{a:1}
+    assert(got == Seq(
+      ("a", "a", 1L, 1.0 / 3.0), ("a", "b", 2L, 2.0 / 3.0),
+      ("b", "a", 1L, 1.0)))
+  }
+
+  test("transitionMatrix: no cross-user transitions") {
+    val ev = Seq((1L, "a", ts(0), 1L), (2L, "b", ts(1), 2L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    assert(TimeSeries.transitionMatrix(ev).count() == 0)
+  }
+
   // ---------- tf-idf cosine ----------
 
   test("tfidf cosinePairs: exact clones score 1.0, disjoint docs absent") {
