@@ -24,7 +24,9 @@ object ScaleCheck {
     val qNames = sys.env.getOrElse("SPARK_GRAFT_SCALE_QUERIES",
       "q16_connected_components,q44_motif_structuring5,q45_motif_roundtrip4,q60_scc," +
         "q24_dedup_exact,q26_minhash_lsh,q94_text_dedup_clusters," +
-        "q88_semantic_dedup_clusters,q103_pq_topk")
+        "q88_semantic_dedup_clusters,q103_pq_topk," +
+        "q112_link_prediction,q115_copurchase_lift,q118_tfidf_cosine," +
+        "q113_funnel,q114_anomaly_zscore,q120_transition_matrix")
       .split(",").toSeq
     val outDir = s"target/scale${factor}x"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -69,6 +71,21 @@ object ScaleCheck {
     customer.write.mode("overwrite").parquet(s"$e2Dir/customer.parquet")
     copies(orders, 2, Map("o_orderkey" -> off))
       .write.mode("overwrite").parquet(s"$e2Dir/orders.parquet")
+    // lineitem rides the edge axis for the basket-mining arm: fresh
+    // orderkeys AND fresh partkeys per copy — each copy is a disjoint
+    // basket+item space, so per-pair supports are preserved (shifting only
+    // orderkeys would 10× every support and blow past min-support
+    // thresholds) and the pair set grows exactly linearly
+    val lineitem = spark.read.parquet(s"$base/lineitem.parquet")
+    copies(lineitem, factor, Map("l_orderkey" -> off, "l_partkey" -> off))
+      .write.mode("overwrite").parquet(s"$eDir/lineitem.parquet")
+    // `t<f>`: factor× EVENTS with offset user_ids and event_ids — the
+    // behavioral axis: factor× users, each with the base per-user history,
+    // so per-entity windows/funnels must scale linearly in users
+    val tDir = s"$outDir-t"
+    val events = spark.read.parquet(s"$base/events.parquet")
+    copies(events, factor, Map("event_id" -> off, "user_id" -> off))
+      .write.mode("overwrite").parquet(s"$tDir/events.parquet")
     // `d<f>`: factor× DOCUMENTS + EMBEDDINGS with consistent id offsets —
     // the text/vector volume axis. Structure preserving:
     //  - text copies tag every WORD with the copy index, so every shingle
@@ -104,19 +121,42 @@ object ScaleCheck {
       if (q.contains("connected_components") || q.contains("hyperball"))
         (vDir, factor) // identity-graph growth axis
       else if (q.contains("motif")) (e2Dir, 2)
-      else if (q.contains("dedup") || q.contains("minhash") || q.contains("pq"))
+      // densification arm: wedge/triangle families are combinatorial in
+      // degree at fixed vertices (and q112's hub cap is the bound under
+      // densification), so like motifs they get the modest 2× arm
+      else if (q.contains("link_prediction") || q.contains("clustering"))
+        (e2Dir, 2)
+      else if (q.contains("tfidf") || q.contains("dedup") ||
+        q.contains("minhash") || q.contains("pq"))
         (dDir, factor)
+      else if (q.contains("funnel") || q.contains("anomaly") ||
+        q.contains("ewma") || q.contains("transition"))
+        (tDir, factor) // behavioral axis: factor× users
       else (eDir, factor)
 
     def materialize(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    // Scale-variant overrides: where the registered query's parameters are
+    // tuned for the real corpus and the synthetic arm breaks their
+    // premise, measure the production-scale configuration instead.
+    //  - q118: the d-arm's per-copy word tagging keeps every term's df
+    //    constant while N grows, so the RATIO df cut stops dropping
+    //    anything and candidates blow up O(df²)·vocab (OOMs the 4g
+    //    measurement heap) — the documented ratio-only failure mode. The
+    //    100 TB configuration adds the absolute `dfCapMax` (1000 here); that is the
+    //    path worth measuring.
+    val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "q118_tfidf_cosine" -> ((s, d) => graft.ext.TfIdf.cosinePairs(
+        graft.engine.Tables.load(s, d, "documents"), dfCapMax = 1000L)))
+    def queryFor(name: String): (SparkSession, String) => DataFrame =
+      variants.getOrElse(name, SparkEntry.queries(name))
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      materialize(SparkEntry.queries(name)(spark, dir))
+      materialize(queryFor(name)(spark, dir))
       (System.nanoTime() - t0) / 1e9
     }
     def rowsOf(name: String, dir: String): Long =
-      SparkEntry.queries(name)(spark, dir).count()
+      queryFor(name)(spark, dir).count()
     // warmup, then best-of-2 per (query, dir), interleaved base/scaled
     qNames.foreach(time(_, base))
     val rows = qNames.map { q =>

@@ -28,9 +28,19 @@ object TfIdf {
 
   /** Per-(doc, term) quantized TF-IDF weights after the df cut.
     * Tokenization matches [[TextAnalysis.tokens]] (lowercase,
-    * whitespace-split) so the SQL mirror is exact. */
+    * whitespace-split) so the SQL mirror is exact.
+    *
+    * Two cuts compose: `dfCapRatio` (relative — the stop-word cut) and
+    * `dfCapMax` (absolute — the candidate-volume bound). The ratio cut
+    * alone does NOT bound join fan-out: per-term candidates are O(df²),
+    * so at corpus scale a term just under `ratio·N` docs still emits
+    * ~(ratio·N)² pairs. A production similarity join at 10⁹ docs sets
+    * `dfCapMax` to a few thousand — candidates are then ≤ dfCapMax² per
+    * term regardless of N (the measured q118 blow-up under ScaleCheck's
+    * vocabulary-tagged growth arm is exactly the ratio-only failure). */
   def weights(docs: DataFrame, dfCapRatio: Double = 0.5,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      dfCapMax: Long = Long.MaxValue): DataFrame = {
     val tf = docs
       .select(col(idCol).as("doc_id"),
         explode(TextAnalysis.tokens(col(textCol))).as("term"))
@@ -38,7 +48,8 @@ object TfIdf {
     val n = tf.agg(countDistinct(col("doc_id")).as("n"))
     val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(dfc, "term").crossJoin(broadcast(n))
-      .where(col("df") <= col("n") * lit(dfCapRatio))
+      .where(col("df") <= col("n") * lit(dfCapRatio) &&
+        col("df") <= lit(dfCapMax))
       .select(col("doc_id"), col("term"),
         (col("tf") *
           floor(log(col("n").cast("double") / col("df")) * lit(1000.0) +
@@ -49,12 +60,12 @@ object TfIdf {
     * index. Output: (d1, d2, dot, cosine) with d1 < d2, cosine rounded. */
   def cosinePairs(docs: DataFrame, minCosine: Double = 0.5,
       dfCapRatio: Double = 0.5, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", dfCapMax: Long = Long.MaxValue): DataFrame = {
     // the weights table feeds three consumers (both join sides + norms);
     // a lazy checkpoint computes the tokenize+tf+df cascade once instead
     // of three times (and keeps the final plan shallow)
     val kept = graft.graph.Checkpointer(docs.sparkSession, None)
-      .lazily(weights(docs, dfCapRatio, idCol, textCol))
+      .lazily(weights(docs, dfCapRatio, idCol, textCol, dfCapMax))
     val norms = kept.groupBy("doc_id")
       .agg(sum(col("w") * col("w")).as("n2"))
     val dots = kept.as("k1")

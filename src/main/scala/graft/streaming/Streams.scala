@@ -222,4 +222,65 @@ object Streams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  final case class ValueEvent(
+      user_id: Long, event_id: Long, ts: Timestamp, value: Double)
+  final case class AnomalyOut(user_id: Long, event_id: Long, value: Double, z: Double)
+  /** Per-key rolling history: the last ≤ lookback values, oldest first. */
+  final case class AnomalyState(values: Seq[Double])
+
+  /** Streaming rolling z-score anomaly detection — the stateful mirror of
+    * [[graft.ext.TimeSeries.rollingZScore]]: each event is scored against
+    * the SAME entity's previous ≤`lookback` values (state carried across
+    * micro-batches), flagged when `|z| > threshold` after ≥`minObs` prior
+    * observations, then appended to the history. Within a batch, events
+    * are ordered by (ts, event_id) — with in-order arrival the emitted
+    * flags are exactly the batch operator's rows, which is how
+    * StreamsSpec validates it. State is O(lookback) doubles per live key;
+    * pass `stateTtlMs > 0` to evict quiet keys via processing-time
+    * timeout (a real deployment with a trigger interval wants this; the
+    * default NoTimeout keeps state for every key ever seen — and avoids
+    * the empty-micro-batch busy loop timeouts induce under
+    * MemoryStream's immediate trigger). */
+  def anomalyStream(events: Dataset[ValueEvent], lookback: Int = 16,
+      minObs: Int = 8, threshold: Double = 2.5,
+      stateTtlMs: Long = 0L): Dataset[AnomalyOut] = {
+    implicit val outEnc: Encoder[AnomalyOut] = Encoders.product[AnomalyOut]
+    implicit val stateEnc: Encoder[AnomalyState] = Encoders.product[AnomalyState]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+
+    def update(user: Long, events: Iterator[ValueEvent],
+        state: GroupState[AnomalyState]): Iterator[AnomalyOut] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      var hist = state.getOption.map(_.values.toVector).getOrElse(Vector.empty)
+      val out = Vector.newBuilder[AnomalyOut]
+      events.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val n = hist.length
+        if (n >= minObs) {
+          // same sum-of-squares identity, same accumulation order
+          // (oldest→newest) as the batch window — scores match exactly
+          var s = 0.0; var ss = 0.0
+          hist.foreach { v => s += v; ss += v * v }
+          val varNum = ss - s * s / n
+          if (varNum > 0) {
+            val z = (e.value - s / n) / math.sqrt(varNum / (n - 1))
+            if (math.abs(z) > threshold)
+              out += AnomalyOut(user, e.event_id, e.value,
+                BigDecimal(z).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+                  .toDouble)
+          }
+        }
+        hist = (hist :+ e.value).takeRight(lookback)
+      }
+      state.update(AnomalyState(hist))
+      if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+      out.result().iterator
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(update)
+  }
 }

@@ -221,6 +221,17 @@ class AnalyticsSpec extends SparkTestBase {
       .count() == 0)
   }
 
+  test("tfidf dfCapMax: absolute cut bounds candidates independent of N") {
+    // 'pair' sits at df=2 of N=6 (under the 0.5 ratio) — the absolute cap
+    // at 1 still removes it, killing the only candidate pair
+    val docs = (1L to 4L).map(i => (i, s"only$i words")) ++
+      Seq((5L, "pair common"), (6L, "pair common"))
+    val df = docs.toDF("doc_id", "text")
+    assert(TfIdf.cosinePairs(df, minCosine = 0.01, dfCapRatio = 0.5).count() == 1)
+    assert(TfIdf.cosinePairs(df, minCosine = 0.01, dfCapRatio = 0.5,
+      dfCapMax = 1L).count() == 0)
+  }
+
   test("tfidf weights: rarer terms weigh more at equal tf") {
     val docs = Seq(
       (1L, "rare shared"), (2L, "shared x"), (3L, "shared y"),

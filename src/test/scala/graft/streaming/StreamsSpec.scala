@@ -335,4 +335,37 @@ class StreamsSpec extends SparkTestBase {
       assert(state == Map(0L -> "init", 1L -> "a", 2L -> "b2"))
     } finally sq.stop()
   }
+
+  test("streaming anomaly scores match the batch rolling z-score exactly") {
+    import graft.streaming.Streams.ValueEvent
+    implicit val sqlCtx = spark.sqlContext
+    // two users: a stable series with planted spikes, plus a quiet one
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 40).map { i =>
+      val v =
+        if (i == 25 || i == 37) 900.0 else 50.0 + rnd.nextInt(10)
+      ValueEvent(1L, i.toLong, ts(i), v)
+    } ++ (1 to 12).map(i => ValueEvent(2L, 100L + i, ts(i), 5.0 + (i % 3)))
+    val batch = graft.ext.TimeSeries
+      .rollingZScore(rows.toDF(), lookback = 16, minObs = 8, threshold = 2.5)
+      .select("user_id", "event_id", "value", "z")
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(batch.exists(_._2 == 25L) && batch.exists(_._2 == 37L))
+
+    val mem = MemoryStream[ValueEvent]
+    val sq = Streams.anomalyStream(mem.toDS(), lookback = 16, minObs = 8,
+        threshold = 2.5)
+      .writeStream.format("memory").queryName("anomaly_parity")
+      .outputMode("append").start()
+    try {
+      // in-order arrival split across micro-batches (state carries over)
+      rows.sortBy(e => (e.ts.getTime, e.event_id)).grouped(7).foreach { c =>
+        mem.addData(c: _*); sq.processAllAvailable()
+      }
+      val streamed = spark.table("anomaly_parity")
+        .as[(Long, Long, Double, Double)].collect().toSet
+      assert(streamed == batch,
+        s"divergence: missing=${batch -- streamed} extra=${streamed -- batch}")
+    } finally sq.stop()
+  }
 }
