@@ -45,4 +45,34 @@ object MarketBasket {
         round(col("cab") * col("n") / (col("c1.c") * col("c2.c")), 4)
           .as("lift"))
   }
+
+  /** Item-item collaborative-filtering similarity (the Amazon/Sarwar 2001
+    * item-based recommender table): each item as its basket-incidence
+    * vector, pairwise cosine `c_ab / √(c_a·c_b)` from the SAME exact
+    * integer supports as [[pairLift]], then the top `k` neighbors per item
+    * (both directions of each pair, ranked by cosine with the neighbor id
+    * as the total tie-break). Output is ≤ k rows per item — the bounded
+    * recommendation table, not the full pair set. */
+  def itemNeighbors(baskets: DataFrame, basketCol: String, itemCol: String,
+      k: Int = 5, minSupport: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // lazy checkpoint: the pair table feeds both orientations of the union
+    val pl = graft.graph.Checkpointer(baskets.sparkSession, None)
+      .lazily(pairLift(baskets, basketCol, itemCol, minSupport))
+    val sym = pl
+      .select(col("p1").as("item"), col("p2").as("neighbor"),
+        col("cab"), col("c1").as("ci"), col("c2").as("cn"))
+      .unionAll(pl
+        .select(col("p2").as("item"), col("p1").as("neighbor"),
+          col("cab"), col("c2").as("ci"), col("c1").as("cn")))
+      .withColumn("cosine",
+        col("cab") / (sqrt(col("ci").cast("double")) *
+          sqrt(col("cn").cast("double"))))
+    val w = Window.partitionBy("item")
+      .orderBy(col("cosine").desc, col("neighbor"))
+    sym.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("item"), col("neighbor"), col("cab"),
+        round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
 }

@@ -247,6 +247,66 @@ object AnalyticsQueries {
             FROM pairs p JOIN totals t ON p.prev_type = t.prev_type
             ORDER BY p.prev_type, p.next_type"""))
 
+  /** q121: smoothed mean target encoding (m-estimate, m=10) of the
+    * document `source` category against the embedding label joined on id
+    * — exact per-category counts/sums, prior-shrunk encoding. */
+  private val q121 = QDef(
+    "q121_target_encoding",
+    (s, dir) => {
+      val joined = Tables.load(s, dir, "documents").select(col("doc_id"), col("source"))
+        .join(Tables.load(s, dir, "embeddings")
+          .select(col("vec_id").as("doc_id"), col("label")), "doc_id")
+      graft.ext.FeatureEncoding.targetEncode(joined, "source", "label", m = 10.0)
+        .orderBy("source")
+    },
+    Some("""WITH j AS (SELECT d.source, e.label
+                       FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+            per AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(label) AS BIGINT) AS sum_y
+                    FROM j GROUP BY source),
+            g AS (SELECT CAST(count(*) AS BIGINT) AS n_all,
+                         CAST(sum(label) AS BIGINT) AS sum_all FROM j)
+            SELECT source, n, sum_y,
+                   (sum_y + 10.0 * (sum_all / n_all)) / (n + 10.0) AS enc
+            FROM per CROSS JOIN g ORDER BY source"""))
+
+  /** q122: item-item collaborative-filtering neighbors — cosine over
+    * basket-incidence vectors from exact supports, top-5 per item. */
+  private val q122 = QDef(
+    "q122_item_neighbors",
+    (s, dir) => MarketBasket.itemNeighbors(Tables.load(s, dir, "lineitem"),
+        basketCol = "l_orderkey", itemCol = "l_partkey",
+        k = 5, minSupport = 2)
+      .orderBy("item", "rank"),
+    Some("""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                           FROM lineitem),
+            pc AS (SELECT pk, CAST(count(*) AS BIGINT) AS c
+                   FROM items GROUP BY pk),
+            pairs AS (SELECT i1.pk AS p1, i2.pk AS p2,
+                             CAST(count(*) AS BIGINT) AS cab
+                      FROM items i1
+                      JOIN items i2 ON i1.ok = i2.ok AND i1.pk < i2.pk
+                      GROUP BY i1.pk, i2.pk HAVING count(*) >= 2),
+            wc AS (SELECT p1, p2, cab, c1.c AS c1, c2.c AS c2
+                   FROM pairs JOIN pc c1 ON p1 = c1.pk
+                              JOIN pc c2 ON p2 = c2.pk),
+            sym AS (SELECT p1 AS item, p2 AS neighbor, cab,
+                           cab / (sqrt(CAST(c1 AS DOUBLE)) *
+                                  sqrt(CAST(c2 AS DOUBLE))) AS cosine
+                    FROM wc
+                    UNION ALL
+                    SELECT p2, p1, cab,
+                           cab / (sqrt(CAST(c2 AS DOUBLE)) *
+                                  sqrt(CAST(c1 AS DOUBLE))) AS cosine
+                    FROM wc),
+            r AS (SELECT item, neighbor, cab, cosine,
+                         row_number() OVER (PARTITION BY item
+                           ORDER BY cosine DESC, neighbor) AS rank
+                  FROM sym)
+            SELECT item, neighbor, cab, round(cosine, 4) AS cosine,
+                   CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 5 ORDER BY item, rank"""))
+
   val all: Seq[QDef] =
-    Seq(q112, q113, q114, q115, q116, q117, q118, q119, q120)
+    Seq(q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122)
 }

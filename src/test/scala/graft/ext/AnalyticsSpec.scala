@@ -131,6 +131,46 @@ class AnalyticsSpec extends SparkTestBase {
     assert(got.toSeq == Seq(2L))
   }
 
+  // ---------- target encoding ----------
+
+  test("targetEncode: hand-computed m-estimate shrinkage") {
+    // cat a: n=2 sum=2 (mean 1); cat b: n=1 sum=0; prior = 2/3
+    val df = Seq(("a", 1L), ("a", 1L), ("b", 0L)).toDF("cat", "y")
+    val got = FeatureEncoding.targetEncode(df, "cat", "y", m = 1.0)
+      .orderBy("cat").as[(String, Long, Long, Double)].collect().toSeq
+    val prior = 2.0 / 3.0
+    assert(got == Seq(
+      ("a", 2L, 2L, (2.0 + prior) / 3.0), ("b", 1L, 0L, prior / 2.0)))
+  }
+
+  test("targetEncode: rare categories shrink toward the prior") {
+    val df = (1 to 100).map(i => ("big", if (i <= 90) 1L else 0L)) :+
+      (("rare", 0L))
+    val enc = FeatureEncoding.targetEncode(df.toDF("cat", "y"), "cat", "y",
+        m = 10.0)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    val prior = 90.0 / 101.0
+    // big stays near its own mean; rare lands between 0 and the prior,
+    // much closer to the prior than to its raw mean
+    assert(math.abs(enc("big") - 0.9) < 0.02)
+    assert(enc("rare") > 0.7 * prior && enc("rare") < prior)
+  }
+
+  // ---------- item neighbors ----------
+
+  test("itemNeighbors: cosine from supports, both directions, ranked") {
+    // baskets: {1,2} {1,2} {1,3} → c1=3 c2=2 c3=1... c3 below support
+    val b = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 3L)).toDF("ok", "pk")
+    val got = MarketBasket.itemNeighbors(b, "ok", "pk", k = 5, minSupport = 2)
+      .orderBy("item", "rank")
+      .as[(Long, Long, Long, Double, Long)].collect().toSeq
+    val cos12 = BigDecimal(2.0 / (math.sqrt(3.0) * math.sqrt(2.0)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq((1L, 2L, 2L, cos12, 1L), (2L, 1L, 2L, cos12, 1L)))
+  }
+
   // ---------- priority sampling ----------
 
   test("prioritySample: deterministic, size-k, partitioning-invariant") {

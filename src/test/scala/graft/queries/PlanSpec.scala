@@ -36,7 +36,8 @@ class PlanSpec extends SparkTestBase {
       "q105_ivfpq_topk",
       // broadcast cross of a single-row aggregate (funnel base cohort /
       // basket total N / corpus size N) — the q71 pattern
-      "q113_funnel", "q115_copurchase_lift", "q118_tfidf_cosine")
+      "q113_funnel", "q115_copurchase_lift", "q118_tfidf_cosine",
+      "q121_target_encoding")
 
   private lazy val plans: Map[String, String] =
     graft.SparkEntry.queries.map { case (name, fn) =>
