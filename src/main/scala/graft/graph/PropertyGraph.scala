@@ -105,6 +105,40 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
           .otherwise(lit(0.0)))
   }
 
+  /** Degree assortativity coefficient (Newman 2002): the Pearson
+    * correlation of endpoint degrees over the canonical undirected simple
+    * graph, both orientations of every edge (the standard symmetric form).
+    * Every sum (Σx, Σx², Σxy over the directed endpoint list) is an EXACT
+    * integer aggregate — order-independent — and the coefficient is one
+    * fixed double expression over those longs, so the result is
+    * bit-identical on any engine/partitioning. One row out; the only
+    * shuffles are the degree aggregate and two broadcast-ready joins.
+    * (At extreme scale Σd·d' can approach Long range — switch the three
+    * product sums to DECIMAL(38,0) past ~10¹² edge-endpoint products.) */
+  def assortativity: DataFrame = {
+    val und = edges.select(
+        least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val sym = und.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+    val xy = sym
+      .join(deg.select(col("id").as("u"), col("d").as("x")), "u")
+      .join(deg.select(col("id").as("v"), col("d").as("y")), "v")
+    val s = xy.agg(count(lit(1)).as("m"), sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+    // symmetric form: y-marginals equal x-marginals by construction.
+    // try_divide: a regular (all-degrees-equal) graph has zero degree
+    // variance — assortativity is undefined there, so emit NULL instead
+    // of ANSI's divide-by-zero error
+    s.select(col("m").cast("long").as("m"),
+      try_divide(col("m") * col("sxy") - col("sx") * col("sx"),
+        col("m") * col("sxx") - col("sx") * col("sx"))
+        .as("assortativity"))
+  }
+
   /** Landmark BFS hop distances over undirected edges (GraphFrames
     * `shortestPaths` surface, relational output). See [[ShortestPaths]]. */
   def shortestPaths(landmarks: Seq[Long], maxIter: Int = 20): DataFrame =

@@ -307,6 +307,32 @@ object AnalyticsQueries {
                    CAST(rank AS BIGINT) AS rank
             FROM r WHERE rank <= 5 ORDER BY item, rank"""))
 
+  /** q123: degree assortativity of the transaction graph (Newman 2002) —
+    * exact integer moment sums, one double expression. */
+  private val q123 = QDef(
+    "q123_assortativity",
+    (s, dir) => GraphQueries.txnGraph(s, dir).assortativity,
+    Some(s"""WITH e0 AS (${GraphQueries.txnEdgesSql}),
+             und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                     FROM e0 WHERE src <> dst),
+             deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM
+                       (SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+                     GROUP BY id),
+             sym AS (SELECT a AS u, b AS v FROM und
+                     UNION ALL SELECT b AS u, a AS v FROM und),
+             xy AS (SELECT dx.d AS x, dy.d AS y
+                    FROM sym JOIN deg dx ON sym.u = dx.id
+                             JOIN deg dy ON sym.v = dy.id),
+             s AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                          CAST(sum(x) AS BIGINT) AS sx,
+                          CAST(sum(x * x) AS BIGINT) AS sxx,
+                          CAST(sum(x * y) AS BIGINT) AS sxy
+                   FROM xy)
+             SELECT m, (m * sxy - sx * sx) / (m * sxx - sx * sx)
+                      AS assortativity
+             FROM s"""))
+
   val all: Seq[QDef] =
-    Seq(q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122)
+    Seq(q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122,
+      q123)
 }

@@ -217,6 +217,25 @@ class AnalyticsSpec extends SparkTestBase {
     assert(got.toSeq == Seq(1.0, 1.0, 1.0))
   }
 
+  // ---------- assortativity ----------
+
+  test("assortativity: star is maximally disassortative, clique degenerate") {
+    import graft.graph.PropertyGraph
+    val sverts = (1L to 5L).toDF("id")
+    val star = (2L to 5L).map(i => (1L, i)).toDF("src", "dst")
+    val r = PropertyGraph(sverts, star).assortativity
+      .select("assortativity").as[Double].collect().head
+    // star: every edge connects deg-4 hub to deg-1 leaf → r = -1
+    assert(r == -1.0)
+    // clique: all degrees equal → zero variance → NULL (0/0 division)
+    val kverts = (1L to 4L).toDF("id")
+    val clique = (for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j))
+      .toDF("src", "dst")
+    val kr = PropertyGraph(kverts, clique).assortativity
+      .select(col("assortativity")).collect().head
+    assert(kr.isNullAt(0))
+  }
+
   // ---------- transition matrix ----------
 
   test("transitionMatrix: counts consecutive pairs per user, rows normalize") {
