@@ -332,7 +332,98 @@ object AnalyticsQueries {
                       AS assortativity
              FROM s"""))
 
+  /** q124: per-entity flow concentration over the transaction graph — the
+    * AML money-flow profile (in/out totals, counts, net). Two keyed
+    * aggregates + one full-outer join; sums of 2-decimal amounts rounded
+    * back to their own grain (safe: the nearest 2-decimal value is
+    * unambiguous at ~1e-10 accumulation error). */
+  private val q124 = QDef(
+    "q124_flow_stats",
+    (s, dir) => {
+      val e = GraphQueries.txnGraph(s, dir).edges
+      val out = e.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("out_n"), round(sum(col("amount")), 2).as("out_total"))
+      val in = e.groupBy(col("dst").as("id"))
+        .agg(count(lit(1)).as("in_n"), round(sum(col("amount")), 2).as("in_total"))
+      out.join(in, Seq("id"), "full_outer")
+        .select(col("id"),
+          coalesce(col("out_n"), lit(0L)).cast("long").as("out_n"),
+          coalesce(col("out_total"), lit(0.0)).as("out_total"),
+          coalesce(col("in_n"), lit(0L)).cast("long").as("in_n"),
+          coalesce(col("in_total"), lit(0.0)).as("in_total"),
+          round(coalesce(col("in_total"), lit(0.0)) -
+            coalesce(col("out_total"), lit(0.0)), 2).as("net"))
+        .orderBy("id")
+    },
+    Some(s"""WITH e AS (${GraphQueries.txnEdgesSql}),
+             o AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS out_n,
+                          round(sum(amount), 2) AS out_total
+                   FROM e GROUP BY src),
+             i AS (SELECT dst AS id, CAST(count(*) AS BIGINT) AS in_n,
+                          round(sum(amount), 2) AS in_total
+                   FROM e GROUP BY dst)
+             SELECT coalesce(o.id, i.id) AS id,
+                    coalesce(out_n, 0) AS out_n,
+                    coalesce(out_total, 0.0) AS out_total,
+                    coalesce(in_n, 0) AS in_n,
+                    coalesce(in_total, 0.0) AS in_total,
+                    round(coalesce(in_total, 0.0) - coalesce(out_total, 0.0), 2)
+                      AS net
+             FROM o FULL OUTER JOIN i ON o.id = i.id
+             ORDER BY id"""))
+
+  /** q125: Benford first-digit analysis of transaction amounts — the
+    * classic forensic-accounting fraud signal. The leading digit comes
+    * from exact integer cents via a CASE ladder (no log10 of the value —
+    * immune to ULP flips at powers of ten); expected counts use the nine
+    * Benford probabilities as identical literals on both engines. */
+  private val q125 = QDef(
+    "q125_benford",
+    (s, dir) => {
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      // ascending fold -> the OUTERMOST case tests the largest power first
+      val digit = (0 to 9).foldLeft(lit(0L): org.apache.spark.sql.Column) {
+        (els, k) =>
+          val p = math.pow(10, k).toLong
+          when(cents >= p, (cents / p).cast("long")).otherwise(els)
+      }
+      val d = Tables.load(s, dir, "orders")
+        .select(digit.as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("obs"))
+      // Benford probability as a when-chain literal (identical constants
+      // on both engines); corpus total via a window over the 9-row
+      // aggregate -- no broadcast cross, no extra table
+      val pcol = (1 to 9).foldLeft(lit(Double.NaN): org.apache.spark.sql.Column) {
+        (els, i) => when(col("digit") === i, lit(math.log10(1.0 + 1.0 / i)))
+          .otherwise(els)
+      }
+      import org.apache.spark.sql.expressions.Window
+      val n = sum(col("obs")).over(Window.partitionBy())
+      d.select(col("digit"), col("obs").cast("long").as("obs"),
+          round(n * pcol, 2).as("expected"),
+          round(col("obs") / (n * pcol), 4).as("ratio"))
+        .orderBy("digit")
+    },
+    Some {
+      val pcase = (1 to 9).foldLeft("CAST('NaN' AS DOUBLE)") { (els, i) =>
+        s"CASE WHEN digit = $i THEN ${math.log10(1.0 + 1.0 / i)} ELSE $els END"
+      }
+      val ladder = (0 to 9).foldLeft("0") { (els, k) =>
+        val p = math.pow(10, k).toLong
+        s"CASE WHEN c >= $p THEN c // $p ELSE $els END"
+      }
+      s"""WITH cents AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+                         FROM orders),
+          d AS (SELECT CAST($ladder AS BIGINT) AS digit FROM cents),
+          o AS (SELECT digit, CAST(count(*) AS BIGINT) AS obs
+                FROM d GROUP BY digit),
+          w AS (SELECT digit, obs, sum(obs) OVER () AS n, $pcase AS p FROM o)
+          SELECT digit, obs, round(n * p, 2) AS expected,
+                 round(obs / (n * p), 4) AS ratio
+          FROM w ORDER BY digit"""
+    })
+
   val all: Seq[QDef] =
     Seq(q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122,
-      q123)
+      q123, q124, q125)
 }
