@@ -423,7 +423,40 @@ object AnalyticsQueries {
           FROM w ORDER BY digit"""
     })
 
+  /** q126: 3-truss peeling of the transaction graph, two fixed rounds
+    * (the q69 fixed-round/unrolled-oracle pattern) — the edge-support
+    * cohesion kernel; fixpoint form + containment-in-core law are spec'd
+    * in KTrussSpec. */
+  private val q126 = QDef(
+    "q126_ktruss",
+    (s, dir) => graft.graph.KTruss
+      .peelRounds(GraphQueries.txnGraph(s, dir), k = 3, rounds = 2)
+      .orderBy("a", "b"),
+    Some {
+      def round(i: Int): String = {
+        val (u, t, ss) = (s"u$i", s"t$i", s"s$i")
+        s"""$t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                   FROM $u e1 JOIN $u e2 ON e1.b = e2.a
+                   JOIN $u e3 ON e3.a = e1.a AND e3.b = e2.b),
+            $ss AS (SELECT a, b, CAST(count(*) AS BIGINT) AS supp FROM
+                      (SELECT x AS a, y AS b FROM $t UNION ALL
+                       SELECT y, z FROM $t UNION ALL SELECT x, z FROM $t)
+                    GROUP BY a, b)"""
+      }
+      s"""WITH e AS (${GraphQueries.txnEdgesSql}),
+          u0 AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b
+                 FROM e WHERE src <> dst),
+          ${round(0)},
+          u1 AS (SELECT a, b FROM s0 WHERE supp >= 1),
+          ${round(1)},
+          u2 AS (SELECT a, b FROM s1 WHERE supp >= 1),
+          ${round(2)}
+          SELECT u2.a, u2.b, coalesce(s2.supp, 0) AS supp
+          FROM u2 LEFT JOIN s2 ON u2.a = s2.a AND u2.b = s2.b
+          ORDER BY u2.a, u2.b"""
+    })
+
   val all: Seq[QDef] =
     Seq(q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122,
-      q123, q124, q125)
+      q123, q124, q125, q126)
 }
