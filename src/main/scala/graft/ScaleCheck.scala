@@ -124,7 +124,8 @@ object ScaleCheck {
       // densification arm: wedge/triangle families are combinatorial in
       // degree at fixed vertices (and q112's hub cap is the bound under
       // densification), so like motifs they get the modest 2× arm
-      else if (q.contains("link_prediction") || q.contains("clustering"))
+      else if (q.contains("link_prediction") || q.contains("clustering") ||
+        q.contains("ktruss"))
         (e2Dir, 2)
       else if (q.contains("tfidf") || q.contains("dedup") ||
         q.contains("minhash") || q.contains("pq"))
