@@ -1,0 +1,60 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Walk-corpus generation for graph-embedding training (the DeepWalk /
+  * node2vec input stage, Perozzi 2014): one fixed-length walk from every
+  * vertex. Steps are DERANDOMIZED the way the sampling operators are
+  * ([[graft.ext.Sampling.arithHash]]): at step t from vertex u, the next
+  * hop is the neighbor v minimizing the seeded multiplicative hash of
+  * (u, v, t) — a deterministic function of the graph alone, so the corpus
+  * is identical on every run, engine, and partitioning (`randomSplit`-free
+  * reproducibility, and SQL-mirrorable for the oracle gate).
+  *
+  * Scale shape: each step is one equi-join of the frontier against the
+  * adjacency list plus one per-(walk, step) window to pick the argmin —
+  * walks never leave the executors, state per step is one row per walk,
+  * and the adjacency list shuffles once per step on the current-vertex
+  * key. Hash-walk determinism trades walk diversity for reproducibility;
+  * for embedding corpora run `nWalks` arms with different seeds.
+  */
+object RandomWalks {
+
+  /** Seeded per-candidate score; every intermediate stays far below Long
+    * overflow for vertex ids < ~9·10¹² (the [[graft.ext.Sampling]]
+    * arithmetic-hash contract). */
+  private def score(u: Column, v: Column, step: Int, seed: Long): Column =
+    pmod((pmod(u * lit(1000003L) + v, lit(1000000007L)) + lit(step * 7919L) +
+      lit(seed)) * lit(2654435761L), lit(1000000007L))
+
+  /** One deterministic walk of `steps` hops from every vertex, over the
+    * canonical undirected adjacency. Output: `start, v1 … v<steps>`
+    * (NULL-padded when a walk hits an isolated dead end — impossible on
+    * an undirected graph except for isolated start vertices, which are
+    * omitted). */
+  def walks(edges: DataFrame, steps: Int, seed: Long): DataFrame = {
+    require(steps >= 1 && steps <= 16, "steps must be in [1, 16]")
+    val und = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val adj = und.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+    var frontier = adj.select(col("u").as("start")).distinct()
+      .withColumn("cur", col("start"))
+    (1 to steps).foreach { t =>
+      val w = Window.partitionBy("start").orderBy(col("__h"), col("v"))
+      frontier = frontier
+        .join(adj, frontier("cur") === adj("u"))
+        .withColumn("__h", score(col("cur"), col("v"), t, seed))
+        .withColumn("__r", row_number().over(w))
+        .where(col("__r") === 1)
+        .drop("u", "cur", "__h", "__r")
+        .withColumnRenamed("v", s"v$t")
+        .withColumn("cur", col(s"v$t"))
+    }
+    frontier.drop("cur")
+  }
+}

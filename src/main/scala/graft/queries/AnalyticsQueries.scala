@@ -456,7 +456,39 @@ object AnalyticsQueries {
           ORDER BY u2.a, u2.b"""
     })
 
+  /** q127: derandomized walk corpus (DeepWalk input) — one 3-hop
+    * hash-walk from every vertex of the transaction graph, unrolled
+    * step-by-step in the oracle. */
+  private val q127 = QDef(
+    "q127_random_walks",
+    (s, dir) => graft.graph.RandomWalks
+      .walks(GraphQueries.txnGraph(s, dir).edges, steps = 3, seed = 17L)
+      .orderBy("start"),
+    Some {
+      def step(t: Int): String = {
+        val prev = if (t == 1) "f0" else s"s${t - 1}"
+        val keep = (1 until t).map(i => s"$prev.v$i, ").mkString
+        s"""c$t AS (SELECT $prev.start, $keep adj.v,
+                 ((($prev.cur * 1000003 + adj.v) % 1000000007
+                    + ${t * 7919} + 17) * 2654435761) % 1000000007 AS h
+               FROM $prev JOIN adj ON $prev.cur = adj.u),
+            s$t AS (SELECT start, ${(1 until t).map(i => s"v$i, ").mkString}
+                           v AS v$t, v AS cur
+                    FROM (SELECT c$t.*, row_number() OVER
+                            (PARTITION BY start ORDER BY h, v) AS r FROM c$t)
+                    WHERE r = 1)"""
+      }
+      s"""WITH e AS (${GraphQueries.txnEdgesSql}),
+          und AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b
+                  FROM e WHERE src <> dst),
+          adj AS (SELECT a AS u, b AS v FROM und
+                  UNION ALL SELECT b AS u, a AS v FROM und),
+          f0 AS (SELECT DISTINCT u AS start, u AS cur FROM adj),
+          ${step(1)}, ${step(2)}, ${step(3)}
+          SELECT start, v1, v2, v3 FROM s3 ORDER BY start"""
+    })
+
   val all: Seq[QDef] =
     Seq(q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122,
-      q123, q124, q125, q126)
+      q123, q124, q125, q126, q127)
 }

@@ -236,6 +236,39 @@ class AnalyticsSpec extends SparkTestBase {
     assert(kr.isNullAt(0))
   }
 
+  // ---------- random walks ----------
+
+  test("randomWalks: deterministic, partitioning-invariant, edge-respecting") {
+    import graft.graph.RandomWalks
+    val rnd = new scala.util.Random(5)
+    val edges = Seq.fill(200)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val a = RandomWalks.walks(edges, steps = 3, seed = 17L)
+      .orderBy("start").collect().toSeq
+    val b = RandomWalks.walks(edges.repartition(7), steps = 3, seed = 17L)
+      .orderBy("start").collect().toSeq
+    assert(a == b && a.nonEmpty)
+    // every hop is a real undirected edge
+    val adj = edges.as[(Long, Long)].collect()
+      .flatMap { case (x, y) => Seq((x, y), (y, x)) }.toSet
+    a.foreach { r =>
+      val hops = Seq(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      hops.sliding(2).foreach { case Seq(u, v) =>
+        assert(adj((u, v)), s"walk used non-edge ($u,$v)")
+      }
+    }
+  }
+
+  test("randomWalks: different seeds give different corpora") {
+    import graft.graph.RandomWalks
+    val rnd = new scala.util.Random(9)
+    val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val a = RandomWalks.walks(edges, 3, 1L).orderBy("start").collect().toSeq
+    val b = RandomWalks.walks(edges, 3, 2L).orderBy("start").collect().toSeq
+    assert(a != b)
+  }
+
   // ---------- transition matrix ----------
 
   test("transitionMatrix: counts consecutive pairs per user, rows normalize") {
