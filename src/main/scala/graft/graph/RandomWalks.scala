@@ -57,4 +57,26 @@ object RandomWalks {
     }
     frontier.drop("cur")
   }
+
+  /** Skip-gram training pairs from the walk corpus (word2vec input,
+    * Mikolov 2013): every ordered `(center, context)` pair of walk
+    * positions within `window` of each other, aggregated to exact pair
+    * counts. A pure in-row position enumeration over [[walks]]' output —
+    * shuffle-free until the final keyed count, output bounded by
+    * walks · (steps+1) · 2·window. */
+  def skipGramPairs(edges: DataFrame, steps: Int, seed: Long,
+      window: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val walked = walks(edges, steps, seed)
+    val pos = (0 to steps).map(i => if (i == 0) col("start") else col(s"v$i"))
+    val pairCols = for {
+      i <- 0 to steps; j <- 0 to steps
+      if i != j && math.abs(i - j) <= window
+    } yield struct(pos(i).as("center"), pos(j).as("context"))
+    walked
+      .select(explode(array(pairCols: _*)).as("p"))
+      .select(col("p.center").as("center"), col("p.context").as("context"))
+      .groupBy("center", "context").agg(count(lit(1)).as("cnt"))
+      .select(col("center"), col("context"), col("cnt").cast("long").as("cnt"))
+  }
 }

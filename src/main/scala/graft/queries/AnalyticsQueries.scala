@@ -488,7 +488,47 @@ object AnalyticsQueries {
           SELECT start, v1, v2, v3 FROM s3 ORDER BY start"""
     })
 
+  /** q128: skip-gram training pairs over the q127 walk corpus (word2vec
+    * input) — exact pair counts, window 2 over 4 walk positions. */
+  private val q128 = QDef(
+    "q128_skipgram_pairs",
+    (s, dir) => graft.graph.RandomWalks
+      .skipGramPairs(GraphQueries.txnGraph(s, dir).edges,
+        steps = 3, seed = 17L, window = 2)
+      .orderBy("center", "context"),
+    Some {
+      def stepSql(t: Int): String = {
+        val prev = if (t == 1) "f0" else s"s${t - 1}"
+        val keep = (1 until t).map(i => s"$prev.v$i, ").mkString
+        s"""c$t AS (SELECT $prev.start, $keep adj.v,
+                 ((($prev.cur * 1000003 + adj.v) % 1000000007
+                    + ${t * 7919} + 17) * 2654435761) % 1000000007 AS h
+               FROM $prev JOIN adj ON $prev.cur = adj.u),
+            s$t AS (SELECT start, ${(1 until t).map(i => s"v$i, ").mkString}
+                           v AS v$t, v AS cur
+                    FROM (SELECT c$t.*, row_number() OVER
+                            (PARTITION BY start ORDER BY h, v) AS r FROM c$t)
+                    WHERE r = 1)"""
+      }
+      val posName = (i: Int) => if (i == 0) "start" else s"v$i"
+      val pairArms = (for {
+        i <- 0 to 3; j <- 0 to 3
+        if i != j && math.abs(i - j) <= 2
+      } yield s"SELECT ${posName(i)} AS center, ${posName(j)} AS context FROM s3")
+        .mkString(" UNION ALL ")
+      s"""WITH e AS (${GraphQueries.txnEdgesSql}),
+          und AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b
+                  FROM e WHERE src <> dst),
+          adj AS (SELECT a AS u, b AS v FROM und
+                  UNION ALL SELECT b AS u, a AS v FROM und),
+          f0 AS (SELECT DISTINCT u AS start, u AS cur FROM adj),
+          ${stepSql(1)}, ${stepSql(2)}, ${stepSql(3)},
+          pairs AS ($pairArms)
+          SELECT center, context, CAST(count(*) AS BIGINT) AS cnt
+          FROM pairs GROUP BY center, context ORDER BY center, context"""
+    })
+
   val all: Seq[QDef] =
     Seq(q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122,
-      q123, q124, q125, q126, q127)
+      q123, q124, q125, q126, q127, q128)
 }
