@@ -56,4 +56,32 @@ object Stats {
         (col("__n") - col("__cnt")).as("n_nulls"), col("ndv"),
         col("min_num"), col("max_num"))
   }
+
+  /** Referential-integrity audit over declared foreign keys — the
+    * data-quality gate a warehouse runs after every load. Per FK
+    * `(name, child, childKey, parent, parentKey)`: the child row count,
+    * NULL-key rows, and orphan rows (non-null keys with no parent row).
+    *
+    * Shape: one left-anti join plus one two-counter aggregate per FK,
+    * reduced to a single row each before the union — nothing row-sized
+    * crosses FK boundaries. The anti join is a plain keyed equi-join:
+    * small parents broadcast automatically, big-big pairs (fact→fact)
+    * shuffle on the key like any join; the parent side is pre-projected
+    * to its distinct key column so only keys ride that shuffle. */
+  def integrityAudit(
+      fks: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(fks.nonEmpty, "need at least one foreign key to audit")
+    fks.map { case (fkName, child, ck, parent, pk) =>
+      val orphans = child.where(col(ck).isNotNull)
+        .join(parent.select(col(pk).as(ck)).distinct(), Seq(ck), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      child
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col(ck).isNull, 1L).otherwise(0L)).as("n_null_keys"))
+        .crossJoin(orphans) // both sides single-row aggregates
+        .select(lit(fkName).as("fk"), col("n_rows"),
+          col("n_null_keys").cast("long").as("n_null_keys"),
+          col("n_orphans"))
+    }.reduce(_ unionAll _)
+  }
 }

@@ -140,4 +140,39 @@ object TimeSeries {
     events.select(col(userCol), col(idCol), col(tsCol), col(valueCol),
       round(num / den, 4).as("ewma"))
   }
+
+  /** SCD-2 change-interval collapse (gaps-and-islands): per entity, each
+    * maximal run of consecutive events carrying the same attribute value
+    * becomes one validity interval `[valid_from_ms, valid_to_ms)` with
+    * `valid_to_ms` NULL on the open (current) interval — the change-data-
+    * capture step that turns an append-only event log into a slowly-
+    * changing dimension table (Kimball type 2).
+    *
+    * Shape: two windows over the same `(entity, time)` partitioning —
+    * Catalyst evaluates them in one sort+exchange — then one keyed
+    * aggregate and one more window over the already-collapsed runs (one
+    * row per run, far smaller than the log). No self-join, no driver
+    * state; per-key memory is O(1) (running sum + lag). The second
+    * window orders by `run_id`, not `valid_from_ms`: run ids are strictly
+    * increasing per entity by construction, while millisecond timestamps
+    * can collide across runs and would make the `lead` nondeterministic. */
+  def changeIntervals(events: DataFrame, userCol: String = "user_id",
+      typeCol: String = "event_type", tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val prev = lag(col(typeCol), 1).over(w)
+    val runs = events
+      .withColumn("__ms", unix_millis(col(tsCol)))
+      .withColumn("__chg",
+        when(prev.isNotNull && prev === col(typeCol), 0L).otherwise(1L))
+      .withColumn("__run", sum(col("__chg")).over(w))
+    val iv = runs
+      .groupBy(col(userCol), col("__run").cast("long").as("run_id"),
+        col(typeCol))
+      .agg(min("__ms").as("valid_from_ms"), max("__ms").as("last_seen_ms"),
+        count(lit(1)).as("n_events"))
+    val w2 = Window.partitionBy(userCol).orderBy("run_id")
+    iv.withColumn("valid_to_ms", lead(col("valid_from_ms"), 1).over(w2))
+      .withColumn("is_current", col("valid_to_ms").isNull.cast("int"))
+  }
 }

@@ -79,4 +79,33 @@ object RandomWalks {
       .groupBy("center", "context").agg(count(lit(1)).as("cnt"))
       .select(col("center"), col("context"), col("cnt").cast("long").as("cnt"))
   }
+
+  /** Positive PMI weighting of the skip-gram co-occurrence counts —
+    * `ppmi(c,x) = max(0, ln(#(c,x)·N / (#(c)·#(x))))`. This is the
+    * count-based embedding objective: Levy & Goldberg 2014 showed
+    * word2vec's SGNS implicitly factorizes this matrix, so (walks →
+    * pairs → PPMI → any distributed SVD) is a complete, deterministic
+    * graph-embedding pipeline with no gradient step.
+    *
+    * Shape: two keyed partial-aggregates over the pair counts (center
+    * marginals, context marginals), one single-row total broadcast, and
+    * two equi-joins back — marginals are one row per vertex, so both join
+    * sides after aggregation are ~|V|, never ~|pairs|. All arithmetic is
+    * exact-integer until a single double ratio per row (longs < 2⁵³
+    * convert exactly), associated identically on any engine; the rounded
+    * log is the only inexact op. */
+  def ppmi(pairs: DataFrame): DataFrame = {
+    val total = pairs.agg(sum("cnt").cast("long").as("n_total"))
+    val cCnt = pairs.groupBy("center").agg(sum("cnt").cast("long").as("c_cnt"))
+    val xCnt = pairs.groupBy("context").agg(sum("cnt").cast("long").as("x_cnt"))
+    pairs
+      .crossJoin(broadcast(total))
+      .join(cCnt, "center")
+      .join(xCnt, "context")
+      .select(col("center"), col("context"), col("cnt"),
+        round(greatest(lit(0.0),
+          log((col("cnt").cast("double") * col("n_total")) /
+            (col("c_cnt").cast("double") * col("x_cnt")))), 6).as("ppmi"))
+      .where(col("ppmi") > 0)
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.QDef
 import graft.engine.Tables
-import graft.ext.{MarketBasket, Sampling, TfIdf, TimeSeries}
+import graft.ext.{FeatureEncoding, MarketBasket, Sampling, TfIdf, TimeSeries}
 import graft.graph.LinkPrediction
 
 /** Behavioral / affinity analytics over the event log and baskets, plus
@@ -488,6 +488,41 @@ object AnalyticsQueries {
           SELECT start, v1, v2, v3 FROM s3 ORDER BY start"""
     })
 
+  /** Shared CTE chain mirroring [[graft.graph.RandomWalks.skipGramPairs]]
+    * (steps=3, seed=17, window=2) — ends in `pc(center, context, cnt)`;
+    * q128 selects it directly, q130 weights it with PPMI. */
+  private def skipGramCte: String = {
+    def stepSql(t: Int): String = {
+      val prev = if (t == 1) "f0" else s"s${t - 1}"
+      val keep = (1 until t).map(i => s"$prev.v$i, ").mkString
+      s"""c$t AS (SELECT $prev.start, $keep adj.v,
+               ((($prev.cur * 1000003 + adj.v) % 1000000007
+                  + ${t * 7919} + 17) * 2654435761) % 1000000007 AS h
+             FROM $prev JOIN adj ON $prev.cur = adj.u),
+          s$t AS (SELECT start, ${(1 until t).map(i => s"v$i, ").mkString}
+                         v AS v$t, v AS cur
+                  FROM (SELECT c$t.*, row_number() OVER
+                          (PARTITION BY start ORDER BY h, v) AS r FROM c$t)
+                  WHERE r = 1)"""
+    }
+    val posName = (i: Int) => if (i == 0) "start" else s"v$i"
+    val pairArms = (for {
+      i <- 0 to 3; j <- 0 to 3
+      if i != j && math.abs(i - j) <= 2
+    } yield s"SELECT ${posName(i)} AS center, ${posName(j)} AS context FROM s3")
+      .mkString(" UNION ALL ")
+    s"""e AS (${GraphQueries.txnEdgesSql}),
+        und AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b
+                FROM e WHERE src <> dst),
+        adj AS (SELECT a AS u, b AS v FROM und
+                UNION ALL SELECT b AS u, a AS v FROM und),
+        f0 AS (SELECT DISTINCT u AS start, u AS cur FROM adj),
+        ${stepSql(1)}, ${stepSql(2)}, ${stepSql(3)},
+        pairs AS ($pairArms),
+        pc AS (SELECT center, context, CAST(count(*) AS BIGINT) AS cnt
+               FROM pairs GROUP BY center, context)"""
+  }
+
   /** q128: skip-gram training pairs over the q127 walk corpus (word2vec
     * input) — exact pair counts, window 2 over 4 walk positions. */
   private val q128 = QDef(
@@ -496,39 +531,96 @@ object AnalyticsQueries {
       .skipGramPairs(GraphQueries.txnGraph(s, dir).edges,
         steps = 3, seed = 17L, window = 2)
       .orderBy("center", "context"),
-    Some {
-      def stepSql(t: Int): String = {
-        val prev = if (t == 1) "f0" else s"s${t - 1}"
-        val keep = (1 until t).map(i => s"$prev.v$i, ").mkString
-        s"""c$t AS (SELECT $prev.start, $keep adj.v,
-                 ((($prev.cur * 1000003 + adj.v) % 1000000007
-                    + ${t * 7919} + 17) * 2654435761) % 1000000007 AS h
-               FROM $prev JOIN adj ON $prev.cur = adj.u),
-            s$t AS (SELECT start, ${(1 until t).map(i => s"v$i, ").mkString}
-                           v AS v$t, v AS cur
-                    FROM (SELECT c$t.*, row_number() OVER
-                            (PARTITION BY start ORDER BY h, v) AS r FROM c$t)
-                    WHERE r = 1)"""
-      }
-      val posName = (i: Int) => if (i == 0) "start" else s"v$i"
-      val pairArms = (for {
-        i <- 0 to 3; j <- 0 to 3
-        if i != j && math.abs(i - j) <= 2
-      } yield s"SELECT ${posName(i)} AS center, ${posName(j)} AS context FROM s3")
-        .mkString(" UNION ALL ")
-      s"""WITH e AS (${GraphQueries.txnEdgesSql}),
-          und AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b
-                  FROM e WHERE src <> dst),
-          adj AS (SELECT a AS u, b AS v FROM und
-                  UNION ALL SELECT b AS u, a AS v FROM und),
-          f0 AS (SELECT DISTINCT u AS start, u AS cur FROM adj),
-          ${stepSql(1)}, ${stepSql(2)}, ${stepSql(3)},
-          pairs AS ($pairArms)
-          SELECT center, context, CAST(count(*) AS BIGINT) AS cnt
-          FROM pairs GROUP BY center, context ORDER BY center, context"""
-    })
+    Some(s"""WITH $skipGramCte
+             SELECT center, context, cnt FROM pc
+             ORDER BY center, context"""))
+
+  /** q129: SCD-2 change intervals over the event log — gaps-and-islands
+    * collapse of each user's event-type runs into validity intervals
+    * (see [[TimeSeries.changeIntervals]] for the scale shape). */
+  private val q129 = QDef(
+    "q129_scd2_intervals",
+    (s, dir) => TimeSeries
+      .changeIntervals(Tables.load(s, dir, "events"))
+      .orderBy("user_id", "run_id"),
+    Some("""WITH o AS (SELECT user_id, event_type, ts, event_id,
+                              epoch_ms(ts) AS ms,
+                              lag(event_type) OVER
+                                (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+                       FROM events),
+                 m AS (SELECT *, CASE WHEN prev IS NOT NULL
+                                       AND prev = event_type
+                                      THEN 0 ELSE 1 END AS chg
+                       FROM o),
+                 r AS (SELECT user_id, event_type, ms,
+                              CAST(sum(chg) OVER
+                                (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS BIGINT) AS run_id
+                       FROM m),
+                 iv AS (SELECT user_id, run_id, event_type,
+                               min(ms) AS valid_from_ms,
+                               max(ms) AS last_seen_ms,
+                               CAST(count(*) AS BIGINT) AS n_events
+                        FROM r GROUP BY 1, 2, 3)
+            SELECT user_id, run_id, event_type, valid_from_ms, last_seen_ms,
+                   n_events,
+                   lead(valid_from_ms) OVER
+                     (PARTITION BY user_id ORDER BY run_id) AS valid_to_ms,
+                   CAST(CASE WHEN lead(valid_from_ms) OVER
+                          (PARTITION BY user_id ORDER BY run_id) IS NULL
+                        THEN 1 ELSE 0 END AS INT) AS is_current
+            FROM iv ORDER BY user_id, run_id"""))
+
+  /** q130: PPMI weighting of the q128 co-occurrence matrix — the
+    * count-based embedding objective (Levy & Goldberg 2014); see
+    * [[graft.graph.RandomWalks.ppmi]] for the scale shape. */
+  private val q130 = QDef(
+    "q130_ppmi",
+    (s, dir) => graft.graph.RandomWalks
+      .ppmi(graft.graph.RandomWalks.skipGramPairs(
+        GraphQueries.txnGraph(s, dir).edges, steps = 3, seed = 17L,
+        window = 2))
+      .orderBy("center", "context"),
+    Some(s"""WITH $skipGramCte,
+                 tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM pc),
+                 cc AS (SELECT center, CAST(sum(cnt) AS BIGINT) AS c_cnt
+                        FROM pc GROUP BY 1),
+                 xc AS (SELECT context, CAST(sum(cnt) AS BIGINT) AS x_cnt
+                        FROM pc GROUP BY 1)
+             SELECT p.center, p.context, p.cnt,
+                    round(greatest(0.0,
+                      ln((CAST(p.cnt AS DOUBLE) * tot.n) /
+                         (CAST(cc.c_cnt AS DOUBLE) * xc.x_cnt))), 6) AS ppmi
+             FROM pc p CROSS JOIN tot
+             JOIN cc ON cc.center = p.center
+             JOIN xc ON xc.context = p.context
+             WHERE round(greatest(0.0,
+                     ln((CAST(p.cnt AS DOUBLE) * tot.n) /
+                        (CAST(cc.c_cnt AS DOUBLE) * xc.x_cnt))), 6) > 0
+             ORDER BY p.center, p.context"""))
+
+  /** q131: equal-frequency quantile binning of the event values — exact
+    * `NTILE(8)` semantics via the distributed-rank prefix sum (see
+    * [[FeatureEncoding.quantileBins]] — no global single-partition
+    * window); output is the discretizer fit table (per-bin count and
+    * numeric range). */
+  private val q131 = QDef(
+    "q131_quantile_bins",
+    (s, dir) => FeatureEncoding
+      .quantileBins(Tables.load(s, dir, "events")
+        .where(col("value").isNotNull), "value", "event_id", 8)
+      .groupBy(col("bin").cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
+      .orderBy("bin"),
+    Some("""WITH b AS (SELECT event_id, value,
+                              ntile(8) OVER (ORDER BY value, event_id) AS bin
+                       FROM events WHERE value IS NOT NULL)
+            SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+                   min(value) AS lo, max(value) AS hi
+            FROM b GROUP BY bin ORDER BY bin"""))
 
   val all: Seq[QDef] =
     Seq(q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122,
-      q123, q124, q125, q126, q127, q128)
+      q123, q124, q125, q126, q127, q128, q129, q130, q131)
 }

@@ -701,7 +701,38 @@ object RelationalQueries {
             FROM documents o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id
             ORDER BY doc_id"""))
 
+  /** q132: referential-integrity audit over the full TPC-H-ish FK graph
+    * ([[graft.engine.Stats.integrityAudit]]) — per FK the child rows,
+    * NULL keys, and orphans. One anti-join per FK, scalar outputs only. */
+  private val q132 = {
+    val fkDefs = Seq(
+      ("customer.nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      ("lineitem.order", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem.part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem.supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("nation.region", "nation", "n_regionkey", "region", "r_regionkey"),
+      ("orders.customer", "orders", "o_custkey", "customer", "c_custkey"),
+      ("supplier.nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+    QDef(
+      "q132_fk_integrity",
+      (s, dir) => graft.engine.Stats.integrityAudit(
+          fkDefs.map { case (name, c, ck, p, pk) =>
+            (name, t(s, dir, c), ck, t(s, dir, p), pk)
+          })
+        .orderBy("fk"),
+      Some(fkDefs.map { case (name, c, ck, p, pk) =>
+        s"""SELECT '$name' AS fk,
+                   (SELECT CAST(count(*) AS BIGINT) FROM $c) AS n_rows,
+                   (SELECT CAST(count(*) AS BIGINT) FROM $c
+                    WHERE $ck IS NULL) AS n_null_keys,
+                   (SELECT CAST(count(*) AS BIGINT) FROM $c
+                    WHERE $ck IS NOT NULL AND $ck NOT IN
+                      (SELECT $pk FROM $p)) AS n_orphans"""
+      }.mkString("", " UNION ALL ", " ORDER BY fk")))
+  }
+
   val all: Seq[QDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-      q39, q43, q66, q67, q68, q72, q75, q76, q77, q81, q82, q106, q109)
+      q39, q43, q66, q67, q68, q72, q75, q76, q77, q81, q82, q106, q109,
+      q132)
 }

@@ -33,4 +33,27 @@ class StatsSpec extends SparkTestBase {
     assert(math.abs(got("id") - 5000L) <= 500, s"id ndv ${got("id")}")
     assert(math.abs(got("m") - 100L) <= 10, s"m ndv ${got("m")}")
   }
+
+  test("integrityAudit: counts rows, null keys, and orphans per FK") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(9L), None)
+      .toDF("fk_col")
+    val got = Stats.integrityAudit(Seq(
+        ("child.parent", child, "fk_col", parent, "pk"),
+        ("parent.self", parent, "pk", parent, "pk")))
+      .orderBy("fk")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("child.parent", 4L, 1L, 1L), // 9 is orphaned; NULL not an orphan
+      ("parent.self", 3L, 0L, 0L)))
+  }
+
+  test("integrityAudit: duplicate parent keys do not double-count matches") {
+    val parent = Seq(1L, 1L, 2L).toDF("pk")
+    val child = Seq(1L, 2L, 3L).toDF("fk_col")
+    val got = Stats.integrityAudit(Seq(
+        ("c.p", child, "fk_col", parent, "pk")))
+      .as[(String, Long, Long, Long)].collect().head
+    assert(got == (("c.p", 3L, 0L, 1L)))
+  }
 }

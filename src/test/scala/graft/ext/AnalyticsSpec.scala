@@ -333,4 +333,108 @@ class AnalyticsSpec extends SparkTestBase {
       .select("term", "w").as[(String, Long)].collect().toMap
     assert(w("rare") > w("shared"))
   }
+
+  // ---------- SCD-2 change intervals ----------
+
+  test("changeIntervals: runs collapse, valid_to chains, open tail current") {
+    val ev = Seq(
+      (1L, "a", ts(0), 1L), (1L, "a", ts(10), 2L), (1L, "b", ts(20), 3L),
+      (1L, "a", ts(30), 4L),
+      (2L, "x", ts(5), 5L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val got = TimeSeries.changeIntervals(ev)
+      .orderBy("user_id", "run_id")
+      .select("user_id", "run_id", "event_type", "n_events",
+        "valid_from_ms", "valid_to_ms", "is_current")
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5), r.getInt(6)))
+    def ms(minute: Int): Long = ts(minute).getTime
+    assert(got == Seq(
+      (1L, 1L, "a", 2L, ms(0), ms(20), 0),
+      (1L, 2L, "b", 1L, ms(20), ms(30), 0),
+      (1L, 3L, "a", 1L, ms(30), -1L, 1),
+      (2L, 1L, "x", 1L, ms(5), -1L, 1)))
+  }
+
+  test("changeIntervals: partitioning-invariant, ordered by event time") {
+    val rnd = new scala.util.Random(11)
+    val ev = (1 to 400).map { i =>
+      (rnd.nextInt(5).toLong, s"t${rnd.nextInt(3)}", ts(i), i.toLong)
+    }.toDF("user_id", "event_type", "ts", "event_id")
+    val a = TimeSeries.changeIntervals(ev)
+      .orderBy("user_id", "run_id").collect().toSeq
+    val b = TimeSeries.changeIntervals(ev.repartition(13))
+      .orderBy("user_id", "run_id").collect().toSeq
+    assert(a == b && a.nonEmpty)
+    // exactly one open (current) interval per user
+    val open = a.groupBy(_.getLong(0))
+      .map { case (_, rs) => rs.count(_.getInt(7) == 1) }
+    assert(open.forall(_ == 1))
+  }
+
+  // ---------- PPMI ----------
+
+  test("ppmi: hand-checked weights, non-positive PMI rows dropped") {
+    import graft.graph.RandomWalks
+    val pairs = Seq(
+      (1L, 2L, 8L), (2L, 1L, 8L), (1L, 3L, 2L), (3L, 1L, 2L),
+      (2L, 3L, 1L), (3L, 2L, 1L)
+    ).toDF("center", "context", "cnt")
+    val got = RandomWalks.ppmi(pairs).orderBy("center", "context")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // N=22; marginals 1→10, 2→9, 3→3 on both sides.
+    val p12 = math.rint(math.log(8.0 * 22 / (10 * 9)) * 1e6) / 1e6
+    val p13 = math.rint(math.log(2.0 * 22 / (10 * 3)) * 1e6) / 1e6
+    // (2,3): ln(22/27) < 0 → clipped to 0 → dropped
+    assert(got == Seq(
+      (1L, 2L, 8L, p12), (1L, 3L, 2L, p13),
+      (2L, 1L, 8L, p12), (3L, 1L, 2L, p13)))
+  }
+
+  test("ppmi composes over skipGramPairs, partitioning-invariant") {
+    import graft.graph.RandomWalks
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val p1 = RandomWalks.ppmi(
+        RandomWalks.skipGramPairs(edges, 3, 17L, 2))
+      .orderBy("center", "context").collect().toSeq
+    val p2 = RandomWalks.ppmi(
+        RandomWalks.skipGramPairs(edges.repartition(9), 3, 17L, 2))
+      .orderBy("center", "context").collect().toSeq
+    assert(p1 == p2 && p1.nonEmpty)
+    assert(p1.forall(_.getDouble(3) > 0))
+  }
+
+  // ---------- quantile bins ----------
+
+  test("quantileBins: exact NTILE semantics at every n mod k") {
+    // compare the distributed-rank formulation against Spark's own ntile
+    // (single-partition window — fine at test size) for several n, k
+    for (n <- Seq(5, 16, 17, 23); k <- Seq(1, 3, 4, 8)) {
+      val df = (1 to n).map(i => ((i * 37 % n).toDouble, i.toLong))
+        .toDF("value", "id")
+      val got = FeatureEncoding.quantileBins(df, "value", "id", k)
+        .select("id", "bin").as[(Long, Int)].collect().toMap
+      val exp = df.select(col("id"),
+          ntile(k).over(org.apache.spark.sql.expressions.Window
+            .orderBy("value", "id")).as("bin"))
+        .as[(Long, Int)].collect().toMap
+      assert(got == exp, s"n=$n k=$k")
+    }
+  }
+
+  test("quantileBins: partitioning-invariant, bucket sizes differ by <= 1") {
+    val rnd = new scala.util.Random(3)
+    val df = (1 to 1000).map(i => (rnd.nextDouble() * 100, i.toLong))
+      .toDF("value", "id")
+    val a = FeatureEncoding.quantileBins(df, "value", "id", 7)
+      .orderBy("id").collect().toSeq
+    val b = FeatureEncoding.quantileBins(df.repartition(17), "value", "id", 7)
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+    val sizes = a.groupBy(_.getInt(2)).view.mapValues(_.size).values.toSeq
+    assert(sizes.max - sizes.min <= 1 && sizes.size == 7)
+  }
 }
