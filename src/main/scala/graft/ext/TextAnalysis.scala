@@ -345,6 +345,47 @@ object TextAnalysis {
         (coalesce(col("raw_sum"), lit(0L)) > 0).as("keep"))
   }
 
+  /** Bigram-LM document scoring — one rung up from [[unigramScore]]'s
+    * CCNet shape: the corpus's own bigram table is the LM, and each
+    * document is scored by its average Laplace-smoothed bigram
+    * log-probability `ln((c(w1,w2)+1) / (c(w1,·)+V))` (V = corpus
+    * vocabulary size; `c(w1,·)` the left-context count, so the smoothed
+    * conditionals sum to 1 per context).
+    *
+    * Shape: bigrams come from one bounded per-document window (`lead`
+    * over token position — a doc-keyed shuffle, frames bounded by doc
+    * length), then two keyed count aggregates (bigram table, context
+    * table) and joins back — the LM tables are vocabulary-sized, never
+    * corpus-sized. Exact-integer columns (counts, corpus-frequency sums)
+    * plus one IEEE division are the oracle-gated surface; `avg_logprob`
+    * is libm-`ln`-sensitive and is spec-asserted with tolerance instead
+    * (the q71 convention). */
+  def bigramScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val big = tok
+      .withColumn("w2", lead(col("w"), 1).over(byPos))
+      .where(col("w2").isNotNull)
+      .select(col("doc_id"), col("w").as("w1"),
+        concat_ws(" ", col("w"), col("w2")).as("bg"))
+    val lm2 = big.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val lm1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = tok.agg(countDistinct(col("w")).as("v_size"))
+    big.join(lm2, "bg").join(lm1, "w1")
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("c2")).cast("long").as("freq_sum"),
+        sum(log((col("c2") + 1).cast("double") /
+          (col("c1") + col("v_size")))).as("__sl"))
+      .select(col("doc_id"), col("n_bigrams"), col("freq_sum"),
+        (col("freq_sum").cast("double") / col("n_bigrams"))
+          .as("avg_bigram_freq"),
+        (col("__sl") / col("n_bigrams")).as("avg_logprob"))
+  }
+
   def unigramScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("w"))
     val lm = tok.groupBy("w").agg(count(lit(1)).as("cnt"))

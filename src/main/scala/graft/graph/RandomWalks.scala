@@ -80,6 +80,65 @@ object RandomWalks {
       .select(col("center"), col("context"), col("cnt").cast("long").as("cnt"))
   }
 
+  /** Second-order (node2vec, Grover & Leskovec 2016) biased walks,
+    * derandomized the same way as [[walks]]: at step t the next hop is
+    * the neighbor minimizing `hash(cur, v, t) · f(v)`, where the integer
+    * bias factor f classifies v against the PREVIOUS vertex —
+    * `returnFactor` for going back (v == prev), 1 for staying in prev's
+    * neighborhood (BFS-ish), `inOutFactor` for leaving it (DFS-ish).
+    * Under a uniform hash a candidate's win chance scales like 1/f, so
+    * the factors play the role of node2vec's p and q (bigger = less
+    * likely), while every score stays an exact long — deterministic and
+    * SQL-mirrorable (hash < 10⁹, factors ≤ 16 → products < 2⁶³).
+    *
+    * Shape: per step, [[walks]]' frontier-adjacency join plus ONE extra
+    * equi-join on `(prev, v)` against the adjacency list to test
+    * prev-neighborhood membership — both keyed, no broadcast of the
+    * graph, per-walk state still one row. Step 1 has no prev and is
+    * unbiased (identical to [[walks]]). */
+  def node2vecWalks(edges: DataFrame, steps: Int, seed: Long,
+      returnFactor: Int, inOutFactor: Int): DataFrame = {
+    require(steps >= 1 && steps <= 16, "steps must be in [1, 16]")
+    require(returnFactor >= 1 && returnFactor <= 16 &&
+      inOutFactor >= 1 && inOutFactor <= 16,
+      "bias factors must be in [1, 16]")
+    val und = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val adj = und.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+    // fresh lineage for the prev-neighborhood side: Spark's ambiguous-
+    // self-join detector rejects re-joining the same adj Dataset
+    val adjPrev = und.select(col("a").as("__pu"), col("b").as("__pv"))
+      .unionAll(und.select(col("b").as("__pu"), col("a").as("__pv")))
+    var frontier = adj.select(col("u").as("start")).distinct()
+      .withColumn("prev", lit(null).cast("long"))
+      .withColumn("cur", col("start"))
+    (1 to steps).foreach { t =>
+      val w = Window.partitionBy("start").orderBy(col("__s"), col("v"))
+      val factor =
+        when(col("prev").isNull, lit(1L))
+          .when(col("v") === col("prev"), lit(returnFactor.toLong))
+          .when(col("__pv").isNotNull, lit(1L))
+          .otherwise(lit(inOutFactor.toLong))
+      frontier = frontier
+        .join(adj, frontier("cur") === adj("u"))
+        .join(adjPrev,
+          col("__pu") === col("prev") && col("__pv") === col("v"), "left")
+        .withColumn("__s", score(col("cur"), col("v"), t, seed) * factor)
+        .withColumn("__r", row_number().over(w))
+        .where(col("__r") === 1)
+        // the vertex we stood on becomes `prev`; the chosen neighbor
+        // becomes both v_t and the new `cur`
+        .select(col("start") +: col("cur").as("__newprev") +:
+          (1 until t).map(i => col(s"v$i")) :+ col("v").as(s"v$t"): _*)
+        .withColumnRenamed("__newprev", "prev")
+        .withColumn("cur", col(s"v$t"))
+    }
+    frontier.drop("cur", "prev")
+  }
+
   /** Positive PMI weighting of the skip-gram co-occurrence counts —
     * `ppmi(c,x) = max(0, ln(#(c,x)·N / (#(c)·#(x))))`. This is the
     * count-based embedding objective: Levy & Goldberg 2014 showed

@@ -620,7 +620,51 @@ object AnalyticsQueries {
                    min(value) AS lo, max(value) AS hi
             FROM b GROUP BY bin ORDER BY bin"""))
 
+  /** q134: node2vec second-order biased walks (return factor 4, in-out
+    * factor 2) — the BFS/DFS-interpolating refinement of q127; see
+    * [[graft.graph.RandomWalks.node2vecWalks]]. Oracle unrolls the three
+    * biased steps with the prev-neighborhood LEFT JOIN per step. */
+  private val q134 = QDef(
+    "q134_node2vec_walks",
+    (s, dir) => graft.graph.RandomWalks
+      .node2vecWalks(GraphQueries.txnGraph(s, dir).edges, steps = 3,
+        seed = 17L, returnFactor = 4, inOutFactor = 2)
+      .orderBy("start"),
+    Some {
+      def step(t: Int): String = {
+        val p = if (t == 1) "f0" else s"s${t - 1}"
+        val keep = (1 until t).map(i => s"$p.v$i, ").mkString
+        val bias =
+          if (t == 1) "1"
+          else s"""CASE WHEN adj.v = $p.prev THEN 4
+                        WHEN a2.v IS NOT NULL THEN 1 ELSE 2 END"""
+        val joinPrev =
+          if (t == 1) ""
+          else s"LEFT JOIN adj a2 ON a2.u = $p.prev AND a2.v = adj.v"
+        s"""c$t AS (SELECT $p.start, $keep adj.v, $p.cur AS pcur,
+                 (((($p.cur * 1000003 + adj.v) % 1000000007
+                    + ${t * 7919} + 17) * 2654435761) % 1000000007)
+                   * ($bias) AS s
+               FROM $p JOIN adj ON $p.cur = adj.u
+               $joinPrev),
+            s$t AS (SELECT start, ${(1 until t).map(i => s"v$i, ").mkString}
+                           pcur AS prev, v AS v$t, v AS cur
+                    FROM (SELECT c$t.*, row_number() OVER
+                            (PARTITION BY start ORDER BY s, v) AS r FROM c$t)
+                    WHERE r = 1)"""
+      }
+      s"""WITH e AS (${GraphQueries.txnEdgesSql}),
+          und AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b
+                  FROM e WHERE src <> dst),
+          adj AS (SELECT a AS u, b AS v FROM und
+                  UNION ALL SELECT b AS u, a AS v FROM und),
+          f0 AS (SELECT DISTINCT u AS start, CAST(NULL AS BIGINT) AS prev,
+                        u AS cur FROM adj),
+          ${step(1)}, ${step(2)}, ${step(3)}
+          SELECT start, v1, v2, v3 FROM s3 ORDER BY start"""
+    })
+
   val all: Seq[QDef] =
     Seq(q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122,
-      q123, q124, q125, q126, q127, q128, q129, q130, q131)
+      q123, q124, q125, q126, q127, q128, q129, q130, q131, q134)
 }

@@ -1600,8 +1600,35 @@ object ExtQueries {
                    CAST(rank AS BIGINT) AS rank
             FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** q133: bigram-LM document scoring ([[TextAnalysis.bigramScore]]) —
+    * the corpus's own bigram table as the LM. Exact-integer columns plus
+    * one IEEE division are hash-gated; the `ln`-based `avg_logprob` is
+    * libm-sensitive and spec-asserted instead (the q71 convention). */
+  private val q133 = QDef(
+    "q133_bigram_lm",
+    (s, dir) => TextAnalysis
+      .bigramScore(Tables.load(s, dir, "documents"), "doc_id", "text")
+      .drop("avg_logprob")
+      .orderBy("doc_id"),
+    Some("""WITH w AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '\s+')) AS w,
+                     generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS pos
+              FROM documents),
+            b AS (SELECT a.doc_id, a.w AS w1, a.w || ' ' || b.w AS bg
+                  FROM w a JOIN w b
+                    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+            lm2 AS (SELECT bg, count(*) AS c2 FROM b GROUP BY bg),
+            lm1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY w1)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(c2) AS BIGINT) AS freq_sum,
+                   CAST(sum(c2) AS DOUBLE) / count(*) AS avg_bigram_freq
+            FROM b JOIN lm2 USING (bg) JOIN lm1 USING (w1)
+            GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[QDef] = Seq(
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q40, q41, q49, q61, q62, q70, q71, q73, q74, q88, q89, q90, q91,
-    q92, q93, q94, q95, q96, q97, q98, q100, q101, q102, q103, q104, q105)
+    q92, q93, q94, q95, q96, q97, q98, q100, q101, q102, q103, q104, q105,
+    q133)
 }

@@ -407,6 +407,75 @@ class AnalyticsSpec extends SparkTestBase {
     assert(p1.forall(_.getDouble(3) > 0))
   }
 
+  // ---------- node2vec walks ----------
+
+  test("node2vecWalks: unit factors reduce to the unbiased walk") {
+    import graft.graph.RandomWalks
+    val rnd = new scala.util.Random(21)
+    val edges = Seq.fill(250)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val unbiased = RandomWalks.walks(edges, 3, 17L)
+      .orderBy("start").collect().toSeq
+    val unit = RandomWalks.node2vecWalks(edges, 3, 17L, 1, 1)
+      .orderBy("start").collect().toSeq
+    assert(unit == unbiased && unit.nonEmpty)
+  }
+
+  test("node2vecWalks: high return factor suppresses backtracking") {
+    import graft.graph.RandomWalks
+    val rnd = new scala.util.Random(23)
+    val edges = Seq.fill(400)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    def backtracks(rf: Int): Long = RandomWalks
+      .node2vecWalks(edges, 3, 17L, rf, 1)
+      .where(col("v2") === col("start")).count()
+    assert(backtracks(16) < backtracks(1),
+      s"rf=16 gave ${backtracks(16)} backtracks vs rf=1 ${backtracks(1)}")
+  }
+
+  test("node2vecWalks: deterministic, partitioning-invariant, edge-respecting") {
+    import graft.graph.RandomWalks
+    val rnd = new scala.util.Random(29)
+    val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val a = RandomWalks.node2vecWalks(edges, 3, 17L, 4, 2)
+      .orderBy("start").collect().toSeq
+    val b = RandomWalks.node2vecWalks(edges.repartition(7), 3, 17L, 4, 2)
+      .orderBy("start").collect().toSeq
+    assert(a == b && a.nonEmpty)
+    val adj = edges.as[(Long, Long)].collect()
+      .flatMap { case (x, y) => Seq((x, y), (y, x)) }.toSet
+    a.foreach { r =>
+      val hops = Seq(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      hops.sliding(2).foreach { case Seq(u, v) =>
+        assert(adj((u, v)), s"walk used non-edge ($u,$v)")
+      }
+    }
+  }
+
+  // ---------- bigram LM ----------
+
+  test("bigramScore: hand-computed Laplace bigram model") {
+    val docs = Seq((1L, "a b a"), (2L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramScore(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    // bigrams: d1 = {"a b","b a"}, d2 = {"a b"}; c2("a b")=2, c2("b a")=1
+    // contexts: c1(a)=2, c1(b)=1; vocabulary V=2
+    val d1lp = (math.log(3.0 / 4) + math.log(2.0 / 3)) / 2
+    val d2lp = math.log(3.0 / 4)
+    assert(got == Seq(
+      (1L, 2L, 3L, 1.5, d1lp),
+      (2L, 1L, 2L, 2.0, d2lp)))
+  }
+
+  test("bigramScore: single-token docs have no bigrams and are absent") {
+    val docs = Seq((1L, "only"), (2L, "two words")).toDF("doc_id", "text")
+    val ids = TextAnalysis.bigramScore(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(ids == Seq(2L))
+  }
+
   // ---------- quantile bins ----------
 
   test("quantileBins: exact NTILE semantics at every n mod k") {
