@@ -153,7 +153,11 @@ object RandomWalks {
     * exact-integer until a single double ratio per row (longs < 2⁵³
     * convert exactly), associated identically on any engine; the rounded
     * log is the only inexact op. */
-  def ppmi(pairs: DataFrame): DataFrame = {
+  def ppmi(pairs0: DataFrame): DataFrame = {
+    // the pair table feeds four consumers (rows + two marginals + total);
+    // without truncation Catalyst re-derives the whole upstream (for walk
+    // corpora: the full per-step join chain) once per consumer
+    val pairs = Checkpointer(pairs0.sparkSession, None).lazily(pairs0)
     val total = pairs.agg(sum("cnt").cast("long").as("n_total"))
     val cCnt = pairs.groupBy("center").agg(sum("cnt").cast("long").as("c_cnt"))
     val xCnt = pairs.groupBy("context").agg(sum("cnt").cast("long").as("x_cnt"))
