@@ -663,7 +663,74 @@ object GraphQueries {
                     TRUE AS within_bound
              FROM comp GROUP BY component ORDER BY component"""))
 
+  /** q135: Louvain phase-1 community summary — two synchronous
+    * exact-integer modularity-gain move rounds from singletons
+    * ([[graft.graph.Louvain]]), reported per community (members, internal
+    * edges, degree mass, modularity contribution). Oracle unrolls both
+    * rounds (the q126 fixed-round pattern). */
+  private val q135 = QDef(
+    "q135_louvain",
+    (s, dir) => {
+      val edges = txnGraph(s, dir).edges
+      graft.graph.Louvain
+        .communityStats(edges, graft.graph.Louvain.phase1(edges, rounds = 2))
+        .orderBy("community")
+    },
+    Some {
+      def round(r: Int): String = {
+        val l = if (r == 1) "l0" else s"l${r - 1}"
+        val dir = if (r % 2 == 1) "<=" else ">="
+        s"""kic$r AS (SELECT adj.u, $l.c, CAST(count(*) AS BIGINT) AS kic
+                      FROM adj JOIN $l ON $l.v = adj.v GROUP BY adj.u, $l.c),
+            cand$r AS (SELECT u, c, max(kic) AS kic FROM (
+                         SELECT u, c, kic FROM kic$r
+                         UNION ALL SELECT v AS u, c, 0 AS kic FROM $l)
+                       GROUP BY u, c),
+            sig$r AS (SELECT $l.c, CAST(sum(d.k) AS BIGINT) AS sig
+                      FROM $l JOIN deg d ON d.u = $l.v GROUP BY $l.c),
+            sc$r AS (SELECT cand$r.u, cand$r.c,
+                       2 * m.m * cand$r.kic -
+                         (CASE WHEN cand$r.c = lo.c THEN sig$r.sig - d.k
+                               ELSE sig$r.sig END) * d.k AS score
+                     FROM cand$r
+                     JOIN sig$r ON sig$r.c = cand$r.c
+                     JOIN deg d ON d.u = cand$r.u
+                     JOIN $l lo ON lo.v = cand$r.u AND cand$r.c $dir lo.c
+                     CROSS JOIN m),
+            l$r AS (SELECT u AS v, c FROM (
+                      SELECT sc$r.*, row_number() OVER
+                        (PARTITION BY u ORDER BY score DESC, c ASC) AS r
+                      FROM sc$r) WHERE r = 1)"""
+      }
+      s"""WITH e AS ($txnEdgesSql),
+          und AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b
+                  FROM e WHERE src <> dst),
+          adj AS (SELECT a AS u, b AS v FROM und
+                  UNION ALL SELECT b AS u, a AS v FROM und),
+          deg AS (SELECT u, CAST(count(*) AS BIGINT) AS k
+                  FROM adj GROUP BY u),
+          m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+          l0 AS (SELECT DISTINCT u AS v, u AS c FROM adj),
+          ${round(1)}, ${round(2)},
+          internal AS (SELECT la.c, CAST(count(*) AS BIGINT) AS ie
+                       FROM und JOIN l2 la ON la.v = und.a
+                                JOIN l2 lb ON lb.v = und.b
+                       WHERE la.c = lb.c GROUP BY la.c),
+          stats AS (SELECT l2.c, CAST(count(*) AS BIGINT) AS n_members,
+                           CAST(sum(d.k) AS BIGINT) AS degree_sum
+                    FROM l2 JOIN deg d ON d.u = l2.v GROUP BY l2.c)
+          SELECT s.c AS community, s.n_members,
+                 CAST(coalesce(i.ie, 0) AS BIGINT) AS internal_edges,
+                 s.degree_sum,
+                 round(CAST(coalesce(i.ie, 0) AS DOUBLE) / m.m -
+                   (CAST(s.degree_sum AS DOUBLE) / (2 * m.m)) *
+                   (CAST(s.degree_sum AS DOUBLE) / (2 * m.m)), 8)
+                   AS modularity_part
+          FROM stats s LEFT JOIN internal i ON i.c = s.c CROSS JOIN m
+          ORDER BY community"""
+    })
+
   val all: Seq[QDef] =
     Seq(q15, q16, q17, q18, q19, q20, q42, q44, q45, q48, q50, q58, q59, q60,
-      q69, q85, q86, q107, q108)
+      q69, q85, q86, q107, q108, q135)
 }
