@@ -21,6 +21,57 @@ import org.apache.spark.sql.functions._
   * partitioning. */
 object Centrality {
 
+  /** HITS hubs & authorities (Kleinberg 1999) over the DIRECTED edge set,
+    * derandomized for cross-engine bit-equality: scores are exact longs
+    * on a fixed integer scale, each half-round max-normalized with floor
+    * division —
+    *
+    *   a(v) = ⌊ Σ_{u→v} h(u) · S / max_w Σ_{u→w} h(u) ⌋   (then h from a)
+    *
+    * Floor-div of exact longs is engine-independent (unlike the float
+    * L2 normalization of textbook HITS, whose shuffle-order sums drift),
+    * so fixed-round results are SQL-mirrorable. Max-normalization keeps
+    * every intermediate ≤ degree·S ≤ 2⁶³ for any realistic graph
+    * (S = 10⁴; safe to in-degrees of ~10¹⁴).
+    *
+    * Shape per round: two keyed aggregate+join passes over the edge list
+    * (one per direction) plus a broadcast single-row max — the standard
+    * power-iteration shuffle profile, rounds fixed by the caller, lineage
+    * bounded by a lazy checkpoint per round. Vertices with no in-edges
+    * (resp. out-edges) get authority (resp. hub) 0, like the zero rows of
+    * the textbook iteration. */
+  def hits(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, "rounds must be in [1, 16]")
+    val S = 10000L
+    val ck = Checkpointer(edges.sparkSession, None)
+    val e = ck.lazily(edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst")).distinct())
+    val verts = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct()
+    var hub = verts.withColumn("h", lit(S))
+    var auth: DataFrame = null
+    (1 to rounds).foreach { _ =>
+      val aRaw = e.join(hub.select(col("id").as("src"), col("h")), "src")
+        .groupBy(col("dst").as("id")).agg(sum(col("h")).as("ar"))
+      val aMax = aRaw.agg(max(col("ar")).as("am"))
+      auth = ck.lazily(verts
+        .join(aRaw, Seq("id"), "left")
+        .crossJoin(broadcast(aMax))
+        .select(col("id"),
+          coalesce(expr("(ar * 10000) div am"), lit(0L)).as("a")))
+      val hRaw = e.join(auth.select(col("id").as("dst"), col("a")), "dst")
+        .groupBy(col("src").as("id")).agg(sum(col("a")).as("hr"))
+      val hMax = hRaw.agg(max(col("hr")).as("hm"))
+      hub = ck.lazily(verts
+        .join(hRaw, Seq("id"), "left")
+        .crossJoin(broadcast(hMax))
+        .select(col("id"),
+          coalesce(expr("(hr * 10000) div hm"), lit(0L)).as("h")))
+    }
+    hub.join(auth, "id").select(col("id"), col("h").as("hub"),
+      col("a").as("authority"))
+  }
+
   private val L = 232792560L // lcm(1..20): exact 1/d terms for dist <= 20
 
   /** Per-vertex harmonic (Σ 1/d) and closeness (reached / Σ d) over the

@@ -730,7 +730,44 @@ object GraphQueries {
           ORDER BY community"""
     })
 
+  /** q136: HITS hubs & authorities, two fixed power-iteration rounds with
+    * integer max-normalization ([[graft.graph.Centrality.hits]]) — exact
+    * long floor-divisions, so the oracle unrolls both rounds verbatim. */
+  private val q136 = QDef(
+    "q136_hits",
+    (s, dir) => graft.graph.Centrality
+      .hits(txnGraph(s, dir).edges, rounds = 2)
+      .orderBy("id"),
+    Some {
+      def round(r: Int): String = {
+        val h = if (r == 1) "h0" else s"h${r - 1}"
+        s"""ar$r AS (SELECT e.dst AS id, CAST(sum($h.h) AS BIGINT) AS ar
+                     FROM e JOIN $h ON $h.id = e.src GROUP BY e.dst),
+            am$r AS (SELECT max(ar) AS am FROM ar$r),
+            a$r AS (SELECT v.id,
+                      CAST(coalesce((ar * 10000) // am, 0) AS BIGINT) AS a
+                    FROM verts v LEFT JOIN ar$r ON ar$r.id = v.id
+                    CROSS JOIN am$r),
+            hr$r AS (SELECT e.src AS id, CAST(sum(a$r.a) AS BIGINT) AS hr
+                     FROM e JOIN a$r ON a$r.id = e.dst GROUP BY e.src),
+            hm$r AS (SELECT max(hr) AS hm FROM hr$r),
+            h$r AS (SELECT v.id,
+                      CAST(coalesce((hr * 10000) // hm, 0) AS BIGINT) AS h
+                    FROM verts v LEFT JOIN hr$r ON hr$r.id = v.id
+                    CROSS JOIN hm$r)"""
+      }
+      s"""WITH e0 AS ($txnEdgesSql),
+          e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+          verts AS (SELECT DISTINCT id FROM
+                      (SELECT src AS id FROM e
+                       UNION ALL SELECT dst AS id FROM e)),
+          h0 AS (SELECT id, CAST(10000 AS BIGINT) AS h FROM verts),
+          ${round(1)}, ${round(2)}
+          SELECT h2.id, h2.h AS hub, a2.a AS authority
+          FROM h2 JOIN a2 ON a2.id = h2.id ORDER BY h2.id"""
+    })
+
   val all: Seq[QDef] =
     Seq(q15, q16, q17, q18, q19, q20, q42, q44, q45, q48, q50, q58, q59, q60,
-      q69, q85, q86, q107, q108, q135)
+      q69, q85, q86, q107, q108, q135, q136)
 }

@@ -33,4 +33,38 @@ class CentralitySpec extends SparkTestBase {
     assert(base.map(_._1) == Set(2L, 3L))
     assert(run(4) == base)
   }
+
+  test("hits: out-star center is the hub, leaves are the authorities") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val got = Centrality.hits(edges, rounds = 2)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // center: hub 10000, authority 0; leaves: hub 0, authority 10000
+    assert(got(1L) == ((10000L, 0L)))
+    Seq(2L, 3L, 4L).foreach(v => assert(got(v) == ((0L, 10000L))))
+  }
+
+  test("hits: authority follows in-degree mass, hand-checked") {
+    // 1->3, 2->3, 1->4: after round 1, ar(3)=2S, ar(4)=S -> a(3)=10000,
+    // a(4)=5000; hr(1)=15000, hr(2)=10000 -> h(1)=10000, h(2)=6666
+    val edges = Seq((1L, 3L), (2L, 3L), (1L, 4L)).toDF("src", "dst")
+    val got = Centrality.hits(edges, rounds = 1)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(3L)._2 == 10000L && got(4L)._2 == 5000L)
+    assert(got(1L)._1 == 10000L && got(2L)._1 == 6666L)
+    assert(got(3L)._1 == 0L && got(4L)._1 == 0L)
+  }
+
+  test("hits: deterministic and partitioning-invariant on a random digraph") {
+    val rnd = new scala.util.Random(37)
+    val edges = Seq.fill(400)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val a = Centrality.hits(edges, 3).orderBy("id").collect().toSeq
+    val b = Centrality.hits(edges.repartition(11), 3).orderBy("id").collect().toSeq
+    assert(a == b && a.nonEmpty)
+    // scores live on the integer scale
+    assert(a.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 10000 &&
+      r.getLong(2) >= 0 && r.getLong(2) <= 10000))
+  }
 }
