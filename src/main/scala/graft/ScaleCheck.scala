@@ -128,10 +128,11 @@ object ScaleCheck {
         q.contains("ktruss"))
         (e2Dir, 2)
       else if (q.contains("tfidf") || q.contains("dedup") ||
-        q.contains("minhash") || q.contains("pq"))
+        q.contains("minhash") || q.contains("pq") || q.contains("bigram"))
         (dDir, factor)
       else if (q.contains("funnel") || q.contains("anomaly") ||
-        q.contains("ewma") || q.contains("transition"))
+        q.contains("ewma") || q.contains("transition") ||
+        q.contains("scd2") || q.contains("quantile"))
         (tDir, factor) // behavioral axis: factor× users
       else (eDir, factor)
 

@@ -74,6 +74,49 @@ object Centrality {
 
   private val L = 232792560L // lcm(1..20): exact 1/d terms for dist <= 20
 
+  /** PageRank on a fixed integer scale (damping 0.85), derandomized the
+    * [[hits]] way: per-vertex rank is an exact long, each round computes
+    *
+    *   pr'(v) = (15·S + 85 · Σ_{u→v} ⌊pr(u) / outdeg(u)⌋) div 100
+    *
+    * — floor divisions of exact longs, so fixed-round results are
+    * bit-identical on any engine/partitioning and the oracle can unroll
+    * the rounds verbatim (the float formulation's shuffle-order double
+    * sums cannot be hash-gated; this is why plain PageRank stayed
+    * spec-only until now). Dangling-vertex mass is dropped (the "no
+    * dangling redistribution" variant); vertices with no in-edges settle
+    * at the base 0.15·S.
+    *
+    * Shape per round: one outdeg-join projection of the rank onto edges
+    * + one keyed sum — the standard power-iteration shuffle profile.
+    * Intermediates are ≤ 85·V·S, far under 2⁶³ for any V·S a cluster
+    * can hold. */
+  def pageRankInt(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, "rounds must be in [1, 16]")
+    val S = 1000000L
+    val ck = Checkpointer(edges.sparkSession, None)
+    val e = ck.lazily(edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst")).distinct())
+    val verts = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct()
+    val outdeg = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("od"))
+    var pr = verts.withColumn("pr", lit(S))
+    (1 to rounds).foreach { _ =>
+      val contrib = e
+        .join(pr.select(col("id").as("src"), col("pr")), "src")
+        .join(outdeg.select(col("id").as("src"), col("od")), "src")
+        .select(col("dst").as("id"), expr("pr div od").as("ctr"))
+        .groupBy("id").agg(sum(col("ctr")).as("inmass"))
+      pr = ck.lazily(verts
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          expr(s"(15 * ${S}L + 85 * coalesce(inmass, 0L)) div 100")
+            .as("pr")))
+    }
+    pr
+  }
+
   /** Per-vertex harmonic (Σ 1/d) and closeness (reached / Σ d) over the
     * landmark sample. The landmark itself (dist 0) is excluded. Output:
     * (id, n_reached, harmonic, closeness). */

@@ -767,7 +767,84 @@ object GraphQueries {
           FROM h2 JOIN a2 ON a2.id = h2.id ORDER BY h2.id"""
     })
 
+  /** q137: integer-scale PageRank, two fixed rounds
+    * ([[graft.graph.Centrality.pageRankInt]]) — exact long floor
+    * divisions make plain PageRank hash-gatable (the float formulation
+    * is shuffle-order-dependent and stayed spec-only). */
+  private val q137 = QDef(
+    "q137_pagerank",
+    (s, dir) => graft.graph.Centrality
+      .pageRankInt(txnGraph(s, dir).edges, rounds = 2)
+      .orderBy("id"),
+    Some {
+      def round(r: Int): String = {
+        val p = if (r == 1) "p0" else s"p${r - 1}"
+        s"""ct$r AS (SELECT e.dst AS id,
+                       CAST(sum($p.pr // od.od) AS BIGINT) AS inmass
+                     FROM e JOIN $p ON $p.id = e.src
+                            JOIN od ON od.id = e.src
+                     GROUP BY e.dst),
+            p$r AS (SELECT v.id,
+                      CAST((15 * 1000000 + 85 * coalesce(ct$r.inmass, 0))
+                           // 100 AS BIGINT) AS pr
+                    FROM verts v LEFT JOIN ct$r ON ct$r.id = v.id)"""
+      }
+      s"""WITH e0 AS ($txnEdgesSql),
+          e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+          verts AS (SELECT DISTINCT id FROM
+                      (SELECT src AS id FROM e
+                       UNION ALL SELECT dst AS id FROM e)),
+          od AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS od
+                 FROM e GROUP BY src),
+          p0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM verts),
+          ${round(1)}, ${round(2)}
+          SELECT id, pr FROM p2 ORDER BY id"""
+    })
+
+  /** q138: derandomized maximal matching, three rounds
+    * ([[graft.graph.Matching.maximalMatching]]) — both-endpoint local-
+    * minimum hash edges per round; the oracle replays each round with
+    * per-vertex `row_number` minima and NOT-IN endpoint removal. */
+  private val q138 = QDef(
+    "q138_maximal_matching",
+    (s, dir) => graft.graph.Matching
+      .maximalMatching(txnGraph(s, dir).edges, rounds = 3)
+      .orderBy("a", "b"),
+    Some {
+      def round(r: Int): String = {
+        val l = if (r == 1) "lh0" else s"lh${r - 1}"
+        s"""ends$r AS (SELECT a AS v, h, a, b FROM $l
+                       UNION ALL SELECT b AS v, h, a, b FROM $l),
+            vm$r AS (SELECT v, h AS mh, a AS ea, b AS eb FROM (
+                       SELECT ends$r.*, row_number() OVER
+                         (PARTITION BY v ORDER BY h, a, b) AS r
+                       FROM ends$r) WHERE r = 1),
+            w$r AS (SELECT l.a, l.b FROM $l l
+                    JOIN vm$r ma ON ma.v = l.a AND ma.mh = l.h
+                                AND ma.ea = l.a AND ma.eb = l.b
+                    JOIN vm$r mb ON mb.v = l.b AND mb.mh = l.h
+                                AND mb.ea = l.a AND mb.eb = l.b),
+            lh$r AS (SELECT l.a, l.b, l.h FROM $l l
+                     WHERE l.a NOT IN (SELECT a FROM w$r
+                                       UNION ALL SELECT b FROM w$r)
+                       AND l.b NOT IN (SELECT a FROM w$r
+                                       UNION ALL SELECT b FROM w$r))"""
+      }
+      s"""WITH e0 AS ($txnEdgesSql),
+          l0 AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b
+                 FROM e0 WHERE src <> dst),
+          lh0 AS (SELECT a, b,
+                    ((a * 1000003 + b) % 1000000007 + 17) * 2654435761
+                      % 1000000007 AS h
+                  FROM l0),
+          ${round(1)}, ${round(2)}, ${round(3)}
+          SELECT a, b FROM (SELECT a, b FROM w1
+                            UNION ALL SELECT a, b FROM w2
+                            UNION ALL SELECT a, b FROM w3)
+          ORDER BY a, b"""
+    })
+
   val all: Seq[QDef] =
     Seq(q15, q16, q17, q18, q19, q20, q42, q44, q45, q48, q50, q58, q59, q60,
-      q69, q85, q86, q107, q108, q135, q136)
+      q69, q85, q86, q107, q108, q135, q136, q137, q138)
 }

@@ -56,6 +56,34 @@ class CentralitySpec extends SparkTestBase {
     assert(got(3L)._1 == 0L && got(4L)._1 == 0L)
   }
 
+  test("pageRankInt: hand-checked one round") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val got = Centrality.pageRankInt(edges, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    // S=1e6. contrib: ->2: 1e6 div 2 = 500000; ->3: 500000 + 1e6
+    assert(got(1L) == 150000L)
+    assert(got(2L) == (15000000L + 85L * 500000L) / 100L)
+    assert(got(3L) == (15000000L + 85L * 1500000L) / 100L)
+  }
+
+  test("pageRankInt: sources settle at base rank; mass conserved-bounded") {
+    val rnd = new scala.util.Random(59)
+    val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val pr = Centrality.pageRankInt(edges, 3)
+    val a = pr.orderBy("id").collect().toSeq
+    val b = Centrality.pageRankInt(edges.repartition(7), 3)
+      .orderBy("id").collect().toSeq
+    assert(a == b && a.nonEmpty)
+    val n = a.size
+    val total = a.map(_.getLong(1)).sum
+    assert(total <= n * 1000000L, "rank mass exceeded the injected mass")
+    // no in-edges -> exactly the base 0.15*S after any rounds
+    val dsts = edges.as[(Long, Long)].collect().map(_._2).toSet
+    a.filter(r => !dsts(r.getLong(0)))
+      .foreach(r => assert(r.getLong(1) == 150000L))
+  }
+
   test("hits: deterministic and partitioning-invariant on a random digraph") {
     val rnd = new scala.util.Random(37)
     val edges = Seq.fill(400)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
