@@ -117,6 +117,86 @@ object Centrality {
     pr
   }
 
+  /** Landmark betweenness centrality — bounded-horizon Brandes (2001)
+    * with exact-integer dependency accumulation. Forward: level-
+    * synchronous BFS from each landmark accumulating the shortest-path
+    * counts σ (exact longs — σ(v) = Σ σ(u) over predecessors). Backward:
+    * dependencies on a fixed integer scale,
+    *
+    *   δ(v) = Σ_{w succ} ⌊ σ(v) · (S + δ(w)) / σ(w) ⌋      (S = 10⁴)
+    *
+    * — the Brandes recurrence with the rational σ_v/σ_w quantized by
+    * floor division, so every value is an exact long and fixed-horizon
+    * results are engine/partitioning-bit-identical (the float recurrence
+    * would drift per shuffle order). Output per vertex: Σ over landmarks
+    * of δ·(quantized) — the Eppstein–Wang-style sampled estimator of
+    * betweenness scaled by S (exact betweenness · S when landmarks =
+    * all vertices and horizon ≥ diameter).
+    *
+    * Shape: `maxLevels` forward rounds (frontier×adjacency join + keyed
+    * σ-sum + anti-join against settled) and `maxLevels` backward rounds
+    * (level-(d) δ joined onto level-(d−1) through the adjacency) — all
+    * keyed equi-joins over (landmark, vertex) pairs; state is one row per
+    * settled (landmark, vertex); per-round lineage checkpointed. K
+    * landmarks = O(K·E) work total, the sampled-centrality scale recipe
+    * (exact all-pairs Brandes is O(V·E) — impossible at 100 TB). */
+  def betweennessInt(edges: DataFrame, landmarks: Seq[Long],
+      maxLevels: Int): DataFrame = {
+    require(landmarks.nonEmpty && maxLevels >= 1 && maxLevels <= 12,
+      "need landmarks and maxLevels in [1, 12]")
+    val S = 10000L
+    val spark = edges.sparkSession
+    val ck = Checkpointer(spark, None)
+    import spark.implicits._
+    val und = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val adj = ck.lazily(
+      und.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(und.select(col("b").as("u"), col("a").as("v"))))
+    // ---- forward: levels(d) = (landmark, v, sigma) settled at depth d ----
+    val init = landmarks.toDF("landmark")
+      .select(col("landmark"), col("landmark").as("v"), lit(1L).as("sigma"))
+    var levels = Vector(ck.lazily(init))
+    var settled = init.select("landmark", "v")
+    (1 to maxLevels).foreach { _ =>
+      val nxt = levels.last
+        .join(adj.select(col("u").as("v"), col("v").as("__nv")), "v")
+        .select(col("landmark"), col("__nv").as("v"), col("sigma"))
+        .join(settled, Seq("landmark", "v"), "left_anti")
+        .groupBy("landmark", "v").agg(sum(col("sigma")).as("sigma"))
+      val lvl = ck.lazily(nxt)
+      levels = levels :+ lvl
+      settled = ck.lazily(settled.unionAll(lvl.select("landmark", "v")))
+    }
+    // ---- backward: delta per level, top level has delta 0 ----
+    var deltas = Vector.fill(maxLevels + 1)(null: DataFrame)
+    deltas = deltas.updated(maxLevels,
+      levels(maxLevels).select(col("landmark"), col("v"), lit(0L).as("delta")))
+    (maxLevels - 1 to 1 by -1).foreach { d =>
+      val succ = levels(d + 1)
+        .join(deltas(d + 1), Seq("landmark", "v"))
+        .select(col("landmark"), col("v").as("__w"),
+          col("sigma").as("__sw"), col("delta").as("__dw"))
+      val contrib = levels(d)
+        .join(adj.select(col("u").as("v"), col("v").as("__w")), "v")
+        .join(succ, Seq("landmark", "__w"))
+        .groupBy("landmark", "v")
+        .agg(sum(expr(s"(sigma * (${S}L + __dw)) div __sw")).as("delta"))
+      deltas = deltas.updated(d, ck.lazily(
+        levels(d).select("landmark", "v")
+          .join(contrib, Seq("landmark", "v"), "left")
+          .select(col("landmark"), col("v"),
+            coalesce(col("delta"), lit(0L)).as("delta"))))
+    }
+    val all = (1 until maxLevels).map(deltas(_))
+      .reduceOption(_ unionAll _)
+      .getOrElse(deltas(maxLevels).limit(0))
+    all.groupBy(col("v").as("id"))
+      .agg(sum(col("delta")).as("betweenness_q"))
+  }
+
   /** Per-vertex harmonic (Σ 1/d) and closeness (reached / Σ d) over the
     * landmark sample. The landmark itself (dist 0) is excluded. Output:
     * (id, n_reached, harmonic, closeness). */

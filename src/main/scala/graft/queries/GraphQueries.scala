@@ -844,7 +844,64 @@ object GraphQueries {
           ORDER BY a, b"""
     })
 
+  /** q139: landmark betweenness centrality, bounded-horizon Brandes with
+    * integer-quantized dependencies ([[graft.graph.Centrality
+    * .betweennessInt]]) — landmarks (1, 7), horizon 4, the q107
+    * estimator family one rung up (path COUNTS and dependency flow, not
+    * just distances). Oracle unrolls 4 forward BFS levels with σ sums
+    * and 3 backward dependency levels with the same floor divisions. */
+  private val q139 = QDef(
+    "q139_betweenness",
+    (s, dir) => graft.graph.Centrality
+      .betweennessInt(sharedAttrGraph(s, dir).edges, Seq(1L, 7L),
+        maxLevels = 4)
+      .orderBy("id"),
+    Some {
+      def fwd(d: Int): String = {
+        val p = s"f${d - 1}"; val sp = s"s${d - 1}"
+        s"""f$d AS (SELECT $p.landmark, adj.v,
+                      CAST(sum($p.sigma) AS BIGINT) AS sigma
+                    FROM $p JOIN adj ON adj.u = $p.v
+                    WHERE NOT EXISTS (SELECT 1 FROM $sp
+                      WHERE $sp.landmark = $p.landmark AND $sp.v = adj.v)
+                    GROUP BY $p.landmark, adj.v),
+            s$d AS (SELECT * FROM $sp
+                    UNION ALL SELECT landmark, v FROM f$d)"""
+      }
+      def bwd(d: Int): String = {
+        val w = s"f${d + 1}"; val dw = s"d${d + 1}"
+        s"""c$d AS (SELECT f$d.landmark, f$d.v,
+                      CAST(sum((f$d.sigma * (10000 + $dw.delta)) // $w.sigma)
+                           AS BIGINT) AS delta
+                    FROM f$d JOIN adj ON adj.u = f$d.v
+                    JOIN $w ON $w.landmark = f$d.landmark AND $w.v = adj.v
+                    JOIN $dw ON $dw.landmark = f$d.landmark AND $dw.v = adj.v
+                    GROUP BY f$d.landmark, f$d.v),
+            d$d AS (SELECT f$d.landmark, f$d.v,
+                      CAST(coalesce(c$d.delta, 0) AS BIGINT) AS delta
+                    FROM f$d LEFT JOIN c$d
+                      ON c$d.landmark = f$d.landmark AND c$d.v = f$d.v)"""
+      }
+      s"""WITH e AS ($sharedAttrEdgesSql),
+          und AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b
+                  FROM e WHERE src <> dst),
+          adj AS (SELECT a AS u, b AS v FROM und
+                  UNION ALL SELECT b AS u, a AS v FROM und),
+          f0 AS (SELECT CAST(landmark AS BIGINT) AS landmark,
+                        CAST(landmark AS BIGINT) AS v,
+                        CAST(1 AS BIGINT) AS sigma
+                 FROM (VALUES (1), (7)) t(landmark)),
+          s0 AS (SELECT landmark, v FROM f0),
+          ${fwd(1)}, ${fwd(2)}, ${fwd(3)}, ${fwd(4)},
+          d4 AS (SELECT landmark, v, CAST(0 AS BIGINT) AS delta FROM f4),
+          ${bwd(3)}, ${bwd(2)}, ${bwd(1)}
+          SELECT v AS id, CAST(sum(delta) AS BIGINT) AS betweenness_q
+          FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2
+                UNION ALL SELECT * FROM d3)
+          GROUP BY v ORDER BY id"""
+    })
+
   val all: Seq[QDef] =
     Seq(q15, q16, q17, q18, q19, q20, q42, q44, q45, q48, q50, q58, q59, q60,
-      q69, q85, q86, q107, q108, q135, q136, q137, q138)
+      q69, q85, q86, q107, q108, q135, q136, q137, q138, q139)
 }

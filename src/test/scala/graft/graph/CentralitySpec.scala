@@ -84,6 +84,37 @@ class CentralitySpec extends SparkTestBase {
       .foreach(r => assert(r.getLong(1) == 150000L))
   }
 
+  test("betweennessInt: path graph — the middle vertex carries all flow") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = Centrality.betweennessInt(edges, Seq(1L, 3L), maxLevels = 3)
+      .as[(Long, Long)].collect().toMap
+    // from each landmark: delta(2) = floor(1*(S+0)/1) = S; endpoints 0
+    assert(got(2L) == 20000L)
+    assert(got(1L) == 0L && got(3L) == 0L)
+  }
+
+  test("betweennessInt: star center accumulates (leaves-1) units per landmark") {
+    val edges = (2L to 5L).map(l => (1L, l)).toDF("src", "dst")
+    val got = Centrality
+      .betweennessInt(edges, Seq(2L, 3L, 4L, 5L), maxLevels = 3)
+      .as[(Long, Long)].collect().toMap
+    // each leaf landmark routes S to the center per other leaf: 4*3*S
+    assert(got(1L) == 120000L)
+    (2L to 5L).foreach(l => assert(got(l) == 0L))
+  }
+
+  test("betweennessInt: deterministic and partitioning-invariant") {
+    val rnd = new scala.util.Random(61)
+    val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val lm = Seq(0L, 1L, 2L)
+    val a = Centrality.betweennessInt(edges, lm, 4).orderBy("id").collect().toSeq
+    val b = Centrality.betweennessInt(edges.repartition(7), lm, 4)
+      .orderBy("id").collect().toSeq
+    assert(a == b && a.nonEmpty)
+    assert(a.forall(_.getLong(1) >= 0))
+  }
+
   test("hits: deterministic and partitioning-invariant on a random digraph") {
     val rnd = new scala.util.Random(37)
     val edges = Seq.fill(400)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
