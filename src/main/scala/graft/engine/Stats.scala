@@ -57,6 +57,54 @@ object Stats {
         col("min_num"), col("max_num"))
   }
 
+  /** Pairwise Pearson correlation matrix over fixed-point numeric
+    * columns, ONE pass: a single wide aggregate computes n, per-column
+    * sums, and per-pair product sums, then the `stack` unpivot emits one
+    * row per column pair — the profile step before feature selection /
+    * multicollinearity pruning.
+    *
+    * Determinism: raw double sums are shuffle-order-dependent, so values
+    * are first scaled to integer cents (`round(x·scale)` — exact for
+    * fixed-point business data) and summed as DECIMAL(38,0) — EXACT,
+    * order-independent sums (the same reason q70 quantizes centroid
+    * sums). The correlation itself is then one fixed-shape double
+    * expression per pair from those exact atoms, rounded — reproduced
+    * verbatim by the SQL oracle. Decimal-to-double conversion of sums
+    * beyond 2⁵³ rounds nearest identically on both engines.
+    *
+    * Shape: one map-side-combinable aggregate (k + k(k+1)/2 sums) over
+    * the scan; the unpivot touches a single row. No per-pair passes. */
+  def corrMatrix(df: DataFrame, cols: Seq[String],
+      scale: Int = 100): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    def cents(c: String) = expr(s"CAST(round($c * $scale) AS DECIMAL(18,0))")
+    val aggs =
+      cols.flatMap { c =>
+        Seq(sum(cents(c)).as(s"__s_$c"),
+          sum(cents(c) * cents(c)).as(s"__q_$c"))
+      } ++
+      pairs.map { case (x, y) =>
+        sum(cents(x) * cents(y)).as(s"__p_${x}__$y")
+      }
+    val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val branches = pairs.map { case (x, y) =>
+      s"'$x', '$y', CAST(`__s_$x` AS DOUBLE), CAST(`__q_$x` AS DOUBLE), " +
+        s"CAST(`__s_$y` AS DOUBLE), CAST(`__q_$y` AS DOUBLE), " +
+        s"CAST(`__p_${x}__$y` AS DOUBLE)"
+    }
+    row.selectExpr("CAST(__n AS DOUBLE) AS n",
+        s"stack(${pairs.size}, ${branches.mkString(", ")}) " +
+          "AS (col_x, col_y, sx, qx, sy, qy, pxy)")
+      .select(col("col_x"), col("col_y"), col("n").cast("long").as("n"),
+        round((col("n") * col("pxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("qx") - col("sx") * col("sx")) *
+           sqrt(col("n") * col("qy") - col("sy") * col("sy"))), 6)
+          .as("corr"))
+  }
+
   /** Referential-integrity audit over declared foreign keys — the
     * data-quality gate a warehouse runs after every load. Per FK
     * `(name, child, childKey, parent, parentKey)`: the child row count,

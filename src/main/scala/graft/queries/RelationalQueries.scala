@@ -731,8 +731,43 @@ object RelationalQueries {
       }.mkString("", " UNION ALL ", " ORDER BY fk")))
   }
 
+  /** q140: one-pass Pearson correlation matrix over lineitem's fixed-
+    * point numerics ([[graft.engine.Stats.corrMatrix]]) — exact integer-
+    * cent DECIMAL sums (order-independent), one fixed-shape double
+    * expression per pair, mirrored verbatim. */
+  private val q140 = {
+    val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for {
+      i <- cs.indices; j <- cs.indices if i < j
+    } yield (cs(i), cs(j))
+    def h(c: String) = s"CAST(round($c * 100) AS HUGEINT)"
+    val aggArms = (
+      Seq("CAST(count(*) AS BIGINT) AS n") ++
+      cs.flatMap(c => Seq(s"sum(${h(c)}) AS s_$c", s"sum(${h(c)} * ${h(c)}) AS q_$c")) ++
+      pairs.map { case (x, y) => s"sum(${h(x)} * ${h(y)}) AS p_${x}__$y" }
+    ).mkString(", ")
+    val arms = pairs.map { case (x, y) =>
+      s"""SELECT '$x' AS col_x, '$y' AS col_y, n,
+            round((CAST(n AS DOUBLE) * CAST(p_${x}__$y AS DOUBLE)
+                   - CAST(s_$x AS DOUBLE) * CAST(s_$y AS DOUBLE)) /
+                  (sqrt(CAST(n AS DOUBLE) * CAST(q_$x AS DOUBLE)
+                        - CAST(s_$x AS DOUBLE) * CAST(s_$x AS DOUBLE)) *
+                   sqrt(CAST(n AS DOUBLE) * CAST(q_$y AS DOUBLE)
+                        - CAST(s_$y AS DOUBLE) * CAST(s_$y AS DOUBLE))), 6)
+              AS corr
+          FROM a"""
+    }.mkString(" UNION ALL ")
+    QDef(
+      "q140_corr_matrix",
+      (s, dir) => graft.engine.Stats
+        .corrMatrix(t(s, dir, "lineitem"), cs)
+        .orderBy("col_x", "col_y"),
+      Some(s"""WITH a AS (SELECT $aggArms FROM lineitem)
+               $arms ORDER BY col_x, col_y"""))
+  }
+
   val all: Seq[QDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
       q39, q43, q66, q67, q68, q72, q75, q76, q77, q81, q82, q106, q109,
-      q132)
+      q132, q140)
 }

@@ -48,6 +48,32 @@ class StatsSpec extends SparkTestBase {
       ("parent.self", 3L, 0L, 0L)))
   }
 
+  test("corrMatrix: hand-checked correlations, one row per pair") {
+    val d = Seq(
+      (1.0, 2.0, 1.0), (2.0, 4.0, 0.0), (3.0, 6.0, 1.0), (4.0, 8.0, 0.0)
+    ).toDF("x", "y", "z")
+    val got = Stats.corrMatrix(d, Seq("x", "y", "z"))
+      .orderBy("col_x", "col_y")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) ==
+      Seq(("x", "y"), ("x", "z"), ("y", "z")))
+    assert(got.forall(_._3 == 4L))
+    val m = got.map(r => (r._1, r._2) -> r._4).toMap
+    assert(m(("x", "y")) == 1.0) // y = 2x exactly
+    assert(math.abs(m(("x", "z")) - (-0.447214)) < 1e-6)
+    assert(m(("x", "z")) == m(("y", "z"))) // z vs x and z vs 2x correlate equally
+  }
+
+  test("corrMatrix: partitioning-invariant (exact decimal sums)") {
+    val rnd = new scala.util.Random(67)
+    val d = (1 to 2000).map { _ =>
+      (rnd.nextInt(10000) / 100.0, rnd.nextInt(10000) / 100.0)
+    }.toDF("x", "y")
+    val a = Stats.corrMatrix(d, Seq("x", "y")).collect().toSeq
+    val b = Stats.corrMatrix(d.repartition(17), Seq("x", "y")).collect().toSeq
+    assert(a == b && a.size == 1)
+  }
+
   test("integrityAudit: duplicate parent keys do not double-count matches") {
     val parent = Seq(1L, 1L, 2L).toDF("pk")
     val child = Seq(1L, 2L, 3L).toDF("fk_col")
