@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.QDef
 import graft.engine.Tables
-import graft.ext.{AsOfJoin, BloomJoin, RangeJoin}
+import graft.ext.{AsOfJoin, BloomJoin, RangeJoin, SetJoin}
 
 /** Specialized join operators beyond Catalyst's built-in strategies — the
   * temporal/range/runtime-filter joins an analytics engine needs where a
@@ -242,5 +242,39 @@ object JoinQueries {
               ON a.user_id = g.user_id AND a.week = g.week
             ORDER BY g.user_id, g.week"""))
 
-  def all: Seq[QDef] = Seq(q63, q64, q65, q83, q84, q110, q111)
+  /** q141: Jaccard set-similarity self-join over order baskets
+    * ([[SetJoin.jaccardPairs]], prefix filtering). The oracle recomputes
+    * the join from the FULL inverted index — a per-run losslessness
+    * proof of the prefix bound, since the two result sets must
+    * hash-match. Single-division Jaccard of exact integers: bit-stable
+    * without rounding. */
+  private val q141 = QDef(
+    "q141_basket_jaccard",
+    (s, dir) => SetJoin
+      .jaccardPairs(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minJaccard = 0.5)
+      .orderBy("id_l", "id_r"),
+    Some("""WITH it AS (SELECT DISTINCT l_orderkey AS id, l_partkey AS item
+                        FROM lineitem),
+                 sz AS (SELECT id, CAST(count(*) AS BIGINT) AS sz
+                        FROM it GROUP BY id),
+                 cand AS (SELECT DISTINCT a.id AS id_l, b.id AS id_r
+                          FROM it a JOIN it b
+                            ON a.item = b.item AND a.id < b.id),
+                 inter AS (SELECT c.id_l, c.id_r,
+                                  CAST(count(*) AS BIGINT) AS common
+                           FROM cand c
+                           JOIN it a ON a.id = c.id_l
+                           JOIN it b ON b.id = c.id_r AND b.item = a.item
+                           GROUP BY c.id_l, c.id_r)
+            SELECT i.id_l, i.id_r, i.common, sl.sz AS sz_l, sr.sz AS sz_r,
+                   CAST(i.common AS DOUBLE) /
+                     (sl.sz + sr.sz - i.common) AS jaccard
+            FROM inter i
+            JOIN sz sl ON sl.id = i.id_l
+            JOIN sz sr ON sr.id = i.id_r
+            WHERE CAST(i.common AS DOUBLE) / (sl.sz + sr.sz - i.common) >= 0.5
+            ORDER BY id_l, id_r"""))
+
+  def all: Seq[QDef] = Seq(q63, q64, q65, q83, q84, q110, q111, q141)
 }

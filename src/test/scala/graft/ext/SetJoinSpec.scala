@@ -1,0 +1,56 @@
+package graft.ext
+
+import graft.SparkTestBase
+
+class SetJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("jaccardPairs: hand-checked thresholding incl. exact duplicates") {
+    val rows = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L), (2L, 30L), // dup of 1
+      (3L, 10L), (3L, 20L), (3L, 40L), // J with 1/2 = 2/4 = 0.5
+      (4L, 99L) // disjoint
+    ).toDF("id", "item")
+    val got = SetJoin.jaccardPairs(rows, "id", "item", 0.5)
+      .orderBy("id_l", "id_r")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 3L, 3L, 3L, 1.0),
+      (1L, 3L, 2L, 3L, 3L, 0.5),
+      (2L, 3L, 2L, 3L, 3L, 0.5)))
+  }
+
+  test("jaccardPairs: prefix filter is lossless vs brute force") {
+    val rnd = new scala.util.Random(71)
+    val rows = (1 to 60).flatMap { id =>
+      val sz = 2 + rnd.nextInt(5)
+      Seq.fill(sz)((id.toLong, rnd.nextInt(25).toLong))
+    }.distinct.toDF("id", "item")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val got = SetJoin.jaccardPairs(rows, "id", "item", t)
+        .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+      val sets = rows.as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      val exp = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        j = sets(a).intersect(sets(b)).size.toDouble /
+          sets(a).union(sets(b)).size
+        if j >= t
+      } yield (a, b)).toSet
+      assert(got == exp, s"t=$t: missing ${exp -- got}, extra ${got -- exp}")
+    }
+  }
+
+  test("jaccardPairs: deterministic and partitioning-invariant") {
+    val rnd = new scala.util.Random(73)
+    val rows = (1 to 80).flatMap { id =>
+      Seq.fill(3 + rnd.nextInt(3))((id.toLong, rnd.nextInt(30).toLong))
+    }.distinct.toDF("id", "item")
+    val a = SetJoin.jaccardPairs(rows, "id", "item", 0.4)
+      .orderBy("id_l", "id_r").collect().toSeq
+    val b = SetJoin.jaccardPairs(rows.repartition(13), "id", "item", 0.4)
+      .orderBy("id_l", "id_r").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+}
