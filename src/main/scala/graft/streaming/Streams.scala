@@ -28,6 +28,26 @@ object Streams {
         col("n_events"), col("total_value"))
   }
 
+  /** Streaming heavy hitters: the Misra–Gries sketch
+    * ([[graft.functions.MisraGriesAgg]], registered as `approx_top_k`) as
+    * a windowed streaming aggregate — per tumbling window, the
+    * guaranteed-heavy event types with their lower-bound counts. The
+    * sketch buffer IS the streaming aggregation state (the
+    * TypedImperativeAggregate serializes into the state store), so state
+    * per window is O(k) counters regardless of stream volume — the
+    * streaming twin of q73's batch sketch, same mergeable guarantees.
+    * Works batch or streaming from the same plan. */
+  def heavyHittersStream(events: DataFrame, k: Int,
+      watermark: Option[String] = Some("2 hours")): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark("ts", w))
+    src.groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(expr(s"approx_top_k(event_type, $k)").as("top"))
+      .select(unix_millis(col("w.start")).as("start_ms"),
+        explode(col("top")).as("hh"))
+      .select(col("start_ms"), col("hh.item").as("item"),
+        col("hh.count_lb").as("count_lb"))
+  }
+
   /** Streaming structuring alert — the reference's aspiration "as new
     * transactions are discovered" (`01_aml_network_analysis.py:486`) made
     * real: per-beneficiary tumbling-window inflow totals with a watermark;

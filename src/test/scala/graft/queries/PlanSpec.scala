@@ -37,7 +37,12 @@ class PlanSpec extends SparkTestBase {
       // broadcast cross of a single-row aggregate (funnel base cohort /
       // basket total N / corpus size N) — the q71 pattern
       "q113_funnel", "q115_copurchase_lift", "q118_tfidf_cosine",
-      "q121_target_encoding")
+      "q121_target_encoding",
+      // broadcast cross of single-row aggregates: pair total N (q130),
+      // row total + per-range offsets (q131), per-FK scalar count pairs
+      // (q132), vocabulary size V (q133), edge count m (q135)
+      "q130_ppmi", "q131_quantile_bins", "q132_fk_integrity",
+      "q133_bigram_lm", "q135_louvain")
 
   private lazy val plans: Map[String, String] =
     graft.SparkEntry.queries.map { case (name, fn) =>

@@ -368,4 +368,35 @@ class StreamsSpec extends SparkTestBase {
         s"divergence: missing=${batch -- streamed} extra=${streamed -- batch}")
     } finally sq.stop()
   }
+
+  test("streaming heavy hitters: sketch state in the store, batch parity") {
+    // skewed stream: 'hot' dominates both windows; ≤ 6 distinct types per
+    // window < k=8, so the sketch never evicts and its counts are EXACT —
+    // merge-order-independent, which makes batch/stream parity a strict
+    // equality (under eviction count_lb is a merge-order-dependent lower
+    // bound; q73 gates that case via the guaranteed-heavy subset instead)
+    val rows = (0 until 200).map { i =>
+      val t = ts(i % 110)
+      val ty = if (i % 3 != 0) "hot" else s"cold${i % 5}"
+      (t, ty, 1.0)
+    }
+    val batchDf = rows.toDF("ts", "event_type", "value")
+    val batch = Streams.heavyHittersStream(batchDf, k = 8, watermark = None)
+      .as[(Long, String, Long)].collect().toSet
+    assert(batch.exists(_._2 == "hot"), "heavy item missing from batch twin")
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val sq = Streams.heavyHittersStream(
+        mem.toDF().toDF("ts", "event_type", "value"), k = 8)
+      .writeStream.format("memory").queryName("hh_parity")
+      .outputMode("complete").start()
+    try {
+      rows.grouped(23).foreach { c => mem.addData(c: _*); sq.processAllAvailable() }
+      val streamed = spark.table("hh_parity")
+        .as[(Long, String, Long)].collect().toSet
+      assert(streamed == batch,
+        s"divergence: missing=${batch -- streamed} extra=${streamed -- batch}")
+    } finally sq.stop()
+  }
 }
