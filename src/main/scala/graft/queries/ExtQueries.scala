@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.QDef
 import graft.engine.Tables
-import graft.ext.{ClusterKeep, Eval, Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.ext.{ClusterKeep, Eval, Multimodal, Pca, Similarity, TextAnalysis, TextDedup}
 import graft.streaming.Streams
 
 /** LLM-data-pipeline extension coverage (north-star operators beyond the
@@ -1626,9 +1626,32 @@ object ExtQueries {
             FROM b JOIN lm2 USING (bg) JOIN lm1 USING (w1)
             GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** q142: exact-integer PCA scatter matrix over the embedding corpus
+    * ([[Pca.scatterMatrix]]) — the upper-triangle second-moment sums on a
+    * fixed quantization grid, accumulated in a per-partition kernel
+    * (commutative long adds: partitioning-invariant, hash-gatable). The
+    * dominant component itself is the tiny-matrix driver step, spec-gated
+    * in PcaSpec. */
+  private val q142 = QDef(
+    "q142_scatter_matrix",
+    (s, dir) => Pca
+      .scatterMatrix(Tables.load(s, dir, "embeddings"), "embedding")
+      .orderBy("i", "j"),
+    Some("""WITH x AS (SELECT vec_id, unnest(embedding) AS v,
+                              generate_subscripts(embedding, 1) AS i
+                       FROM embeddings),
+                 q AS (SELECT vec_id, i,
+                              CAST(floor(CAST(v AS DOUBLE) * 10000 + 0.5)
+                                   AS BIGINT) AS xq
+                       FROM x)
+            SELECT CAST(a.i - 1 AS BIGINT) AS i, CAST(b.i - 1 AS BIGINT) AS j,
+                   CAST(sum(a.xq * b.xq) AS BIGINT) AS s
+            FROM q a JOIN q b ON b.vec_id = a.vec_id AND b.i >= a.i
+            GROUP BY 1, 2 ORDER BY i, j"""))
+
   val all: Seq[QDef] = Seq(
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q40, q41, q49, q61, q62, q70, q71, q73, q74, q88, q89, q90, q91,
     q92, q93, q94, q95, q96, q97, q98, q100, q101, q102, q103, q104, q105,
-    q133)
+    q133, q142)
 }
