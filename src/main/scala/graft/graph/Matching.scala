@@ -66,4 +66,58 @@ object Matching {
     }
     ck.lazily(matched)
   }
+
+  /** Maximal independent set, Luby-derandomized (the vertex analogue of
+    * [[maximalMatching]]): a vertex joins the MIS iff its seeded hash
+    * priority `(p, v)` is strictly below every LIVE neighbor's — local
+    * minima are never adjacent, so each round adds an independent set;
+    * the selected vertices and their neighborhoods leave the graph and a
+    * constant fraction of edges dies per round in expectation
+    * (Luby 1986). Vertices whose live neighborhood emptied (all
+    * neighbors removed as neighbors-of-selected) select unconditionally
+    * next round, which is what drives maximality.
+    *
+    * Shape per round: one priority projection, one adjacency×priority
+    * join + `min(struct)` per vertex, one anti-join removal, two
+    * semi-joins restricting the adjacency — all keyed; state is the live
+    * vertex set. Priorities stay exact longs for ids < ~9·10¹² (the
+    * [[RandomWalks]] arithmetic-hash contract). */
+  def maximalIndependentSet(edges: DataFrame, rounds: Int,
+      seed: Long = 17L): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, "rounds must be in [1, 16]")
+    val ck = Checkpointer(edges.sparkSession, None)
+    val und = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    var adj = ck.lazily(
+      und.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(und.select(col("b").as("u"), col("a").as("v"))))
+    var live = adj.select(col("u").as("v")).distinct()
+    var selected = live.limit(0)
+    val prioOf = (c: org.apache.spark.sql.Column) =>
+      pmod(pmod(c * lit(1000003L) + lit(seed), lit(1000000007L)) *
+        lit(2654435761L), lit(1000000007L))
+    (1 to rounds).foreach { _ =>
+      val withP = live.withColumn("p", prioOf(col("v")))
+      val nbrMin = adj
+        .join(withP.select(col("v").as("__nv"), col("p").as("__np")),
+          col("v") === col("__nv"))
+        .groupBy("u").agg(min(struct(col("__np"), col("v"))).as("mn"))
+      val sel = ck.lazily(withP
+        .join(nbrMin.withColumnRenamed("u", "v"), Seq("v"), "left")
+        .where(col("mn").isNull ||
+          struct(col("p"), col("v")) < col("mn"))
+        .select("v"))
+      selected = selected.unionAll(sel)
+      val dead = sel.unionAll(
+        adj.join(sel.withColumnRenamed("v", "u"), Seq("u"), "left_semi")
+          .select(col("v"))).distinct()
+      live = ck.lazily(live.join(dead, Seq("v"), "left_anti"))
+      adj = ck.lazily(adj
+        .join(live.withColumnRenamed("v", "u"), Seq("u"), "left_semi")
+        .join(live, Seq("v"), "left_semi"))
+    }
+    ck.lazily(selected)
+  }
 }

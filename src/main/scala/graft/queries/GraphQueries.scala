@@ -901,7 +901,50 @@ object GraphQueries {
           GROUP BY v ORDER BY id"""
     })
 
+  /** q143: maximal independent set, two Luby rounds
+    * ([[graft.graph.Matching.maximalIndependentSet]]) — hash-priority
+    * local minima; the oracle replays both rounds with per-vertex
+    * `row_number` neighbor minima and NOT-IN removals. */
+  private val q143 = QDef(
+    "q143_mis",
+    (s, dir) => graft.graph.Matching
+      .maximalIndependentSet(txnGraph(s, dir).edges, rounds = 2)
+      .orderBy("v"),
+    Some {
+      def round(r: Int): String = {
+        val lv = s"lv${r - 1}"; val ad = s"adj${r - 1}"
+        s"""p$r AS (SELECT v, ((v * 1000003 + 17) % 1000000007)
+                           * 2654435761 % 1000000007 AS p
+                    FROM $lv),
+            nm$r AS (SELECT u, p AS np, v AS nv FROM (
+                       SELECT $ad.u, pp.p, $ad.v, row_number() OVER
+                         (PARTITION BY $ad.u ORDER BY pp.p, $ad.v) AS r
+                       FROM $ad JOIN p$r pp ON pp.v = $ad.v) WHERE r = 1),
+            s$r AS (SELECT p$r.v FROM p$r
+                    LEFT JOIN nm$r ON nm$r.u = p$r.v
+                    WHERE nm$r.u IS NULL OR p$r.p < nm$r.np
+                       OR (p$r.p = nm$r.np AND p$r.v < nm$r.nv)),
+            dead$r AS (SELECT v FROM s$r
+                       UNION SELECT $ad.v FROM $ad
+                             JOIN s$r ON s$r.v = $ad.u),
+            lv$r AS (SELECT v FROM $lv
+                     WHERE v NOT IN (SELECT v FROM dead$r)),
+            adj$r AS (SELECT u, v FROM $ad
+                      WHERE u IN (SELECT v FROM lv$r)
+                        AND v IN (SELECT v FROM lv$r))"""
+      }
+      s"""WITH e0 AS ($txnEdgesSql),
+          und AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b
+                  FROM e0 WHERE src <> dst),
+          adj0 AS (SELECT a AS u, b AS v FROM und
+                   UNION ALL SELECT b AS u, a AS v FROM und),
+          lv0 AS (SELECT DISTINCT u AS v FROM adj0),
+          ${round(1)}, ${round(2)}
+          SELECT v FROM (SELECT v FROM s1 UNION ALL SELECT v FROM s2)
+          ORDER BY v"""
+    })
+
   val all: Seq[QDef] =
     Seq(q15, q16, q17, q18, q19, q20, q42, q44, q45, q48, q50, q58, q59, q60,
-      q69, q85, q86, q107, q108, q135, q136, q137, q138, q139)
+      q69, q85, q86, q107, q108, q135, q136, q137, q138, q139, q143)
 }

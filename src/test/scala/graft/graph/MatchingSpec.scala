@@ -39,6 +39,46 @@ class MatchingSpec extends SparkTestBase {
     }
   }
 
+  test("maximalIndependentSet: independence holds at every round count") {
+    val rnd = new scala.util.Random(91)
+    val edges = Seq.fill(400)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val und = edges.as[(Long, Long)].collect()
+      .map { case (x, y) => (math.min(x, y), math.max(x, y)) }.toSet
+    for (r <- Seq(1, 2, 6)) {
+      val mis = Matching.maximalIndependentSet(edges, r)
+        .as[Long].collect().toSet
+      und.foreach { case (a, b) =>
+        assert(!(mis(a) && mis(b)), s"adjacent pair ($a,$b) both in MIS, r=$r")
+      }
+    }
+  }
+
+  test("maximalIndependentSet: maximal after enough rounds") {
+    val rnd = new scala.util.Random(97)
+    val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val mis = Matching.maximalIndependentSet(edges, 8).as[Long].collect().toSet
+    val adj = edges.as[(Long, Long)].collect()
+      .flatMap { case (x, y) => Seq((x, y), (y, x)) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val verts = adj.keySet
+    // every non-MIS vertex has an MIS neighbor (else it could be added)
+    (verts -- mis).foreach { v =>
+      assert(adj(v).exists(mis), s"vertex $v addable to the MIS")
+    }
+  }
+
+  test("maximalIndependentSet: deterministic and partitioning-invariant") {
+    val rnd = new scala.util.Random(101)
+    val edges = Seq.fill(400)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val a = Matching.maximalIndependentSet(edges, 3).orderBy("v").collect().toSeq
+    val b = Matching.maximalIndependentSet(edges.repartition(7), 3)
+      .orderBy("v").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("maximalMatching: deterministic and partitioning-invariant") {
     val rnd = new scala.util.Random(53)
     val edges = Seq.fill(400)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
