@@ -944,7 +944,54 @@ object GraphQueries {
           ORDER BY v"""
     })
 
+  /** q144: time-respecting reachability over the timestamped transaction
+    * graph ([[graft.graph.TemporalGraph.earliestArrival]]) — money moves
+    * forward in time, so static reachability overcounts layering chains;
+    * earliest arrival per (source, vertex) after 4 hops, exact epoch-day
+    * integers relaxed by `min`. */
+  private val q144 = QDef(
+    "q144_temporal_reachability",
+    (s, dir) => {
+      val nCust = Tables.load(s, dir, "customer")
+        .agg(max(col("c_custkey"))).head().getLong(0)
+      val te = Tables.load(s, dir, "orders").select(
+          col("o_custkey").as("src"),
+          (lit(1L) + (col("o_orderkey") * lit(7919L)) % lit(nCust)).as("dst"),
+          // o_orderdate reads as TIMESTAMP_NTZ; session is UTC-pinned so
+          // the cast is wall-clock-identity, matching DuckDB's epoch_ms
+          expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000")
+            .as("t"))
+        .where(col("src") =!= col("dst"))
+      graft.graph.TemporalGraph.earliestArrival(te, Seq(1L, 7L), rounds = 4)
+        .orderBy("source", "v")
+    },
+    Some {
+      def round(r: Int): String = {
+        val p = s"a${r - 1}"
+        s"""a$r AS (SELECT source, v, min(arrival) AS arrival FROM (
+                      SELECT source, v, arrival FROM $p
+                      UNION ALL
+                      SELECT $p.source, te.dst AS v, te.t AS arrival
+                      FROM $p JOIN te ON te.src = $p.v
+                      WHERE te.t >= $p.arrival)
+                    GROUP BY source, v)"""
+      }
+      s"""WITH te AS (SELECT DISTINCT o_custkey AS src,
+                        1 + (o_orderkey * 7919) %
+                          (SELECT max(c_custkey) FROM customer) AS dst,
+                        CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT) AS t
+                      FROM orders
+                      WHERE o_custkey <> 1 + (o_orderkey * 7919) %
+                        (SELECT max(c_custkey) FROM customer)),
+          a0 AS (SELECT CAST(s AS BIGINT) AS source, CAST(s AS BIGINT) AS v,
+                        CAST(-9223372036854775808 AS BIGINT) AS arrival
+                 FROM (VALUES (1), (7)) t(s)),
+          ${round(1)}, ${round(2)}, ${round(3)}, ${round(4)}
+          SELECT source, v, CAST(arrival AS BIGINT) AS arrival FROM a4
+          ORDER BY source, v"""
+    })
+
   val all: Seq[QDef] =
     Seq(q15, q16, q17, q18, q19, q20, q42, q44, q45, q48, q50, q58, q59, q60,
-      q69, q85, q86, q107, q108, q135, q136, q137, q138, q139, q143)
+      q69, q85, q86, q107, q108, q135, q136, q137, q138, q139, q143, q144)
 }
