@@ -71,6 +71,12 @@ object ScaleCheck {
     customer.write.mode("overwrite").parquet(s"$e2Dir/customer.parquet")
     copies(orders, 2, Map("o_orderkey" -> off))
       .write.mode("overwrite").parquet(s"$e2Dir/orders.parquet")
+    // basket similarity rides the modest arm: its verification volume is
+    // linear by design but the 10x arm's working set (2M-part inverted
+    // index + per-basket windows) exceeds the 4 GB measurement heap
+    copies(spark.read.parquet(s"$base/lineitem.parquet"), 2,
+        Map("l_orderkey" -> off, "l_partkey" -> off))
+      .write.mode("overwrite").parquet(s"$e2Dir/lineitem.parquet")
     // lineitem rides the edge axis for the basket-mining arm: fresh
     // orderkeys AND fresh partkeys per copy — each copy is a disjoint
     // basket+item space, so per-pair supports are preserved (shifting only
@@ -118,21 +124,24 @@ object ScaleCheck {
         col("label"))
       .write.mode("overwrite").parquet(s"$dDir/embeddings.parquet")
     def armFor(q: String): (String, Int) =
-      if (q.contains("connected_components") || q.contains("hyperball"))
+      if (q.contains("connected_components") || q.contains("hyperball") ||
+        q.contains("betweenness"))
         (vDir, factor) // identity-graph growth axis
       else if (q.contains("motif")) (e2Dir, 2)
       // densification arm: wedge/triangle families are combinatorial in
       // degree at fixed vertices (and q112's hub cap is the bound under
       // densification), so like motifs they get the modest 2× arm
       else if (q.contains("link_prediction") || q.contains("clustering") ||
-        q.contains("ktruss"))
+        q.contains("ktruss") || q.contains("jaccard"))
         (e2Dir, 2)
       else if (q.contains("tfidf") || q.contains("dedup") ||
-        q.contains("minhash") || q.contains("pq") || q.contains("bigram"))
+        q.contains("minhash") || q.contains("pq") || q.contains("bigram") ||
+        q.contains("scatter"))
         (dDir, factor)
       else if (q.contains("funnel") || q.contains("anomaly") ||
         q.contains("ewma") || q.contains("transition") ||
-        q.contains("scd2") || q.contains("quantile"))
+        q.contains("scd2") || q.contains("quantile") ||
+        q.contains("top_paths"))
         (tDir, factor) // behavioral axis: factor× users
       else (eDir, factor)
 

@@ -141,6 +141,31 @@ object TimeSeries {
       round(num / den, 4).as("ewma"))
   }
 
+  /** Top-k behavior paths (clickstream path analysis): each entity's full
+    * time-ordered event-type sequence becomes one path string, exact path
+    * counts, deterministic top-k by (count desc, path asc). `collect_list`
+    * order is partition-dependent, so the list carries `(ms, event_id)`
+    * and is `array_sort`ed in-row before projection — bit-deterministic
+    * on any partitioning (the unique event id breaks ms ties).
+    *
+    * Shape: one keyed aggregate (list state bounded by per-entity event
+    * count — cap sessions upstream via [[changeIntervals]]/sessionization
+    * for unbounded actors), one keyed count, one top-k sort of the
+    * already-tiny path table. */
+  def topPaths(events: DataFrame, k: Int, userCol: String = "user_id",
+      typeCol: String = "event_type", tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val paths = events
+      .groupBy(col(userCol))
+      .agg(array_sort(collect_list(struct(
+        unix_millis(col(tsCol)).as("ms"), col(idCol).as("eid"),
+        col(typeCol).as("t")))).as("__evs"))
+      .select(concat_ws(">", expr("transform(__evs, x -> x.t)")).as("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(desc("n_users"), asc("path")).limit(k)
+  }
+
   /** SCD-2 change-interval collapse (gaps-and-islands): per entity, each
     * maximal run of consecutive events carrying the same attribute value
     * becomes one validity interval `[valid_from_ms, valid_to_ms)` with

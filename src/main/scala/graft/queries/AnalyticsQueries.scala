@@ -664,7 +664,24 @@ object AnalyticsQueries {
           SELECT start, v1, v2, v3 FROM s3 ORDER BY start"""
     })
 
+  /** q145: top-20 behavior paths over the event log
+    * ([[TimeSeries.topPaths]]) — exact path counts, deterministic
+    * ordering; DuckDB mirrors the in-row sort with an ordered list
+    * aggregate. */
+  private val q145 = QDef(
+    "q145_top_paths",
+    (s, dir) => TimeSeries
+      .topPaths(Tables.load(s, dir, "events"), k = 20),
+    Some("""WITH p AS (SELECT user_id,
+                              array_to_string(
+                                list(event_type ORDER BY ts, event_id),
+                                '>') AS path
+                       FROM events GROUP BY user_id)
+            SELECT path, CAST(count(*) AS BIGINT) AS n_users
+            FROM p GROUP BY path
+            ORDER BY n_users DESC, path LIMIT 20"""))
+
   val all: Seq[QDef] =
     Seq(q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122,
-      q123, q124, q125, q126, q127, q128, q129, q130, q131, q134)
+      q123, q124, q125, q126, q127, q128, q129, q130, q131, q134, q145)
 }

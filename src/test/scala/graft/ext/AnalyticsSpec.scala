@@ -373,6 +373,29 @@ class AnalyticsSpec extends SparkTestBase {
     assert(open.forall(_ == 1))
   }
 
+  // ---------- top paths ----------
+
+  test("topPaths: time-ordered paths, exact counts, deterministic top-k") {
+    val ev = Seq(
+      (1L, "a", ts(0), 1L), (1L, "b", ts(10), 2L),
+      (2L, "a", ts(5), 3L), (2L, "b", ts(15), 4L),
+      (3L, "b", ts(0), 5L), (3L, "a", ts(10), 6L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val got = TimeSeries.topPaths(ev, k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a>b", 2L), ("b>a", 1L)))
+  }
+
+  test("topPaths: partitioning-invariant despite collect_list") {
+    val rnd = new scala.util.Random(107)
+    val ev = (1 to 600).map { i =>
+      (rnd.nextInt(40).toLong, s"t${rnd.nextInt(4)}", ts(i), i.toLong)
+    }.toDF("user_id", "event_type", "ts", "event_id")
+    val a = TimeSeries.topPaths(ev, 15).collect().toSeq
+    val b = TimeSeries.topPaths(ev.repartition(13), 15).collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   // ---------- PPMI ----------
 
   test("ppmi: hand-checked weights, non-positive PMI rows dropped") {
