@@ -105,6 +105,78 @@ object Stats {
           .as("corr"))
   }
 
+  /** Group-wise ordinary-least-squares regression of `yCol` on `xCol` —
+    * the per-segment trend fit (price elasticity per status, value drift
+    * per cohort) analysts otherwise pull out of the warehouse row by row.
+    * Returns per group: n, slope, intercept, r2.
+    *
+    * Shape: ONE keyed aggregate computing the five sufficient statistics
+    * (Σx, Σy, Σx², Σy², Σxy) — map-side combinable, no second pass, no
+    * window. The closed forms (slope = n·Σxy−Σx·Σy / n·Σx²−(Σx)², etc.)
+    * are evaluated on the single row per group afterwards.
+    *
+    * Determinism: inputs are fixed-point values (`scale` decimal places),
+    * so the statistics accumulate EXACTLY in DECIMAL — no
+    * shuffle-order-dependent double sums; the closed forms then perform
+    * identical IEEE double arithmetic in any engine (same trick as
+    * [[corrMatrix]]). Fixed `scale` for both columns makes the slope
+    * scale-free (the cent factors cancel); the intercept divides the cent
+    * factor back out. */
+  def groupRegression(df: DataFrame, groupCols: Seq[String], xCol: String,
+      yCol: String, scale: Int = 100): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    def cents(c: String) = expr(s"CAST(round($c * $scale) AS DECIMAL(18,0))")
+    val g = df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(cents(xCol)).as("__sx"), sum(cents(yCol)).as("__sy"),
+      sum(cents(xCol) * cents(xCol)).as("__qx"),
+      sum(cents(yCol) * cents(yCol)).as("__qy"),
+      sum(cents(xCol) * cents(yCol)).as("__pxy"))
+    val n = col("n").cast("double")
+    val sx = col("__sx").cast("double"); val sy = col("__sy").cast("double")
+    val qx = col("__qx").cast("double"); val qy = col("__qy").cast("double")
+    val pxy = col("__pxy").cast("double")
+    val slope = (n * pxy - sx * sy) / (n * qx - sx * sx)
+    g.select(groupCols.map(col) ++ Seq(
+      col("n"),
+      round(slope, 6).as("slope"),
+      round((sy - slope * sx) / (n * lit(scale.toDouble)), 6).as("intercept"),
+      round((n * pxy - sx * sy) * (n * pxy - sx * sy) /
+        ((n * qx - sx * sx) * (n * qy - sy * sy)), 6).as("r2")): _*)
+  }
+
+  /** Chi-square independence cells between two categorical columns — the
+    * contingency-table screen (is event mix independent of weekday? is
+    * segment independent of region?) behind categorical feature selection
+    * and drift monitoring. Per observed cell: the observed count, the
+    * independence-expected count `rowTotal·colTotal/N`, and the cell's
+    * chi-square contribution `(o−e)²/e` (sum them for the statistic;
+    * cells absent from the data are not emitted, so strictly the sum is
+    * the observed-cell statistic — identical when every combination
+    * occurs).
+    *
+    * Shape: one keyed count over (x, y), then marginals as two aggregates
+    * OF THE CELL TABLE (already tiny — |x|·|y| rows — so the marginal
+    * joins broadcast; nothing row-sized is shuffled twice).
+    * Determinism: counts are exact longs; expected/chi2 are fixed-shape
+    * per-row double expressions — no order-dependent double sums. */
+  def chiSquare(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol), col(yCol)).agg(count(lit(1)).as("observed"))
+    val rowT = cells.groupBy(col(xCol)).agg(sum("observed").as("__rx"))
+    val colT = cells.groupBy(col(yCol)).agg(sum("observed").as("__cy"))
+    val tot = cells.agg(sum("observed").as("__n"))
+    val e = col("__rx").cast("double") * col("__cy").cast("double") /
+      col("__n").cast("double")
+    val o = col("observed").cast("double")
+    cells
+      .join(broadcast(rowT), Seq(xCol))
+      .join(broadcast(colT), Seq(yCol))
+      .crossJoin(broadcast(tot))
+      .select(col(xCol), col(yCol), col("observed"),
+        round(e, 6).as("expected"),
+        round((o - e) * (o - e) / e, 6).as("chi2"))
+  }
+
   /** Referential-integrity audit over declared foreign keys — the
     * data-quality gate a warehouse runs after every load. Per FK
     * `(name, child, childKey, parent, parentKey)`: the child row count,

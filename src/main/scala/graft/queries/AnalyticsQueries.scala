@@ -681,7 +681,41 @@ object AnalyticsQueries {
             FROM p GROUP BY path
             ORDER BY n_users DESC, path LIMIT 20"""))
 
+  /** q147: chi-square independence cells — event mix vs ISO weekday
+    * ([[graft.engine.Stats.chiSquare]]): observed counts, independence-
+    * expected counts, per-cell chi² contributions. Exact long counts;
+    * fixed-shape per-row double expressions mirrored verbatim (Spark
+    * `weekday+1` == DuckDB `isodow`). */
+  private val q147 = QDef(
+    "q147_chi2_independence",
+    (s, dir) => graft.engine.Stats
+      .chiSquare(Tables.load(s, dir, "events")
+          .select(col("event_type"),
+            (weekday(col("ts")) + lit(1)).cast("int").as("dow")),
+        "event_type", "dow")
+      .orderBy("event_type", "dow"),
+    Some("""WITH c AS (SELECT event_type, CAST(isodow(ts) AS INT) AS dow,
+                              CAST(count(*) AS BIGINT) AS observed
+                       FROM events GROUP BY 1, 2),
+                 r AS (SELECT event_type, sum(observed) AS rx FROM c GROUP BY 1),
+                 k AS (SELECT dow, sum(observed) AS cy FROM c GROUP BY 1),
+                 n AS (SELECT sum(observed) AS n FROM c)
+            SELECT c.event_type, c.dow, c.observed,
+              round(CAST(rx AS DOUBLE) * CAST(cy AS DOUBLE)
+                    / CAST(n AS DOUBLE), 6) AS expected,
+              round((CAST(observed AS DOUBLE)
+                     - CAST(rx AS DOUBLE) * CAST(cy AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+                    * (CAST(observed AS DOUBLE)
+                       - CAST(rx AS DOUBLE) * CAST(cy AS DOUBLE)
+                         / CAST(n AS DOUBLE))
+                    / (CAST(rx AS DOUBLE) * CAST(cy AS DOUBLE)
+                       / CAST(n AS DOUBLE)), 6) AS chi2
+            FROM c JOIN r USING (event_type) JOIN k USING (dow) CROSS JOIN n
+            ORDER BY event_type, dow"""))
+
   val all: Seq[QDef] =
     Seq(q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122,
-      q123, q124, q125, q126, q127, q128, q129, q130, q131, q134, q145)
+      q123, q124, q125, q126, q127, q128, q129, q130, q131, q134, q145,
+      q147)
 }

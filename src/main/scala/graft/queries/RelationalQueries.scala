@@ -766,8 +766,45 @@ object RelationalQueries {
                $arms ORDER BY col_x, col_y"""))
   }
 
+  /** q146: group-wise OLS regression of extended price on quantity per
+    * (returnflag, linestatus) ([[graft.engine.Stats.groupRegression]]) —
+    * one keyed aggregate of exact integer-cent sufficient statistics,
+    * closed-form slope/intercept/r² per group, mirrored verbatim. */
+  private val q146 = {
+    def d(e: String) = s"CAST($e AS DOUBLE)"
+    val (hx, hy) = ("CAST(round(l_quantity * 100) AS HUGEINT)",
+      "CAST(round(l_extendedprice * 100) AS HUGEINT)")
+    val slope =
+      s"""((${d("n")} * ${d("pxy")} - ${d("sx")} * ${d("sy")}) /
+          (${d("n")} * ${d("qx")} - ${d("sx")} * ${d("sx")}))"""
+    QDef(
+      "q146_group_regression",
+      (s, dir) => graft.engine.Stats
+        .groupRegression(t(s, dir, "lineitem"),
+          Seq("l_returnflag", "l_linestatus"),
+          "l_quantity", "l_extendedprice")
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some(s"""WITH a AS (
+                 SELECT l_returnflag, l_linestatus,
+                        CAST(count(*) AS BIGINT) AS n,
+                        sum($hx) AS sx, sum($hy) AS sy,
+                        sum($hx * $hx) AS qx, sum($hy * $hy) AS qy,
+                        sum($hx * $hy) AS pxy
+                 FROM lineitem GROUP BY 1, 2)
+               SELECT l_returnflag, l_linestatus, n,
+                 round($slope, 6) AS slope,
+                 round((${d("sy")} - $slope * ${d("sx")}) /
+                       (${d("n")} * 100.0), 6) AS intercept,
+                 round((${d("n")} * ${d("pxy")} - ${d("sx")} * ${d("sy")}) *
+                       (${d("n")} * ${d("pxy")} - ${d("sx")} * ${d("sy")}) /
+                       ((${d("n")} * ${d("qx")} - ${d("sx")} * ${d("sx")}) *
+                        (${d("n")} * ${d("qy")} - ${d("sy")} * ${d("sy")})),
+                       6) AS r2
+               FROM a ORDER BY l_returnflag, l_linestatus"""))
+  }
+
   val all: Seq[QDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
       q39, q43, q66, q67, q68, q72, q75, q76, q77, q81, q82, q106, q109,
-      q132, q140)
+      q132, q140, q146)
 }

@@ -74,6 +74,58 @@ class StatsSpec extends SparkTestBase {
     assert(a == b && a.size == 1)
   }
 
+  test("groupRegression: exact fit recovered, r2 = 1 on a perfect line") {
+    val d = Seq(
+      ("a", 1.0, 5.0), ("a", 2.0, 7.0), ("a", 3.0, 9.0),   // y = 2x + 3
+      ("b", 1.0, 10.0), ("b", 2.0, 8.0), ("b", 3.0, 6.5)   // slope ~ -1.75
+    ).toDF("g", "x", "y")
+    val got = Stats.groupRegression(d, Seq("g"), "x", "y")
+      .orderBy("g")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(got.head == (("a", 3L, 2.0, 3.0, 1.0)))
+    val b = got(1)
+    assert(b._1 == "b" && b._2 == 3L)
+    assert(math.abs(b._3 - (-1.75)) < 1e-6)        // lsq slope
+    assert(math.abs(b._4 - 11.666667) < 1e-6)      // intercept
+    assert(b._5 > 0.99 && b._5 < 1.0)              // near-perfect fit
+  }
+
+  test("groupRegression: partitioning-invariant (exact decimal sums)") {
+    val rnd = new scala.util.Random(31)
+    val d = (1 to 3000).map { i =>
+      (i % 7, rnd.nextInt(10000) / 100.0, rnd.nextInt(10000) / 100.0)
+    }.toDF("g", "x", "y")
+    val a = Stats.groupRegression(d, Seq("g"), "x", "y").orderBy("g")
+      .collect().toSeq
+    val b = Stats.groupRegression(d.repartition(23), Seq("g"), "x", "y")
+      .orderBy("g").collect().toSeq
+    assert(a == b && a.size == 7)
+  }
+
+  test("chiSquare: uniform table has zero chi2; marginals drive expected") {
+    val d = Seq(
+      ("u", 1), ("u", 2), ("v", 1), ("v", 2),
+      ("u", 1), ("u", 2), ("v", 1), ("v", 2)
+    ).toDF("x", "y")
+    val got = Stats.chiSquare(d, "x", "y").orderBy("x", "y")
+      .as[(String, Int, Long, Double, Double)].collect().toSeq
+    assert(got.size == 4)
+    assert(got.forall(r => r._3 == 2L && r._4 == 2.0 && r._5 == 0.0))
+  }
+
+  test("chiSquare: hand-checked dependent 2x2 contributions") {
+    // o: (a,1)=30 (a,2)=10 (b,1)=10 (b,2)=30; N=80, all marginals 40
+    // e = 40*40/80 = 20 for every cell; chi2 cell = (10)^2/20 = 5
+    val rows = Seq.fill(30)(("a", 1)) ++ Seq.fill(10)(("a", 2)) ++
+      Seq.fill(10)(("b", 1)) ++ Seq.fill(30)(("b", 2))
+    val got = Stats.chiSquare(rows.toDF("x", "y"), "x", "y")
+      .orderBy("x", "y")
+      .as[(String, Int, Long, Double, Double)].collect().toSeq
+    assert(got.map(_._4) == Seq(20.0, 20.0, 20.0, 20.0))
+    assert(got.map(_._5) == Seq(5.0, 5.0, 5.0, 5.0))
+    assert(got.map(_._3) == Seq(30L, 10L, 10L, 30L))
+  }
+
   test("integrityAudit: duplicate parent keys do not double-count matches") {
     val parent = Seq(1L, 1L, 2L).toDF("pk")
     val child = Seq(1L, 2L, 3L).toDF("fk_col")
