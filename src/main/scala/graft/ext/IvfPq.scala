@@ -97,4 +97,46 @@ object IvfPq {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vid").as("neighbor_id"), col("adc"), col("rank"))
   }
+
+  /** Two-stage retrieval: IVF-PQ shortlist, then EXACT re-rank — the
+    * standard production composition (FAISS's `IndexRefineFlat` atop
+    * `IndexIVFPQ`): quantized ADC narrows the corpus to `shortlist`
+    * candidates per query, then full-precision cosine re-scores ONLY
+    * those candidates and keeps the final top-`k`. Fixes the PQ
+    * approximation error exactly where it matters (the head of the
+    * ranking) while still never scanning full vectors for the corpus at
+    * large.
+    *
+    * 100 TB shape: stage 1 is [[topK]]'s code-scan (4·m bytes/row over
+    * nProbe lists); stage 2 touches `shortlist·|queries|` full vectors —
+    * fetched by an equi-join on the candidate ids (a keyed shuffle of
+    * candidate rows only; the corpus at large never ships vectors), with
+    * the query vectors broadcast. The re-rank window runs over
+    * query-set-sized data.
+    *
+    * Determinism: the shortlist is [[topK]]'s (exact integer ADC,
+    * id tie-breaks); the re-rank cosine is the codegen'd sequential dot
+    * product ([[graft.functions.VectorFunctions]]), bit-equal to an
+    * engine mirroring the same IEEE op order. */
+  def topKReranked(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, shortlist: Int, dim: Int, m: Int = 8,
+      ksub: Int = 16, ivfStride: Int = 20, seedStride: Int = 20,
+      nProbe: Int = 4): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    val cand = topK(corpus, queries, idCol, vecCol, shortlist, dim, m,
+      ksub, ivfStride, seedStride, nProbe)
+    val nv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol)
+      .cast("array<double>").as("nv"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol)
+      .cast("array<double>").as("qv"))
+    cand.select("query_id", "neighbor_id")
+      .join(nv, Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cosine", call_function("cosine_sim", col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
 }

@@ -1531,16 +1531,11 @@ object ExtQueries {
     * argmin tie-breaks, fixed-point tables, exact integer ADC), so the
     * oracle mirrors the complete pipeline: assignment, residuals, residual
     * codebook, codes, probes, per-list tables, ranking. */
-  private val q105 = QDef(
-    "q105_ivfpq_topk",
-    (s, dir) => {
-      val e = embeddings(s, dir)
-      graft.ext.IvfPq.topK(e, e.filter(col("vec_id") < 8), "vec_id",
-        "embedding", k = 5, dim = 64, m = 8, ksub = 16,
-        ivfStride = 20, seedStride = 20, nProbe = 4)
-        .orderBy("query_id", "rank")
-    },
-    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+  /** The q105 oracle's CTE chain (the complete IVF-PQ mirror: coarse
+    * assignment, residuals, residual codebook, codes, probes, tables,
+    * ADC ranking) — shared with q148, which re-ranks its shortlist. */
+  private val ivfpqShortlistSql =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
             ss AS (SELECT unnest(range(8)) AS s),
             cent AS (SELECT vec_id AS list_id, ve AS cv FROM v WHERE vec_id % 20 = 0),
             asg AS (SELECT vec_id, list_id,
@@ -1595,10 +1590,53 @@ object ExtQueries {
                      GROUP BY 1, 2),
             r AS (SELECT *, row_number() OVER (
                     PARTITION BY query_id ORDER BY adc ASC, neighbor_id) AS rank
-                  FROM adcx)
+                  FROM adcx)"""
+
+  private val q105 = QDef(
+    "q105_ivfpq_topk",
+    (s, dir) => {
+      val e = embeddings(s, dir)
+      graft.ext.IvfPq.topK(e, e.filter(col("vec_id") < 8), "vec_id",
+        "embedding", k = 5, dim = 64, m = 8, ksub = 16,
+        ivfStride = 20, seedStride = 20, nProbe = 4)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""$ivfpqShortlistSql
             SELECT query_id, neighbor_id, CAST(adc AS BIGINT) AS adc,
                    CAST(rank AS BIGINT) AS rank
             FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  /** q148: two-stage retrieval ([[graft.ext.IvfPq.topKReranked]]) — the
+    * q105 IVF-PQ pipeline widened to a 20-candidate shortlist, then
+    * exact-cosine re-rank of only those candidates (FAISS refine-flat
+    * composition). Oracle reuses the full q105 mirror and re-ranks with
+    * the q28 cosine expression — bit-equal sequential IEEE dot products
+    * in both engines. */
+  private val q148 = QDef(
+    "q148_ivfpq_rerank",
+    (s, dir) => {
+      val e = embeddings(s, dir)
+      graft.ext.IvfPq.topKReranked(e, e.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5, shortlist = 20, dim = 64, m = 8,
+        ksub = 16, ivfStride = 20, seedStride = 20, nProbe = 4)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""$ivfpqShortlistSql,
+            cand AS (SELECT query_id, neighbor_id
+                     FROM r WHERE rank <= 20),
+            sc AS (SELECT c.query_id, c.neighbor_id,
+                          list_dot_product(q.ve, n.ve) /
+                            (sqrt(list_dot_product(q.ve, q.ve)) *
+                             sqrt(list_dot_product(n.ve, n.ve))) AS cosine
+                   FROM cand c
+                   JOIN v q ON q.vec_id = c.query_id
+                   JOIN v n ON n.vec_id = c.neighbor_id),
+            rr AS (SELECT *, row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS rank
+                   FROM sc)
+            SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+            FROM rr WHERE rank <= 5 ORDER BY query_id, rank"""))
 
   /** q133: bigram-LM document scoring ([[TextAnalysis.bigramScore]]) —
     * the corpus's own bigram table as the LM. Exact-integer columns plus
@@ -1653,5 +1691,5 @@ object ExtQueries {
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q40, q41, q49, q61, q62, q70, q71, q73, q74, q88, q89, q90, q91,
     q92, q93, q94, q95, q96, q97, q98, q100, q101, q102, q103, q104, q105,
-    q133, q142)
+    q133, q142, q148)
 }

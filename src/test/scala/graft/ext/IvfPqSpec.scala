@@ -69,4 +69,39 @@ class IvfPqSpec extends SparkTestBase {
         .as[(Long, Long, Long, Long)].collect().toSet
     assert(run(1) == run(6))
   }
+
+  test("rerank: results come from the ADC shortlist, ordered by exact cosine") {
+    val corpus = clustered(6, 12, 16, seed = 25)
+    val qs = corpus.filter(col("vec_id") < 3)
+    val short = IvfPq.topK(corpus, qs, "vec_id", "embedding", k = 10,
+        dim = 16, m = 4, ksub = 8, ivfStride = 9, seedStride = 9, nProbe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = IvfPq.topKReranked(corpus, qs, "vec_id", "embedding", k = 4,
+        shortlist = 10, dim = 16, m = 4, ksub = 8, ivfStride = 9,
+        seedStride = 9, nProbe = 3)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(got.length == 12)
+    assert(got.forall(r => short.contains((r._1, r._2))))
+    got.groupBy(_._1).values.foreach { rows =>
+      val byRank = rows.sortBy(_._4)
+      assert(byRank.map(_._3).toSeq == rows.map(_._3).sorted.reverse.toSeq)
+    }
+  }
+
+  test("rerank with probe-all + corpus-sized shortlist == brute-force top-k") {
+    // shortlist covering the whole corpus and every list probed: the ADC
+    // stage filters nothing, so exact re-rank must equal brute force
+    val corpus = clustered(5, 10, 16, seed = 26)
+    val qs = corpus.filter(col("vec_id") < 3)
+    val brute = Similarity.bruteForceTopK(corpus, qs, "vec_id", "embedding", 4)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    val rr = IvfPq.topKReranked(corpus, qs, "vec_id", "embedding", k = 4,
+        shortlist = 50, dim = 16, m = 4, ksub = 8, ivfStride = 10,
+        seedStride = 10, nProbe = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rr == brute)
+  }
 }
