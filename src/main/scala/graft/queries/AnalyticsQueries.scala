@@ -714,8 +714,34 @@ object AnalyticsQueries {
             FROM c JOIN r USING (event_type) JOIN k USING (dow) CROSS JOIN n
             ORDER BY event_type, dow"""))
 
+  /** q149: median/MAD robust outlier screen per event type
+    * ([[graft.ext.Robust.madOutliers]]) — the 50%-breakdown counterpart
+    * of q114's mean/σ z-score. Lower medians are actual data values
+    * (DuckDB `quantile_disc` convention, no interpolation); the cut
+    * threshold is the identical two-multiply IEEE product in both
+    * engines. */
+  private val q149 = QDef(
+    "q149_mad_outliers",
+    (s, dir) => graft.ext.Robust
+      .madOutliers(Tables.load(s, dir, "events"),
+        "event_type", "value", "event_id")
+      .orderBy("event_type"),
+    Some("""WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                              quantile_disc(value, 0.5) AS median
+                       FROM events GROUP BY 1),
+                 d AS (SELECT e.event_type, abs(e.value - m.median) AS dev
+                       FROM events e JOIN m USING (event_type)),
+                 md AS (SELECT event_type, quantile_disc(dev, 0.5) AS mad
+                        FROM d GROUP BY 1)
+            SELECT m.event_type, m.n, m.median, md.mad,
+                   CAST(sum(CASE WHEN d.dev > (3.0 * 1.4826) * md.mad
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM d JOIN m USING (event_type) JOIN md USING (event_type)
+            GROUP BY m.event_type, m.n, m.median, md.mad
+            ORDER BY 1"""))
+
   val all: Seq[QDef] =
     Seq(q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122,
       q123, q124, q125, q126, q127, q128, q129, q130, q131, q134, q145,
-      q147)
+      q147, q149)
 }
