@@ -991,7 +991,62 @@ object GraphQueries {
           ORDER BY source, v"""
     })
 
+  /** q150: two Borůvka rounds of the minimum spanning forest over the
+    * transaction graph ([[graft.graph.MinSpanningForest.boruvka]]) —
+    * weights are exact cents of the cheapest parallel transaction, total
+    * order (w, a, b) makes the picks unique. Round-unrolled oracle (the
+    * q135–q139 convention): per-component argmin via a ranked window,
+    * contraction via q16's recursive-CTE components over the PICKED
+    * edges only. Full-convergence equivalence to Kruskal is spec-gated
+    * (MsfSpec) — the sequential union-find has no SQL mirror. */
+  private val q150 = QDef(
+    "q150_msf_boruvka",
+    (s, dir) => {
+      val e = txnGraph(s, dir).edges
+        .select(col("src"), col("dst"),
+          round(col("amount") * 100).cast("long").as("w"))
+      graft.graph.MinSpanningForest.boruvka(e, "w", rounds = 2)
+        .orderBy("a", "b")
+    },
+    Some(s"""WITH RECURSIVE
+            e0 AS ($txnEdgesSql),
+            ew AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+                          min(CAST(round(amount * 100) AS BIGINT)) AS w
+                   FROM e0 GROUP BY 1, 2),
+            cand1 AS (SELECT a AS c, w, a, b FROM ew
+                      UNION ALL SELECT b AS c, w, a, b FROM ew),
+            pick1 AS (SELECT DISTINCT a, b, w FROM (
+                        SELECT c, w, a, b, row_number() OVER (
+                          PARTITION BY c ORDER BY w, a, b) AS rn
+                        FROM cand1) WHERE rn = 1),
+            pb1 AS (SELECT a AS src, b AS dst FROM pick1
+                    UNION ALL SELECT b, a FROM pick1),
+            n1 AS (SELECT DISTINCT src AS id FROM pb1),
+            reach1(root, node) AS (
+              SELECT id, id FROM n1
+              UNION
+              SELECT r.root, p.dst FROM reach1 r JOIN pb1 p ON r.node = p.src),
+            comp1 AS (SELECT root AS id, min(node) AS comp
+                      FROM reach1 GROUP BY root),
+            live2 AS (SELECT * FROM (
+                        SELECT ew.a, ew.b, ew.w,
+                               coalesce(ca.comp, ew.a) AS ca,
+                               coalesce(cb.comp, ew.b) AS cb
+                        FROM ew LEFT JOIN comp1 ca ON ca.id = ew.a
+                                LEFT JOIN comp1 cb ON cb.id = ew.b)
+                      WHERE ca <> cb),
+            cand2 AS (SELECT ca AS c, w, a, b FROM live2
+                      UNION ALL SELECT cb AS c, w, a, b FROM live2),
+            pick2 AS (SELECT DISTINCT a, b, w FROM (
+                        SELECT c, w, a, b, row_number() OVER (
+                          PARTITION BY c ORDER BY w, a, b) AS rn
+                        FROM cand2) WHERE rn = 1)
+            SELECT a, b, w FROM
+              (SELECT * FROM pick1 UNION ALL SELECT * FROM pick2)
+            ORDER BY a, b"""))
+
   val all: Seq[QDef] =
     Seq(q15, q16, q17, q18, q19, q20, q42, q44, q45, q48, q50, q58, q59, q60,
-      q69, q85, q86, q107, q108, q135, q136, q137, q138, q139, q143, q144)
+      q69, q85, q86, q107, q108, q135, q136, q137, q138, q139, q143, q144,
+      q150)
 }
