@@ -58,6 +58,35 @@ object Robust {
       .select(col(gCol), col(vCol).as(out), col("__n").as(s"__n_$out"))
   }
 
+  /** Per-group trimmed mean: drop the lowest and highest
+    * `trimPermille`/1000 of rows by exact rank (integer arithmetic — no
+    * float cut index) and average the kept values on the fixed
+    * `scale`-quantization grid (exact long sums, the q70 device — the
+    * one IEEE division happens once per group). The robust location
+    * estimate between the mean (trim 0) and the median (trim 500). */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, trimPermille: Int = 100,
+      scale: Int = 10000): DataFrame = {
+    require(trimPermille >= 0 && trimPermille < 500, "trim must be in [0, 500)")
+    val base = df.select(col(groupCol), col(valueCol), col(idCol))
+      .filter(col(valueCol).isNotNull)
+    val sizes = base.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    groupRanked(base, groupCol, valueCol, idCol)
+      .join(broadcast(sizes), Seq(groupCol))
+      .withColumn("__k", expr(s"(__n * $trimPermille) div 1000"))
+      .filter(col("__rank") > col("__k") &&
+        col("__rank") <= col("__n") - col("__k"))
+      .groupBy(col(groupCol))
+      .agg(
+        min(col("__n")).as("n"), // constant within group
+        count(lit(1)).as("n_kept"),
+        sum(round(col(valueCol) * scale).cast("long")).as("__qs"))
+      .withColumn("trimmed_mean",
+        col("__qs").cast("double") /
+          (col("n_kept").cast("double") * lit(scale.toDouble)))
+      .drop("__qs")
+  }
+
   /** Per group: n, median, MAD, and the count of |x − median| >
     * `cut`·1.4826·MAD outliers. Two grouped rank passes (median, then
     * median of deviations) + one counting aggregate; medians/MADs ride

@@ -55,4 +55,52 @@ object TemporalGraph {
     }
     arr
   }
+
+  /** Layering-chain detection: simple k-hop paths where every hop moves
+    * STRICTLY forward in time within `windowT` of the previous hop and
+    * passes on at least `decayPermille`/1000 of the amount it received
+    * (and no more than all of it) — the launder-with-fees signature
+    * (placement → layering chains; FATF typology). Gates ride the join;
+    * exact integer timestamps and amounts (cents) keep every comparison
+    * engine-identical.
+    *
+    * Shape: k−1 frontier×edges equi-joins on the chain head, each with
+    * the time/amount/simple-path gates inline — candidate growth is cut
+    * at the join, never materialized then filtered. The simple-path gate
+    * carries the visited-id array in-row (k ≤ 6 — bounded state, no
+    * quadratic blowup). Output: one row per chain with endpoints, hop
+    * timestamps span, and amount retention.
+    *
+    * 100 TB: per-hop fan-out is bounded by the time window (a vertex's
+    * outgoing edges within `windowT` of one arrival), the dominant join
+    * is keyed on the frontier head, and chain state is O(k) per row. */
+  def layeringChains(edges: DataFrame, hops: Int, windowT: Long,
+      decayPermille: Int = 800): DataFrame = {
+    require(hops >= 2 && hops <= 6, "hops must be in [2, 6]")
+    require(decayPermille >= 0 && decayPermille <= 1000,
+      "decayPermille must be in [0, 1000]")
+    val ck = Checkpointer(edges.sparkSession, None)
+    val e = ck.lazily(edges.select(col("src"), col("dst"),
+        col("t").cast("long").as("t"), col("amt").cast("long").as("amt"))
+      .where(col("src") =!= col("dst")).distinct())
+    var chains = e.select(
+      col("src").as("v0"), col("dst").as("head"),
+      col("t").as("t0"), col("t").as("t_last"),
+      col("amt").as("amt0"), col("amt").as("amt_last"),
+      array(col("src"), col("dst")).as("__path"))
+    (2 to hops).foreach { _ =>
+      chains = ck.lazily(chains
+        .join(e, chains("head") === e("src"))
+        .where(col("t") > col("t_last") &&
+          col("t") <= col("t_last") + lit(windowT) &&
+          col("amt") <= col("amt_last") &&
+          col("amt") * 1000L >= col("amt_last") * lit(decayPermille.toLong) &&
+          !array_contains(col("__path"), col("dst")))
+        .select(col("v0"), col("dst").as("head"), col("t0"),
+          col("t").as("t_last"), col("amt0"), col("amt").as("amt_last"),
+          array_append(col("__path"), col("dst")).as("__path")))
+    }
+    chains.select(col("v0"), col("head").as("vk"), col("t0"),
+      col("t_last").as("tk"), col("amt0"), col("amt_last").as("amtk"))
+  }
 }

@@ -740,8 +740,32 @@ object AnalyticsQueries {
             GROUP BY m.event_type, m.n, m.median, md.mad
             ORDER BY 1"""))
 
+  /** q151: 10%-trimmed mean of event values per type
+    * ([[graft.ext.Robust.trimmedMean]]) — exact integer rank cuts via
+    * the grouped distributed rank, kept values averaged on the 1e-4
+    * quantization grid (exact long sums, one mirrored IEEE division). */
+  private val q151 = QDef(
+    "q151_trimmed_mean",
+    (s, dir) => graft.ext.Robust
+      .trimmedMean(Tables.load(s, dir, "events"),
+        "event_type", "value", "event_id")
+      .orderBy("event_type"),
+    Some("""WITH r AS (SELECT event_type, value, event_id,
+                              row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rk,
+                              count(*) OVER (PARTITION BY event_type) AS n
+                       FROM events),
+                 kept AS (SELECT * FROM r
+                          WHERE rk > (n * 100) // 1000
+                            AND rk <= n - (n * 100) // 1000)
+            SELECT event_type, CAST(min(n) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE)
+                     / (CAST(count(*) AS DOUBLE) * 10000.0) AS trimmed_mean
+            FROM kept GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[QDef] =
     Seq(q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122,
       q123, q124, q125, q126, q127, q128, q129, q130, q131, q134, q145,
-      q147, q149)
+      q147, q149, q151)
 }

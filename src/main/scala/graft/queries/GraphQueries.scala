@@ -1045,8 +1045,56 @@ object GraphQueries {
               (SELECT * FROM pick1 UNION ALL SELECT * FROM pick2)
             ORDER BY a, b"""))
 
+  /** q152: 3-hop layering chains over the transaction graph
+    * ([[graft.graph.TemporalGraph.layeringChains]]) — simple paths where
+    * each hop is strictly later but within 30 days of the previous and
+    * passes on 50–100% of the amount received (exact epoch-day/cent
+    * gates riding the joins). The FATF layering typology the reference's
+    * static motifs (q44/q45) cannot time-gate. */
+  private val q152 = QDef(
+    "q152_layering_chains",
+    (s, dir) => {
+      val nCust = Tables.load(s, dir, "customer")
+        .agg(max(col("c_custkey"))).head().getLong(0)
+      val te = Tables.load(s, dir, "orders").select(
+          col("o_custkey").as("src"),
+          (lit(1L) + (col("o_orderkey") * lit(7919L)) % lit(nCust)).as("dst"),
+          expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000")
+            .as("t"),
+          round(col("o_totalprice") * 100).cast("long").as("amt"))
+      graft.graph.TemporalGraph
+        .layeringChains(te, hops = 3, windowT = 30L, decayPermille = 500)
+        .orderBy("v0", "vk", "t0", "tk", "amt0", "amtk")
+    },
+    Some(s"""WITH e AS (SELECT DISTINCT * FROM (
+                 SELECT o_custkey AS src,
+                        1 + (o_orderkey * 7919) %
+                          (SELECT max(c_custkey) FROM customer) AS dst,
+                        CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT) AS t,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS amt
+                 FROM orders) WHERE src <> dst),
+            c2 AS (SELECT e1.src AS v0, e2.dst AS head,
+                          e1.t AS t0, e2.t AS t_last,
+                          e1.amt AS amt0, e2.amt AS amt_last,
+                          e1.dst AS p1
+                   FROM e e1 JOIN e e2 ON e2.src = e1.dst
+                   WHERE e2.t > e1.t AND e2.t <= e1.t + 30
+                     AND e2.amt <= e1.amt
+                     AND e2.amt * 1000 >= e1.amt * 500
+                     AND e2.dst <> e1.src AND e2.dst <> e1.dst),
+            c3 AS (SELECT c2.v0, e3.dst AS vk, c2.t0, e3.t AS tk,
+                          c2.amt0, e3.amt AS amtk
+                   FROM c2 JOIN e e3 ON e3.src = c2.head
+                   WHERE e3.t > c2.t_last AND e3.t <= c2.t_last + 30
+                     AND e3.amt <= c2.amt_last
+                     AND e3.amt * 1000 >= c2.amt_last * 500
+                     AND e3.dst <> c2.v0 AND e3.dst <> c2.p1
+                     AND e3.dst <> c2.head)
+            SELECT v0, vk, t0, tk, amt0, amtk FROM c3
+            ORDER BY v0, vk, t0, tk, amt0, amtk"""))
+
   val all: Seq[QDef] =
     Seq(q15, q16, q17, q18, q19, q20, q42, q44, q45, q48, q50, q58, q59, q60,
       q69, q85, q86, q107, q108, q135, q136, q137, q138, q139, q143, q144,
-      q150)
+      q150, q152)
 }

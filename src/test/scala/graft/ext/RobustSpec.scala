@@ -36,6 +36,32 @@ class RobustSpec extends SparkTestBase {
     assert(zFlagged == 0) // the planted outlier masks itself under z-score
   }
 
+  test("trimmedMean: exact rank cuts, outlier dropped, grid-exact mean") {
+    // 10 values: trim 100 permille cuts exactly 1 from each end — the
+    // planted 1e6 and the 0.0 both fall; kept = {2..9} -> mean 5.5
+    val vals = Seq(0.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 1e6)
+    val d = vals.zipWithIndex.map { case (v, i) => ("g", v, i.toLong) }
+      .toDF("g", "v", "id")
+    val (_, n, kept, mean) = Robust.trimmedMean(d, "g", "v", "id")
+      .as[(String, Long, Long, Double)].collect().head
+    assert(n == 10L && kept == 8L && mean == 5.5)
+  }
+
+  test("trimmedMean: trim 0 is the grid mean; invariance under repartition") {
+    val rnd = new scala.util.Random(59)
+    val d = (1 to 3000).map { i =>
+      (s"g${i % 4}", rnd.nextDouble() * 100, i.toLong)
+    }.toDF("g", "v", "id")
+    val a = Robust.trimmedMean(d, "g", "v", "id", trimPermille = 0)
+      .orderBy("g").collect().toSeq
+    val b = Robust.trimmedMean(d.repartition(21), "g", "v", "id",
+      trimPermille = 0).orderBy("g").collect().toSeq
+    assert(a == b && a.size == 4)
+    val c = Robust.trimmedMean(d, "g", "v", "id", trimPermille = 250)
+      .orderBy("g").collect().toSeq
+    assert(c.map(_.getLong(2)).sum < a.map(_.getLong(2)).sum) // fewer kept
+  }
+
   test("madOutliers: per-group independence and partitioning invariance") {
     val rnd = new scala.util.Random(53)
     val d = (1 to 4000).map { i =>

@@ -55,4 +55,39 @@ class TemporalGraphSpec extends SparkTestBase {
     }
     assert(temporal.subsetOf(staticReach))
   }
+
+  test("layeringChains: time, window, decay, and simple-path gates") {
+    // 1→2→3→4 valid (amounts 1000→800→640, days 0→10→20)
+    val base = Seq(
+      (1L, 2L, 0L, 1000L), (2L, 3L, 10L, 800L), (3L, 4L, 20L, 640L))
+    def chains(extra: (Long, Long, Long, Long)*) =
+      graft.graph.TemporalGraph.layeringChains(
+        (base ++ extra).toDF("src", "dst", "t", "amt"),
+        hops = 3, windowT = 30L, decayPermille = 700)
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(chains() == Set((1L, 4L, 0L, 20L, 1000L, 640L)))
+    // an alternative last hop breaking each gate adds no chain:
+    assert(chains((3L, 5L, 60L, 640L)) == chains())   // outside window
+    assert(chains((3L, 5L, 20L, 900L)) == chains())   // amount grows
+    assert(chains((3L, 5L, 20L, 100L)) == chains())   // decayed below 70%
+    assert(chains((3L, 1L, 20L, 640L)) == chains())   // revisits v0
+    // a valid alternative adds exactly one more chain
+    assert(chains((3L, 5L, 25L, 700L)) ==
+      chains() + ((1L, 5L, 0L, 25L, 1000L, 700L)))
+  }
+
+  test("layeringChains: partitioning-invariant") {
+    val rnd = new scala.util.Random(61)
+    val es = (1 to 400).map { i =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong,
+        rnd.nextInt(50).toLong, (rnd.nextInt(900) + 100).toLong)
+    }
+    def run(parts: Int) =
+      graft.graph.TemporalGraph.layeringChains(
+        es.toDF("src", "dst", "t", "amt").repartition(parts),
+        hops = 3, windowT = 10L, decayPermille = 600)
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+    assert(run(1) == run(11) && run(1).nonEmpty)
+  }
 }
