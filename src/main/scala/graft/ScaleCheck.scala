@@ -141,7 +141,8 @@ object ScaleCheck {
       else if (q.contains("funnel") || q.contains("anomaly") ||
         q.contains("ewma") || q.contains("transition") ||
         q.contains("scd2") || q.contains("quantile") ||
-        q.contains("top_paths"))
+        q.contains("top_paths") || q.contains("chi2") ||
+        q.contains("mad") || q.contains("trimmed"))
         (tDir, factor) // behavioral axis: factor× users
       else (eDir, factor)
 

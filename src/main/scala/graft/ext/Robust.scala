@@ -58,6 +58,25 @@ object Robust {
       .select(col(gCol), col(vCol).as(out), col("__n").as(s"__n_$out"))
   }
 
+  /** Per-row percent rank within its group — rank-based feature scaling
+    * (the normalization that survives arbitrary score distributions;
+    * SQL `PERCENT_RANK` semantics: `(rank−1)/(n−1)`, 0 for singleton
+    * groups, ties broken by `idCol` so the rank is total). One grouped
+    * rank pass + a broadcast size join; the division is the single IEEE
+    * op, identical in any engine. */
+  def percentRank(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String): DataFrame = {
+    val base = df.select(col(groupCol), col(valueCol), col(idCol))
+      .filter(col(valueCol).isNotNull)
+    val sizes = base.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    groupRanked(base, groupCol, valueCol, idCol)
+      .join(broadcast(sizes), Seq(groupCol))
+      .select(col(groupCol), col(idCol), col(valueCol),
+        when(col("__n") === 1L, lit(0.0))
+          .otherwise((col("__rank") - lit(1L)).cast("double") /
+            (col("__n") - lit(1L)).cast("double")).as("pct"))
+  }
+
   /** Per-group trimmed mean: drop the lowest and highest
     * `trimPermille`/1000 of rows by exact rank (integer arithmetic — no
     * float cut index) and average the kept values on the fixed

@@ -166,6 +166,36 @@ object TimeSeries {
       .orderBy(desc("n_users"), asc("path")).limit(k)
   }
 
+  /** Sliding-window distinct actives (the DAU/WAU board): per observed
+    * day, the exact count of distinct entities active that day and over
+    * the trailing `windowDays` window. The window dedup never runs a
+    * distinct-over-range join: the daily-distinct (day, entity) table is
+    * unioned `windowDays` times with shifted day keys, so one keyed
+    * `count(DISTINCT)` per target day does the rest — a `windowDays`×
+    * blowup of the ALREADY-DEDUPED daily table (bounded by days×actives),
+    * not of the raw events.
+    *
+    * The 100 TB alternative when exactness can yield: swap the distinct
+    * for [[graft.functions]]' HLL sketch per day and merge 7 sketches —
+    * same shifted-union shape, O(sketch) state (the q93 device). */
+  def slidingDistinct(events: DataFrame, windowDays: Int,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val du = events.select(
+        expr(s"unix_millis($tsCol) div 86400000").as("day"),
+        col(userCol).as("__u"))
+      .distinct()
+    val days = du.select("day").distinct()
+    val shifted = (0 until windowDays)
+      .map(k => du.select((col("day") + lit(k.toLong)).as("day"), col("__u")))
+      .reduce(_ unionAll _)
+    val daily = du.groupBy("day").agg(countDistinct("__u").as("n_active_1d"))
+    val windowed = shifted.join(days, Seq("day"))
+      .groupBy("day")
+      .agg(countDistinct("__u").as(s"n_active_${windowDays}d"))
+    daily.join(windowed, Seq("day"))
+  }
+
   /** SCD-2 change-interval collapse (gaps-and-islands): per entity, each
     * maximal run of consecutive events carrying the same attribute value
     * becomes one validity interval `[valid_from_ms, valid_to_ms)` with

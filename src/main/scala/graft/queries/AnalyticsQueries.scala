@@ -764,8 +764,46 @@ object AnalyticsQueries {
                      / (CAST(count(*) AS DOUBLE) * 10000.0) AS trimmed_mean
             FROM kept GROUP BY event_type ORDER BY event_type"""))
 
+  /** q153: DAU / trailing-7-day actives per observed day
+    * ([[TimeSeries.slidingDistinct]]) — shifted-union window dedup over
+    * the daily-distinct table, exact counts. */
+  private val q153 = QDef(
+    "q153_sliding_actives",
+    (s, dir) => TimeSeries
+      .slidingDistinct(Tables.load(s, dir, "events"), windowDays = 7)
+      .orderBy("day"),
+    Some("""WITH du AS (SELECT DISTINCT epoch_ms(ts) // 86400000 AS day,
+                                        user_id AS u
+                        FROM events),
+                 days AS (SELECT DISTINCT day FROM du),
+                 sh AS (SELECT du.day + k AS day, u
+                        FROM du CROSS JOIN (SELECT unnest(range(7)) AS k)),
+                 d1 AS (SELECT day, CAST(count(DISTINCT u) AS BIGINT)
+                                      AS n_active_1d
+                        FROM du GROUP BY 1),
+                 w7 AS (SELECT s.day, CAST(count(DISTINCT u) AS BIGINT)
+                                        AS n_active_7d
+                        FROM sh s JOIN days USING (day) GROUP BY 1)
+            SELECT day, n_active_1d, n_active_7d
+            FROM d1 JOIN w7 USING (day) ORDER BY day"""))
+
+  /** q154: percent-rank normalization of event values within each type
+    * ([[graft.ext.Robust.percentRank]]) — SQL PERCENT_RANK semantics via
+    * the grouped distributed rank (no per-group global sort), total
+    * order by (value, event_id). */
+  private val q154 = QDef(
+    "q154_percent_rank",
+    (s, dir) => graft.ext.Robust
+      .percentRank(Tables.load(s, dir, "events"),
+        "event_type", "value", "event_id")
+      .orderBy("event_type", "event_id"),
+    Some("""SELECT event_type, event_id, value,
+                   percent_rank() OVER (PARTITION BY event_type
+                                        ORDER BY value, event_id) AS pct
+            FROM events ORDER BY event_type, event_id"""))
+
   val all: Seq[QDef] =
     Seq(q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122,
       q123, q124, q125, q126, q127, q128, q129, q130, q131, q134, q145,
-      q147, q149, q151)
+      q147, q149, q151, q153, q154)
 }

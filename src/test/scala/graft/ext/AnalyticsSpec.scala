@@ -396,6 +396,42 @@ class AnalyticsSpec extends SparkTestBase {
     assert(a == b && a.nonEmpty)
   }
 
+  // ---------- sliding-window distinct actives ----------
+
+  test("slidingDistinct: hand-checked DAU/WAU, window covers trailing days") {
+    def dts(day: Int, h: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-${day + 1}%02d $h%02d:00:00")
+    // day0: users 1,2; day1: user 1 (twice); day3: users 2,3
+    val ev = Seq(
+      (1L, dts(0, 1)), (2L, dts(0, 5)), (1L, dts(1, 2)), (1L, dts(1, 9)),
+      (2L, dts(3, 0)), (3L, dts(3, 8))
+    ).toDF("user_id", "ts")
+    val got = TimeSeries.slidingDistinct(ev, windowDays = 3)
+      .orderBy("day").as[(Long, Long, Long)].collect().toSeq
+    val base = got.head._1
+    val byDay = got.map(r => (r._1 - base) -> ((r._2, r._3))).toMap
+    assert(byDay(0L) == ((2L, 2L))) // {1,2} / {1,2}
+    assert(byDay(1L) == ((1L, 2L))) // {1} / {1,2}
+    assert(byDay(3L) == ((2L, 3L))) // {2,3} / day1..3 = {1,2,3}
+    assert(!byDay.contains(2L)) // no events on day2 -> not an observed day
+  }
+
+  test("slidingDistinct: partitioning-invariant, 1-day window == daily") {
+    val rnd = new scala.util.Random(29)
+    val ev = (1 to 1200).map { i =>
+      (rnd.nextInt(60).toLong,
+        Timestamp.valueOf(f"2024-01-${1 + rnd.nextInt(20)}%02d 03:00:00"))
+    }.toDF("user_id", "ts")
+    val a = TimeSeries.slidingDistinct(ev, 7).orderBy("day")
+      .collect().toSeq
+    val b = TimeSeries.slidingDistinct(ev.repartition(17), 7).orderBy("day")
+      .collect().toSeq
+    assert(a == b && a.nonEmpty)
+    val one = TimeSeries.slidingDistinct(ev, 1).orderBy("day")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(one.forall(r => r._2 == r._3))
+  }
+
   // ---------- PPMI ----------
 
   test("ppmi: hand-checked weights, non-positive PMI rows dropped") {

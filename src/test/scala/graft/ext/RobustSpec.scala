@@ -62,6 +62,32 @@ class RobustSpec extends SparkTestBase {
     assert(c.map(_.getLong(2)).sum < a.map(_.getLong(2)).sum) // fewer kept
   }
 
+  test("percentRank: SQL PERCENT_RANK semantics, singleton group -> 0") {
+    val d = Seq(("a", 10.0, 1L), ("a", 20.0, 2L), ("a", 30.0, 3L),
+      ("a", 20.0, 4L), ("b", 5.0, 9L)).toDF("g", "v", "id")
+    val got = Robust.percentRank(d, "g", "v", "id")
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    // order within a: (10,1) (20,2) (20,4) (30,3) -> ranks 1..4, /(n-1)=3
+    assert(got(("a", 1L)) == 0.0)
+    assert(got(("a", 2L)) == 1.0 / 3)
+    assert(got(("a", 4L)) == 2.0 / 3)
+    assert(got(("a", 3L)) == 1.0)
+    assert(got(("b", 9L)) == 0.0)
+  }
+
+  test("percentRank: partitioning-invariant") {
+    val rnd = new scala.util.Random(71)
+    val d = (1 to 2000).map { i =>
+      (s"g${i % 3}", rnd.nextDouble(), i.toLong)
+    }.toDF("g", "v", "id")
+    val a = Robust.percentRank(d, "g", "v", "id").orderBy("g", "id")
+      .collect().toSeq
+    val b = Robust.percentRank(d.repartition(19), "g", "v", "id")
+      .orderBy("g", "id").collect().toSeq
+    assert(a == b && a.size == 2000)
+  }
+
   test("madOutliers: per-group independence and partitioning invariance") {
     val rnd = new scala.util.Random(53)
     val d = (1 to 4000).map { i =>
