@@ -42,7 +42,12 @@ class PlanSpec extends SparkTestBase {
       // row total + per-range offsets (q131), per-FK scalar count pairs
       // (q132), vocabulary size V (q133), edge count m (q135)
       "q130_ppmi", "q131_quantile_bins", "q132_fk_integrity",
-      "q133_bigram_lm", "q135_louvain")
+      "q133_bigram_lm", "q135_louvain",
+      // broadcast cross of the single-row grand total N for the
+      // independence-expected counts (Stats.chiSquare)
+      "q147_chi2_independence",
+      // the q105 IVF-PQ probing crosses + broadcast(query vectors) re-rank
+      "q148_ivfpq_rerank")
 
   private lazy val plans: Map[String, String] =
     graft.SparkEntry.queries.map { case (name, fn) =>
