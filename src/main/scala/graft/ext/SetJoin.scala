@@ -10,7 +10,11 @@ import org.apache.spark.sql.functions._
   * prefixes of length `|A| − ⌈t·|A|⌉ + 1` under any fixed global token
   * order, so candidates come from an inverted index over PREFIX tokens
   * only — the index shrinks by the factor `t` and, because prefixes are
-  * rare-first, the hottest tokens never enter it. The filter is LOSSLESS:
+  * rare-first, the hottest tokens never enter it. On top of the prefix
+  * bound, the candidate join carries the PPJoin LENGTH filter
+  * (`min(|A|,|B|)/max(|A|,|B|) ≥ t`, Xiao et al. 2008 §3): a hot prefix
+  * token no longer pairs every holder regardless of hopeless size
+  * mismatch. Both filters are LOSSLESS:
   * the oracle recomputes the join from the FULL inverted index and the
   * result sets must hash-match exactly (a per-round proof of the prefix
   * bound, not just a spot check).
@@ -27,13 +31,24 @@ import org.apache.spark.sql.functions._
   * final Jaccard ratio. */
 object SetJoin {
 
-  def jaccardPairs(df: DataFrame, idCol: String, itemCol: String,
-      minJaccard: Double): DataFrame = {
-    require(minJaccard > 0.0 && minJaccard <= 1.0,
-      "minJaccard must be in (0, 1]")
-    val items = df.select(col(idCol).as("id"), col(itemCol).as("item"))
-      .distinct()
-    val size = items.groupBy("id").agg(count(lit(1)).as("sz"))
+  /** Candidate pairs from the prefix inverted index. `lengthFilter` adds
+    * the PPJoin POSITIONAL bound (Xiao et al. 2008 §3.2), which subsumes
+    * the length filter: a token matched at rare-first positions
+    * `(r_a, r_b)` caps the overlap at
+    * `ub = min(|A|−r_a, |B|−r_b) + 1` (every shared token sorts ≥ the
+    * FIRST shared token, whose row is guaranteed to be in both prefixes
+    * with accumulated overlap 0), so the pair can only reach
+    * `J ≥ t` if `ub / (|A|+|B|−ub) ≥ t`. At `r_a = r_b = 1` this is
+    * exactly the length bound `min/max ≥ t`; at later positions it is
+    * strictly tighter. LOSSLESS bit-for-bit: the predicate is the same
+    * double division as the final Jaccard filter, `x/(S−x)` is monotone
+    * in `x`, double division of exact small ints is correctly rounded
+    * (rounding preserves ≤), and the first-shared-token row always
+    * passes for a true pair, so the pair survives the per-row filter +
+    * distinct. Exposed for the spec, which asserts candidate-count
+    * shrinkage on a skewed-size corpus. */
+  private[ext] def candidates(items: DataFrame, size: DataFrame,
+      minJaccard: Double, lengthFilter: Boolean): DataFrame = {
     val freq = items.groupBy("item").agg(count(lit(1)).as("f"))
     val prefix = items
       .join(freq, "item")
@@ -42,10 +57,25 @@ object SetJoin {
         Window.partitionBy("id").orderBy(col("f"), col("item"))))
       .where(col("__r") <=
         col("sz") - ceil(lit(minJaccard) * col("sz")).cast("long") + 1)
-      .select(col("id"), col("item"))
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.item") === col("b.item") && col("a.id") < col("b.id"))
+      .select(col("id"), col("item"), col("sz"), col("__r"))
+    val ub = least(col("a.sz") - col("a.__r"), col("b.sz") - col("b.__r")) + lit(1L)
+    val posOk =
+      if (lengthFilter)
+        ub.cast("double") / (col("a.sz") + col("b.sz") - ub) >= lit(minJaccard)
+      else lit(true)
+    prefix.as("a").join(prefix.as("b"),
+        col("a.item") === col("b.item") && col("a.id") < col("b.id") && posOk)
       .select(col("a.id").as("id_l"), col("b.id").as("id_r")).distinct()
+  }
+
+  def jaccardPairs(df: DataFrame, idCol: String, itemCol: String,
+      minJaccard: Double): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      "minJaccard must be in (0, 1]")
+    val items = df.select(col(idCol).as("id"), col(itemCol).as("item"))
+      .distinct()
+    val size = items.groupBy("id").agg(count(lit(1)).as("sz"))
+    val cand = candidates(items, size, minJaccard, lengthFilter = true)
     val inter = cand
       .join(items.select(col("id").as("id_l"), col("item")), "id_l")
       .join(items.select(col("id").as("id_r"), col("item")), Seq("id_r", "item"))

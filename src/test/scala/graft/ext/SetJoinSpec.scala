@@ -42,6 +42,35 @@ class SetJoinSpec extends SparkTestBase {
     }
   }
 
+  test("length filter shrinks candidates on a skewed-size corpus, losslessly") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // bimodal sizes (3 vs ~35) over a small item pool: cross-size pairs
+    // share prefix tokens constantly but are size-hopeless at t=0.5
+    // (3/35 << 0.5), so the length filter should kill the bulk of them
+    val rnd = new scala.util.Random(79)
+    val rows = (1 to 120).flatMap { id =>
+      val sz = if (id % 6 == 0) 33 + id % 5 else 3
+      Seq.fill(sz)(rnd.nextInt(80).toLong).distinct.map(item => (id.toLong, item))
+    }.toDF("id", "item").distinct()
+    val size = rows.groupBy("id").agg(count(lit(1)).as("sz"))
+    val without = SetJoin.candidates(rows, size, 0.5, lengthFilter = false).count()
+    val withLf = SetJoin.candidates(rows, size, 0.5, lengthFilter = true).count()
+    assert(withLf < without / 2,
+      s"length filter should cut candidates materially: $without -> $withLf")
+    // losslessness: final results identical either way (the filter only
+    // drops pairs that cannot pass the final Jaccard predicate)
+    val sets = rows.as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val exp = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      j = sets(a).intersect(sets(b)).size.toDouble / sets(a).union(sets(b)).size
+      if j >= 0.5
+    } yield (a, b)).toSet
+    val got = SetJoin.jaccardPairs(rows, "id", "item", 0.5)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    assert(got == exp, s"missing ${exp -- got}, extra ${got -- exp}")
+  }
+
   test("jaccardPairs: deterministic and partitioning-invariant") {
     val rnd = new scala.util.Random(73)
     val rows = (1 to 80).flatMap { id =>
