@@ -80,6 +80,28 @@ private[graft] final case class Checkpointer(
     (ck, Checkpointer.fingerprint(ck))
   }
 
+  /** Checkpoint `df` and return the number of rows whose boolean column
+    * `chgCol` is true, counted by a long accumulator DURING the
+    * checkpoint-materializing scan — the cheapest possible convergence
+    * probe: no aggregate exchange, no collect stage, just the pinning
+    * pass itself (vs [[fingerprinted]]'s two extra agg stages per round).
+    * Accumulator counts can only be inflated by task retries (a partial
+    * task adds, the retry adds again), never deflated, so a loop that
+    * stops on `changed == 0` can run a harmless extra round but can
+    * never stop early — safe for convergence, unlike an accumulator
+    * row-count driving data-dependent logic. */
+  def changeCounted(df: DataFrame, chgCol: String): (DataFrame, Long) = {
+    val ck = if (effectiveDir.isDefined) apply(df) else df.localCheckpoint(false)
+    val acc = spark.sparkContext.longAccumulator
+    val idx = ck.schema.fieldIndex(chgCol)
+    ck.queryExecution.toRdd.foreachPartition { it =>
+      var n = 0L
+      while (it.hasNext) if (it.next().getBoolean(idx)) n += 1
+      acc.add(n)
+    }
+    (ck, acc.value)
+  }
+
   /** Checkpoint `df` and return its row count — the same one-job fusion as
     * [[fingerprinted]], for loops whose convergence check is a count. */
   def counted(df: DataFrame): (DataFrame, Long) = {

@@ -42,8 +42,29 @@ object StronglyConnectedComponents {
       checkpointDir: Option[String] = None, strict: Boolean = false): DataFrame = {
     val spark = g.vertices.sparkSession
     val ckpt = Checkpointer(spark, checkpointDir)
+    // Adaptive broadcast gate: checkpointed state is an RDD leaf with
+    // default (huge) stats, so Catalyst plans every state join as a
+    // shuffle join — at bench scale that reshuffles the edge set every
+    // round for a state of a few thousand rows. The loop already pays
+    // exact `count()` actions for convergence, so use THAT number (the
+    // same exact-cardinality re-plan AQE does from materialized stages):
+    // while the remaining vertex set fits comfortably in a broadcast,
+    // hint state/color/membership builds broadcast — edges then never
+    // re-exchange inside a round. Past the threshold (real-cluster
+    // early phases) everything stays a shuffle join keyed on the vertex
+    // id, which is the 100 TB-correct plan.
+    val bcRows = spark.conf
+      .get("spark.graft.scc.broadcastThreshold", "2000000").toLong
+    def bc(df: DataFrame, small: Boolean): DataFrame =
+      if (small) broadcast(df) else df
+    val trimMinPeelFrac = spark.conf
+      .get("spark.graft.scc.trimMinPeelFrac", "0.01").toDouble
+    def dbg(msg: => String): Unit = if (sys.env.contains("GRAFT_SCC_DEBUG"))
+      System.err.println(s"[scc-debug] $msg t=${System.nanoTime() / 1000000}")
 
+    dbg("start")
     val v0 = ckpt.counted(g.vertices.select(col("id")).distinct())
+    dbg(s"v0 counted n=${v0._2}")
     var verts = v0._1
     var edges = ckpt.lazily(g.edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst")).distinct())
@@ -62,6 +83,7 @@ object StronglyConnectedComponents {
       // 1. trim to fixpoint: no-in or no-out vertices are singleton SCCs
       var trimmed = true
       while (trimmed && nLeft > 0) {
+        val small = nLeft <= bcRows
         // one union + hash aggregate computes both endpoint flags — a single
         // shuffle, vs two distinct-projections + two semi-joins
         val flags = edges.select(col("src").as("id"), lit(1).as("o"), lit(0).as("i"))
@@ -69,25 +91,35 @@ object StronglyConnectedComponents {
           .groupBy("id").agg(max(col("o")).as("has_out"), max(col("i")).as("has_in"))
         // one job: the count is the action that materializes the checkpoint
         val (core, nCore) = ckpt.counted(verts.join(
-          flags.where(col("has_out") === 1 && col("has_in") === 1).select("id"),
+          bc(flags.where(col("has_out") === 1 && col("has_in") === 1)
+            .select("id"), small),
           Seq("id"), "left_semi"))
+        dbg(s"trim counted nCore=$nCore nLeft=$nLeft")
         if (nCore == nLeft) trimmed = false
         else {
-          val peeled = verts.join(core, Seq("id"), "left_anti")
+          val peeled = verts.join(bc(core, small), Seq("id"), "left_anti")
             .select(col("id"), col("id").as("component"))
           assigned = ckpt.lazily(assigned.union(peeled))
           verts = core
           edges = ckpt.lazily(edges
-            .join(core.select(col("id").as("src")), Seq("src"), "left_semi")
-            .join(core.select(col("id").as("dst")), Seq("dst"), "left_semi"))
+            .join(bc(core.select(col("id").as("src")), small), Seq("src"), "left_semi")
+            .join(bc(core.select(col("id").as("dst")), small), Seq("dst"), "left_semi"))
+          // trim is an optimization, not a correctness step — the FW-BW
+          // coloring handles whatever remains. When a pass peeled only a
+          // negligible sliver, the possible cascade is at most its
+          // neighborhood; paying another full flags+count job to chase it
+          // costs more than letting the coloring absorb it.
+          if ((nLeft - nCore).toDouble / nLeft < trimMinPeelFrac) trimmed = false
           nLeft = nCore
         }
       }
       if (nLeft > 0) {
+        val small = nLeft <= bcRows
         // 2. forward color propagation to fixpoint: color(v) = the
         // hash-order-minimum vertex id that reaches v (see minPropagate for
         // why the order is xxhash64(id), not id).
-        val colors = minPropagate(verts, edges, ckpt, maxIter, strict, "forward")
+        dbg("pre-forward")
+        val colors = minPropagate(verts, edges, ckpt, maxIter, strict, "forward", small)
         // 3. collect: SCC paths never leave a color class (a cross-class
         // shortcut would merge the classes — the argument in minPropagate's
         // scaladoc holds for any total order), so restrict to class-internal
@@ -114,27 +146,28 @@ object StronglyConnectedComponents {
         val endpointsMode =
           spark.conf.get("spark.graft.scc.collect", "endpoints") != "full"
         val inClassRev0 = edges
-          .join(colors.select(col("id").as("src"), col("color").as("__cs")), "src")
-          .join(colors.select(col("id").as("dst"), col("color").as("__cd")), "dst")
+          .join(bc(colors.select(col("id").as("src"), col("color").as("__cs")), small), "src")
+          .join(bc(colors.select(col("id").as("dst"), col("color").as("__cd")), small), "dst")
           .where(col("__cs") === col("__cd"))
           .select(col("dst").as("src"), col("src").as("dst"))
         val found = if (endpointsMode) {
           val inClassRev = ckpt.lazily(inClassRev0)
           val endpoints = inClassRev.select(col("src").as("id"))
             .union(inClassRev.select(col("dst").as("id"))).distinct()
-          val endVerts = ckpt.lazily(colors.join(endpoints, Seq("id"), "left_semi"))
-          val bcolors = minPropagate(endVerts, inClassRev, ckpt, maxIter, strict, "backward")
+          val endVerts = ckpt.lazily(colors.join(bc(endpoints, small), Seq("id"), "left_semi"))
+          val bcolors = minPropagate(endVerts, inClassRev, ckpt, maxIter, strict, "backward", small)
           // roots (singleton-class or not) are members of their own SCC by
           // reflexivity; non-root endpoints are members iff they reach the
           // root (bcolor == color); non-root non-endpoints never are.
           colors.where(col("id") === col("color"))
             .union(endVerts
-              .join(bcolors.withColumnRenamed("color", "bcolor"), Seq("id"))
+              .join(bc(bcolors.withColumnRenamed("color", "bcolor"), small), Seq("id"))
               .where(col("color") === col("bcolor") && col("id") =!= col("color"))
               .select(col("id"), col("color")))
         } else {
-          val bcolors = minPropagate(verts, inClassRev0, ckpt, maxIter, strict, "backward")
-          colors.join(bcolors.withColumnRenamed("color", "bcolor"), Seq("id"))
+          val bcolors = minPropagate(verts, ckpt.lazily(inClassRev0), ckpt,
+            maxIter, strict, "backward", small)
+          colors.join(bc(bcolors.withColumnRenamed("color", "bcolor"), small), Seq("id"))
             .where(col("color") === col("bcolor"))
             .select(col("id"), col("color"))
         }
@@ -142,17 +175,20 @@ object StronglyConnectedComponents {
         // to its minimum member id so the public component id stays the
         // deterministic oracle-checkable min-member contract
         val minIds = found.groupBy("color").agg(min("id").as("component"))
-        val members = ckpt.lazily(found.join(minIds, "color")
+        val members = ckpt.lazily(found.join(bc(minIds, small), "color")
           .select(col("id"), col("component")))
         // 4. assign and peel the found SCCs
         assigned = ckpt.lazily(assigned.union(members))
-        val vertsCounted = ckpt.counted(verts.join(members, Seq("id"), "left_anti"))
+        dbg("pre-assign")
+        val vertsCounted = ckpt.counted(
+          verts.join(bc(members, small), Seq("id"), "left_anti"))
         verts = vertsCounted._1
         nLeft = vertsCounted._2
         edges = ckpt.lazily(edges
-          .join(verts.select(col("id").as("src")), Seq("src"), "left_semi")
-          .join(verts.select(col("id").as("dst")), Seq("dst"), "left_semi"))
+          .join(bc(verts.select(col("id").as("src")), small), Seq("src"), "left_semi")
+          .join(bc(verts.select(col("id").as("dst")), small), Seq("dst"), "left_semi"))
       }
+      dbg(s"phase $phase done nLeft=$nLeft")
       phase += 1
     }
     if (nLeft > 0) {
@@ -169,11 +205,13 @@ object StronglyConnectedComponents {
   /** Order-min reacher propagation over `edges` (src → dst) to fixpoint,
     * starting from color(v) = v: returns, per vertex, the minimum vertex
     * *under the order (xxhash64(id), id)* with a directed path to it
-    * (column `color`). Convergence is the (count, XOR-checksum) fingerprint
-    * idiom of [[ConnectedComponents]] — one aggregate scan of the
-    * checkpointed state instead of a change-detection join per round (state
-    * is distinct per id, so fingerprint equality <=> nothing moved, modulo
-    * 64-bit collision).
+    * (column `color`). Convergence is a changed-row count taken by
+    * accumulator DURING the checkpoint-materializing scan
+    * ([[Checkpointer.changeCounted]]): the round's aggregate carries the
+    * previous color alongside the new one (the seed rows are tagged, and
+    * `min` over only-seed rows recovers it — state is distinct per id),
+    * so `changed == 0` detects the fixpoint with no fingerprint
+    * aggregate, no extra exchange, and no checksum-collision caveat.
     *
     * Each round folds the edge-push join with a pointer jump
     * (color-of-color): color(v) = w means "w reaches v", so anything known
@@ -199,7 +237,13 @@ object StronglyConnectedComponents {
     * only in the aggregate's ordering key, never in the output. */
   private def minPropagate(verts: DataFrame, edges: DataFrame,
       ckpt: Checkpointer, maxIter: Int, strict: Boolean,
-      phaseName: String): DataFrame = {
+      phaseName: String, small: Boolean): DataFrame = {
+    // per-round state is ≤ the phase's remaining vertex set, whose exact
+    // count gated `small` in the caller — broadcast it into the edge-push
+    // and pointer-jump joins so the (much larger) edge set never
+    // re-exchanges inside the loop; the only shuffle left per round is
+    // the min-aggregate on the pushed rows
+    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     // order key: (xxhash64(w), w) — the id tiebreak makes the order total
     // even across hash collisions, keeping min() deterministic
     def ord(w: Column): Column = struct(xxhash64(w).as("h"), w.as("w"))
@@ -216,41 +260,65 @@ object StronglyConnectedComponents {
     // escape hatch; unsafe past ~15 propagation rounds).
     val fresh = verts.sparkSession.conf
       .get("spark.graft.scc.freshStats", "true") != "false"
-    // one job per round: the fingerprint aggregate materializes the lazy
-    // checkpoint ([[Checkpointer.fingerprinted]]); stats reset afterwards
+    // one job per round: the accumulator probe materializes the lazy
+    // checkpoint ([[Checkpointer.changeCounted]]); stats reset afterwards
     // on the already-materialized frame
-    def ckFp(df: DataFrame, reset: Boolean): (DataFrame, (Long, Long)) = {
-      val (ck0, fp) = ckpt.fingerprinted(df)
-      (if (fresh && reset) ckpt.resetStats(ck0) else ck0, fp)
+    def ckChanged(df: DataFrame, reset: Boolean): (DataFrame, Long) = {
+      val (ck0, changed) = ckpt.changeCounted(df, "chg")
+      (if (fresh && reset) ckpt.resetStats(ck0) else ck0, changed)
     }
     // the seed is a plain projection of the already-checkpointed verts —
-    // no checkpoint or fingerprint job of its own. prevFp starts null, so
-    // the loop always runs at least one round; that trades the former
-    // seed-fingerprint job for one (cheap) extra round ONLY in the
-    // degenerate already-converged case (empty class-internal edge set).
+    // no checkpoint or probe job of its own; the loop always runs at
+    // least one round (the seed is only a fixpoint when the edge set is
+    // empty, and that degenerate round is cheap)
     var st = verts.select(col("id"), col("id").as("w"))
-    var prevFp: (Long, Long) = null
     var stable = false
     var it = 0
     while (!stable && it < maxIter) {
+      // both the edge-push and the pointer jump build against the SAME
+      // un-projected `st` plan so the two BroadcastExchanges canonicalize
+      // identically and ReuseExchange collapses them to one broadcast
+      // build per round (projections live on the probe side / after the
+      // join instead)
+      val stBc = bc(st)
+      // seed rows ride tagged through the union so the aggregate can
+      // recover the PREVIOUS color per id (min over only-seed rows — the
+      // seed is exactly one row per id) next to the new min; `chg` then
+      // flags ids whose color moved this round, counted during the
+      // materializing scan with no extra stage
       val pushed = edges
-        .join(st.select(col("id").as("src"), col("w")), "src")
-        .select(col("dst").as("id"), col("w"))
-      val base = st.union(pushed)
-      val folded = if (it < 3) base else {
-        val jumped = st.select(col("id"), col("w").as("__w"))
-          .join(st.select(col("id").as("__w"), col("w").as("__w2")), "__w")
-          .select(col("id"), col("__w2").as("w"))
-        base.union(jumped)
+        .join(stBc, edges("src") === stBc("id"))
+        .select(col("dst").as("id"), col("w"), lit(false).as("__seed"))
+      val base = st.withColumn("__seed", lit(true)).union(pushed)
+      // jump from round 2 (round 1's jump is the identity on seeds): with
+      // the broadcast gate the jump join costs far less than a round, so
+      // doubling starts as early as it can help — reach after round k is
+      // 2^k − 1 instead of k for the first three rounds then doubling
+      val folded = if (it < 1) base else {
+        val stL = st.select(col("id").as("__vid"), col("w").as("__w"))
+        val j1 = stL.join(stBc, stL("__w") === stBc("id"))
+          .select(col("__vid"), col("w").as("__w1"))
+        // second hop through the same broadcast (reused exchange): three
+        // pointer generations per round — reach grows ~3x+1 per round
+        // instead of ~2x+1, one fewer round on deep witness chains for
+        // one extra build-free broadcast probe
+        val j2 = j1.join(stBc, j1("__w1") === stBc("id"))
+          .select(col("__vid").as("id"), col("w"), lit(false).as("__seed"))
+        val jumped = j1
+          .select(col("__vid").as("id"), col("__w1").as("w"), lit(false).as("__seed"))
+        base.union(jumped).union(j2)
       }
-      val (next, fp) = ckFp(folded.groupBy("id")
-        .agg(min(ord(col("w"))).getField("w").as("w")), reset = it % 4 == 3)
-      stable = fp == prevFp
-      prevFp = fp
-      st = next
+      val withOld = folded.groupBy("id")
+        .agg(min(ord(col("w"))).getField("w").as("w"),
+          min(when(col("__seed"), ord(col("w")))).getField("w").as("__w_old"))
+      val (next3, changed) = ckChanged(withOld
+        .withColumn("chg", col("__w_old").isNull || col("w") =!= col("__w_old"))
+        .select("id", "w", "chg"), reset = it % 4 == 3)
+      stable = changed == 0L
+      st = next3.select("id", "w")
       it += 1
       if (sys.env.contains("GRAFT_SCC_DEBUG"))
-        System.err.println(s"[scc-debug] $phaseName it=$it fp=$fp stable=$stable t=${System.nanoTime() / 1000000}")
+        System.err.println(s"[scc-debug] $phaseName it=$it changed=$changed t=${System.nanoTime() / 1000000}")
     }
     if (!stable) {
       val msg = s"SCC $phaseName propagation did not converge after " +
