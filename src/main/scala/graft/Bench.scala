@@ -27,6 +27,24 @@ object Bench {
     // repeatable time (round-4 cross-round comparisons were polluted by
     // ambient load; best-of-3 keeps per-query values stable within ~10%)
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // composed-pipeline row: the synthetic-identity + structuring + ER
+    // stages of the reference DAG end-to-end (catalog writes included),
+    // so cross-round regressions in the COMPOSITION — not just per-query
+    // — show up in the bench
+    def pipelinePass(): Double = {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_bench_wh").toString
+      val t0 = System.nanoTime()
+      try {
+        val p = new graft.pipelines.AmlPipelines(spark, sfDir, wh)
+        p.runSyntheticIdentity().count()
+        p.runStructuring().count()
+        p.runEntityResolution().count()
+      } catch { case _: Throwable => () }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      dt
+    }
     def onePass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -35,7 +53,7 @@ object Bench {
         // drop per-query persists so cache buildup can't GC-thrash later queries
         spark.catalog.clearCache()
         name -> dt
-      }
+      } :+ ("pipeline_aml" -> pipelinePass())
     val results = (1 to passes).map(_ => onePass()).reduce { (a, b) =>
       a.zip(b).map { case ((n, x), (_, y)) => n -> math.min(x, y) }
     }

@@ -196,6 +196,36 @@ object TimeSeries {
     daily.join(windowed, Seq("day"))
   }
 
+  /** The 100 TB form of [[slidingDistinct]]: per-day HyperLogLog sketches
+    * (Apache DataSketches HLL via `hll_sketch_agg`) built ONCE from the
+    * raw events — insertion dedups, so no daily-distinct table — then the
+    * shifted union runs over SKETCH ROWS (`windowDays × |days|` rows of
+    * O(2^lgK) bytes, independent of active count) and `hll_union_agg`
+    * merges the window. Exactness yields ~1.6% rsd at the default
+    * `lgK = 12`; state per (day, window) is the sketch, never the entity
+    * set. Columns mirror [[slidingDistinct]] with an `_approx` suffix. */
+  def slidingDistinctApprox(events: DataFrame, windowDays: Int,
+      userCol: String = "user_id", tsCol: String = "ts",
+      lgK: Int = 12): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val daySk = events.select(
+        expr(s"unix_millis($tsCol) div 86400000").as("day"),
+        col(userCol).as("__u"))
+      .groupBy("day")
+      .agg(hll_sketch_agg(col("__u"), lit(lgK)).as("__sk"))
+    val days = daySk.select("day")
+    val shifted = (0 until windowDays)
+      .map(k => daySk.select((col("day") + lit(k.toLong)).as("day"), col("__sk")))
+      .reduce(_ unionAll _)
+    val merged = shifted.join(days, Seq("day"))
+      .groupBy("day")
+      .agg(hll_union_agg(col("__sk")).as("__skw"))
+    daySk.join(merged, Seq("day"))
+      .select(col("day"),
+        hll_sketch_estimate(col("__sk")).as("n_active_1d_approx"),
+        hll_sketch_estimate(col("__skw")).as(s"n_active_${windowDays}d_approx"))
+  }
+
   /** SCD-2 change-interval collapse (gaps-and-islands): per entity, each
     * maximal run of consecutive events carrying the same attribute value
     * becomes one validity interval `[valid_from_ms, valid_to_ms)` with

@@ -3,9 +3,11 @@ package graft.graph
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Louvain community detection, phase 1 (Blondel et al. 2008): each vertex
-  * repeatedly moves to the neighboring community with the best modularity
-  * gain. The reference analyzes transaction-graph communities implicitly
+/** Louvain community detection (Blondel et al. 2008), the FULL multi-level
+  * loop: a move phase where each vertex repeatedly moves to the neighboring
+  * community with the best modularity gain ([[phase1]]/[[phase1Weighted]]),
+  * then community contraction to a weighted super-graph ([[contract]]) and
+  * repeat ([[run]]). The reference analyzes transaction-graph communities implicitly
   * through connected components and motifs
   * (`/root/reference/01_aml_network_analysis.py:264-292`); Louvain is the
   * modularity-refining upgrade — splitting a giant component into dense
@@ -45,29 +47,54 @@ import org.apache.spark.sql.functions._
   */
 object Louvain {
 
+  /** Undirected weighted-dedup of a raw edge list: `(a, b, w=1)` with
+    * `a < b`, self-edges dropped — level-1 input for [[phase1Weighted]]. */
+  private def undirected(edges: DataFrame): DataFrame = edges.select(
+      least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b"))
+    .where(col("a") =!= col("b")).distinct()
+    .withColumn("w", lit(1L))
+
   /** `rounds` synchronous move rounds from singleton communities.
     * Returns (v, community). */
-  def phase1(edges: DataFrame, rounds: Int): DataFrame = {
+  def phase1(edges: DataFrame, rounds: Int): DataFrame =
+    phase1Weighted(undirected(edges), rounds)
+
+  /** The weighted core of the move phase, over an undirected weighted
+    * graph `wund(a, b, w)` with `a <= b` (rows with `a = b` are
+    * self-loops, as produced by [[contract]]). Weighted Louvain per
+    * Blondel §2: `k_i = Σ_j w_ij + 2·self_i`, `m = Σ w` (self rows once),
+    * `k_{i,C} = Σ_{j∈C, j≠i} w_ij`; the gain argmax and the alternating
+    * direction schedule are exactly the unweighted form's — at `w = 1`
+    * with no self rows this IS the unweighted phase (q135's oracle
+    * unrolls it verbatim). Weights stay exact longs throughout. */
+  def phase1Weighted(wund: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 32, "rounds must be in [1, 32]")
-    val spark = edges.sparkSession
+    val spark = wund.sparkSession
     val ck = Checkpointer(spark, None)
-    val und = edges.select(
-        least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .where(col("a") =!= col("b")).distinct()
+    val inter = wund.where(col("a") =!= col("b"))
+    val self = wund.where(col("a") === col("b"))
+      .select(col("a").as("u"), col("w"))
     val adj = ck.lazily(
-      und.select(col("a").as("u"), col("b").as("v"))
-        .unionAll(und.select(col("b").as("u"), col("a").as("v"))))
-    val deg = adj.groupBy("u").agg(count(lit(1)).as("k"))
-    val mDf = und.agg(count(lit(1)).as("m"))
-    var labels = adj.select(col("u").as("v")).distinct()
+      inter.select(col("a").as("u"), col("b").as("v"), col("w"))
+        .unionAll(inter.select(col("b").as("u"), col("a").as("v"), col("w"))))
+    // a self-loop of weight w contributes 2w to its vertex's degree mass
+    // (A_ii = 2w in the adjacency convention that keeps Q level-invariant
+    // under contraction)
+    val deg = adj.select(col("u"), col("w"))
+      .unionAll(self.select(col("u"), (col("w") * 2L).as("w")))
+      .groupBy("u").agg(sum(col("w")).as("k"))
+    val mDf = wund.agg(sum(col("w")).as("m"))
+    var labels = adj.select(col("u").as("v"))
+      .unionAll(self.select(col("u").as("v")))
+      .distinct()
       .withColumn("c", col("v"))
     (1 to rounds).foreach { r =>
-      // k_{i,C}: edge count from each vertex into each neighbor community
+      // k_{i,C}: weight from each vertex into each neighbor community
       val kic = adj
         .join(labels.select(col("v").as("__nv"), col("c")),
           col("v") === col("__nv"))
-        .groupBy(col("u"), col("c")).agg(count(lit(1)).as("kic"))
+        .groupBy(col("u"), col("c")).agg(sum(col("w")).as("kic"))
       // own community is always a candidate (k_{i,own} may be 0)
       val own = labels.select(col("v").as("u"), col("c"), lit(0L).as("kic"))
       val cand = kic.unionAll(own)
@@ -96,6 +123,42 @@ object Louvain {
         .select(col("v"), (-col("__m.nc")).as("c")))
     }
     labels
+  }
+
+  /** Phase 2 (Blondel §2): contract each community to a super-vertex.
+    * Inter-community weights sum; `a = b` rows (community-internal weight
+    * plus member self-loops) become the super-vertex's self-loop, so the
+    * contracted graph's modularity under the identity labeling equals the
+    * input labeling's — the level-invariance that makes multi-level
+    * Louvain meaningful. One keyed aggregate over the (already
+    * contracted, shrinking) weighted edge list. */
+  def contract(wund: DataFrame, labels: DataFrame): DataFrame = wund
+    .join(labels.select(col("v").as("a"), col("c").as("__ca")), "a")
+    .join(labels.select(col("v").as("b"), col("c").as("__cb")), "b")
+    .select(least(col("__ca"), col("__cb")).as("a"),
+      greatest(col("__ca"), col("__cb")).as("b"), col("w"))
+    .groupBy("a", "b").agg(sum(col("w")).as("w"))
+
+  /** Full multi-level Louvain: `levels` × (move phase, contract), the
+    * complete Blondel 2008 loop. Returns each ORIGINAL vertex's community
+    * at the final level (community ids are vertex ids of the last
+    * contracted graph = representatives from the original id space).
+    * Every level is the same derandomized schedule, so the whole run is
+    * bit-deterministic and SQL-unrollable (q156's two-level oracle). */
+  def run(edges: DataFrame, roundsPerLevel: Int, levels: Int): DataFrame = {
+    require(levels >= 1 && levels <= 8, "levels must be in [1, 8]")
+    val ck = Checkpointer(edges.sparkSession, None)
+    var wund = ck.lazily(undirected(edges))
+    var mapping: DataFrame = null
+    (1 to levels).foreach { level =>
+      val labels = phase1Weighted(wund, roundsPerLevel)
+      mapping = if (level == 1) labels
+      else ck.lazily(mapping.select(col("v"), col("c").as("__old"))
+        .join(labels.select(col("v").as("__old"), col("c")), "__old")
+        .select(col("v"), col("c")))
+      if (level < levels) wund = ck.lazily(contract(wund, labels))
+    }
+    mapping
   }
 
   /** Per-community summary over a (v, community) labeling: member count,

@@ -787,6 +787,43 @@ object AnalyticsQueries {
             SELECT day, n_active_1d, n_active_7d
             FROM d1 JOIN w7 USING (day) ORDER BY day"""))
 
+  /** q155: the sketch path of q153 ([[TimeSeries.slidingDistinctApprox]])
+    * — per-day HLL sketches merged across the trailing window, gated
+    * like q93: the exact shifted-union counts are the hash-compared
+    * columns, and the HLL estimates are asserted within 4×rsd of them
+    * genuinely in Spark (DuckDB pins the assertion columns TRUE). */
+  private val q155 = QDef(
+    "q155_sliding_actives_hll",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val exact = TimeSeries.slidingDistinct(ev, windowDays = 7)
+      val approx = TimeSeries.slidingDistinctApprox(ev, windowDays = 7)
+      // DataSketches HLL at lgK=12 has rsd ~1.039/sqrt(2^12) ≈ 1.6%;
+      // assert within 4×rsd ≈ 6.5% like the q93 device
+      exact.join(approx, Seq("day"))
+        .select(col("day"), col("n_active_1d"), col("n_active_7d"),
+          (abs(col("n_active_1d_approx") - col("n_active_1d")) <=
+            lit(0.065) * col("n_active_1d")).as("within_bound_1d"),
+          (abs(col("n_active_7d_approx") - col("n_active_7d")) <=
+            lit(0.065) * col("n_active_7d")).as("within_bound_7d"))
+        .orderBy("day")
+    },
+    Some("""WITH du AS (SELECT DISTINCT epoch_ms(ts) // 86400000 AS day,
+                                        user_id AS u
+                        FROM events),
+                 days AS (SELECT DISTINCT day FROM du),
+                 sh AS (SELECT du.day + k AS day, u
+                        FROM du CROSS JOIN (SELECT unnest(range(7)) AS k)),
+                 d1 AS (SELECT day, CAST(count(DISTINCT u) AS BIGINT)
+                                      AS n_active_1d
+                        FROM du GROUP BY 1),
+                 w7 AS (SELECT s.day, CAST(count(DISTINCT u) AS BIGINT)
+                                        AS n_active_7d
+                        FROM sh s JOIN days USING (day) GROUP BY 1)
+            SELECT day, n_active_1d, n_active_7d,
+                   TRUE AS within_bound_1d, TRUE AS within_bound_7d
+            FROM d1 JOIN w7 USING (day) ORDER BY day"""))
+
   /** q154: percent-rank normalization of event values within each type
     * ([[graft.ext.Robust.percentRank]]) — SQL PERCENT_RANK semantics via
     * the grouped distributed rank (no per-group global sort), total
@@ -805,5 +842,5 @@ object AnalyticsQueries {
   val all: Seq[QDef] =
     Seq(q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122,
       q123, q124, q125, q126, q127, q128, q129, q130, q131, q134, q145,
-      q147, q149, q151, q153, q154)
+      q147, q149, q151, q153, q154, q155)
 }

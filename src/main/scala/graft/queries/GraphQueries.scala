@@ -730,6 +730,99 @@ object GraphQueries {
           ORDER BY community"""
     })
 
+  /** q156: FULL multi-level Louvain — two levels of (two synchronous
+    * weighted move rounds, contract) per Blondel 2008 §2
+    * ([[graft.graph.Louvain.run]]), reported as the q135 community
+    * summary over the ORIGINAL graph under the final mapping. The oracle
+    * unrolls both levels: the weighted move rounds (kic/σ as weight
+    * sums, self-loops contributing 2w to degree mass), the community
+    * contraction (inter-community weight sums, internal mass to the
+    * super-vertex self-loop), and the original-vertex remap. */
+  private val q156 = QDef(
+    "q156_louvain_full",
+    (s, dir) => {
+      val edges = txnGraph(s, dir).edges
+      graft.graph.Louvain
+        .communityStats(edges,
+          graft.graph.Louvain.run(edges, roundsPerLevel = 2, levels = 2))
+        .orderBy("community")
+    },
+    Some {
+      // weighted level prelude: adjacency, self-loops, degree mass
+      // (2w per self-loop), total weight, singleton seed labels
+      def level(lv: Int): String =
+        s"""adj_$lv AS MATERIALIZED (SELECT a AS u, b AS v, w FROM und_$lv WHERE a <> b
+                        UNION ALL
+                        SELECT b AS u, a AS v, w FROM und_$lv WHERE a <> b),
+            self_$lv AS MATERIALIZED (SELECT a AS u, w FROM und_$lv WHERE a = b),
+            deg_$lv AS MATERIALIZED (SELECT u, CAST(sum(w) AS BIGINT) AS k FROM (
+                          SELECT u, w FROM adj_$lv
+                          UNION ALL SELECT u, 2 * w AS w FROM self_$lv)
+                        GROUP BY u),
+            m_$lv AS MATERIALIZED (SELECT CAST(sum(w) AS BIGINT) AS m FROM und_$lv),
+            l0_$lv AS MATERIALIZED (SELECT DISTINCT v, v AS c FROM (
+                         SELECT u AS v FROM adj_$lv
+                         UNION ALL SELECT u AS v FROM self_$lv))"""
+      // one weighted synchronous move round (the q135 round with counts
+      // generalized to weight sums)
+      def round(lv: Int, r: Int): String = {
+        val l = s"l${r - 1}_$lv"
+        val dir = if (r % 2 == 1) "<=" else ">="
+        s"""kic${r}_$lv AS MATERIALIZED (SELECT adj.u, $l.c, CAST(sum(adj.w) AS BIGINT) AS kic
+                            FROM adj_$lv adj JOIN $l ON $l.v = adj.v
+                            GROUP BY adj.u, $l.c),
+            cand${r}_$lv AS MATERIALIZED (SELECT u, c, max(kic) AS kic FROM (
+                               SELECT u, c, kic FROM kic${r}_$lv
+                               UNION ALL SELECT v AS u, c, 0 AS kic FROM $l)
+                             GROUP BY u, c),
+            sig${r}_$lv AS MATERIALIZED (SELECT $l.c, CAST(sum(d.k) AS BIGINT) AS sig
+                            FROM $l JOIN deg_$lv d ON d.u = $l.v GROUP BY $l.c),
+            sc${r}_$lv AS MATERIALIZED (SELECT cand.u, cand.c,
+                             2 * m.m * cand.kic -
+                               (CASE WHEN cand.c = lo.c THEN sig.sig - d.k
+                                     ELSE sig.sig END) * d.k AS score
+                           FROM cand${r}_$lv cand
+                           JOIN sig${r}_$lv sig ON sig.c = cand.c
+                           JOIN deg_$lv d ON d.u = cand.u
+                           JOIN $l lo ON lo.v = cand.u AND cand.c $dir lo.c
+                           CROSS JOIN m_$lv m),
+            l${r}_$lv AS MATERIALIZED (SELECT u AS v, c FROM (
+                            SELECT sc.u, sc.c, row_number() OVER
+                              (PARTITION BY sc.u
+                               ORDER BY sc.score DESC, sc.c ASC) AS rn
+                            FROM sc${r}_$lv sc) WHERE rn = 1)"""
+      }
+      s"""WITH e AS MATERIALIZED ($txnEdgesSql),
+          und_1 AS MATERIALIZED (SELECT a, b, CAST(1 AS BIGINT) AS w FROM (
+                      SELECT DISTINCT least(src,dst) AS a,
+                                      greatest(src,dst) AS b
+                      FROM e WHERE src <> dst)),
+          ${level(1)}, ${round(1, 1)}, ${round(1, 2)},
+          und_2 AS MATERIALIZED (SELECT least(la.c, lb.c) AS a, greatest(la.c, lb.c) AS b,
+                           CAST(sum(u1.w) AS BIGINT) AS w
+                    FROM und_1 u1 JOIN l2_1 la ON la.v = u1.a
+                                  JOIN l2_1 lb ON lb.v = u1.b
+                    GROUP BY 1, 2),
+          ${level(2)}, ${round(2, 1)}, ${round(2, 2)},
+          map AS MATERIALIZED (SELECT l1.v, l2.c FROM l2_1 l1 JOIN l2_2 l2 ON l2.v = l1.c),
+          internal AS MATERIALIZED (SELECT la.c, CAST(count(*) AS BIGINT) AS ie
+                       FROM und_1 JOIN map la ON la.v = und_1.a
+                                  JOIN map lb ON lb.v = und_1.b
+                       WHERE la.c = lb.c GROUP BY la.c),
+          stats AS MATERIALIZED (SELECT map.c, CAST(count(*) AS BIGINT) AS n_members,
+                           CAST(sum(d.k) AS BIGINT) AS degree_sum
+                    FROM map JOIN deg_1 d ON d.u = map.v GROUP BY map.c)
+          SELECT s.c AS community, s.n_members,
+                 CAST(coalesce(i.ie, 0) AS BIGINT) AS internal_edges,
+                 s.degree_sum,
+                 round(CAST(coalesce(i.ie, 0) AS DOUBLE) / m_1.m -
+                   (CAST(s.degree_sum AS DOUBLE) / (2 * m_1.m)) *
+                   (CAST(s.degree_sum AS DOUBLE) / (2 * m_1.m)), 8)
+                   AS modularity_part
+          FROM stats s LEFT JOIN internal i ON i.c = s.c CROSS JOIN m_1
+          ORDER BY community"""
+    })
+
   /** q136: HITS hubs & authorities, two fixed power-iteration rounds with
     * integer max-normalization ([[graft.graph.Centrality.hits]]) — exact
     * long floor-divisions, so the oracle unrolls both rounds verbatim. */
@@ -1096,5 +1189,5 @@ object GraphQueries {
   val all: Seq[QDef] =
     Seq(q15, q16, q17, q18, q19, q20, q42, q44, q45, q48, q50, q58, q59, q60,
       q69, q85, q86, q107, q108, q135, q136, q137, q138, q139, q143, q144,
-      q150, q152)
+      q150, q152, q156)
 }

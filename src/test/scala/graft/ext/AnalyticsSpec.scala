@@ -432,6 +432,30 @@ class AnalyticsSpec extends SparkTestBase {
     assert(one.forall(r => r._2 == r._3))
   }
 
+  test("slidingDistinctApprox: estimates track exact counts within rsd bound") {
+    val rnd = new scala.util.Random(31)
+    val ev = (1 to 3000).map { i =>
+      (rnd.nextInt(400).toLong,
+        Timestamp.valueOf(f"2024-01-${1 + rnd.nextInt(15)}%02d 04:00:00"))
+    }.toDF("user_id", "ts")
+    val exact = TimeSeries.slidingDistinct(ev, 7)
+    val approx = TimeSeries.slidingDistinctApprox(ev, 7)
+    val joined = exact.join(approx, Seq("day"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(joined.nonEmpty && joined.size == exact.count())
+    joined.foreach { case (day, e1, e7, a1, a7) =>
+      assert(math.abs(a1 - e1) <= 0.065 * e1 + 1,
+        s"day=$day 1d exact=$e1 approx=$a1")
+      assert(math.abs(a7 - e7) <= 0.065 * e7 + 1,
+        s"day=$day 7d exact=$e7 approx=$a7")
+    }
+    // merge associativity sanity: a 1-day window's estimate is the plain
+    // per-day sketch estimate (union of one sketch is the identity)
+    val one = TimeSeries.slidingDistinctApprox(ev, 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(one.forall(r => r._2 == r._3))
+  }
+
   // ---------- PPMI ----------
 
   test("ppmi: hand-checked weights, non-positive PMI rows dropped") {

@@ -54,6 +54,63 @@ class LouvainSpec extends SparkTestBase {
     assert(got == Seq((1L, 3L, 3L, 7L, q1), (4L, 1L, 0L, 1L, q4)))
   }
 
+  test("run: modularity is non-decreasing across levels") {
+    // ring of 6 cliques, adjacent cliques bridged — level 1 finds the
+    // cliques, level 2 can only merge whole cliques (or keep them), so
+    // each level's labeling must score at least the previous one's
+    val cliques = (0 until 6).map(i => clique((i * 10 + 1L) to (i * 10 + 4L)))
+    val bridges = (0 until 6).map(i => (i * 10 + 4L, ((i + 1) % 6) * 10 + 1L))
+    val edges = (cliques.flatten ++ bridges).toDF("src", "dst")
+    def q(labels: org.apache.spark.sql.DataFrame): Double = Louvain
+      .communityStats(edges, labels)
+      .agg(sum("modularity_part")).as[Double].collect().head
+    val qs = (1 to 3).map(lv => q(Louvain.run(edges, roundsPerLevel = 2, levels = lv)))
+    qs.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - 1e-9, s"modularity decreased across levels: $qs")
+    }
+    // and the multi-level result beats (or ties) plain phase 1
+    assert(qs.last >= q(Louvain.phase1(edges, 2)) - 1e-9)
+  }
+
+  test("run: level-1-only run equals phase1 on the same schedule") {
+    val rnd = new scala.util.Random(43)
+    val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val a = Louvain.run(edges, roundsPerLevel = 2, levels = 1)
+      .orderBy("v").collect().toSeq
+    val b = Louvain.phase1(edges, 2).orderBy("v").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("contract: level invariance — contracted identity keeps modularity") {
+    // Q of (graph, labels) == Q of (contracted graph, identity labels):
+    // internal mass moves to self-loops, degree/m conventions must agree
+    val edges = (clique(1L to 4L) ++ clique(11L to 14L) :+ (4L, 11L))
+      .toDF("src", "dst")
+    val labels = Louvain.phase1(edges, 4)
+    val wund = Louvain.contract(
+      edges.select(least($"src", $"dst").as("a"),
+        greatest($"src", $"dst").as("b"))
+        .where($"a" =!= $"b").distinct().withColumn("w", lit(1L)),
+      labels)
+    // weighted modularity of the contracted graph under identity labels,
+    // computed by hand from the weighted convention (self 2w in degree)
+    val rows = wund.as[(Long, Long, Long)].collect()
+    val m = rows.map(_._3).sum.toDouble
+    val degs = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    rows.foreach { case (a, b, w) =>
+      if (a == b) degs(a) += 2 * w else { degs(a) += w; degs(b) += w }
+    }
+    val selfW = rows.filter(r => r._1 == r._2).map(r => r._1 -> r._3).toMap
+    val qContracted = degs.keys.toSeq.map { c =>
+      selfW.getOrElse(c, 0L) / m - math.pow(degs(c) / (2 * m), 2)
+    }.sum
+    val qOrig = Louvain.communityStats(edges, labels)
+      .agg(sum("modularity_part")).as[Double].collect().head
+    assert(math.abs(qContracted - qOrig) < 1e-6,
+      s"level invariance broken: orig=$qOrig contracted=$qContracted")
+  }
+
   test("phase1: beats the singleton partition's modularity") {
     val rnd = new scala.util.Random(41)
     val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
