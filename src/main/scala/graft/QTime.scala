@@ -29,12 +29,37 @@ object QTime {
       spark.catalog.clearCache()
       dt
     }
-    val names = if (args.nonEmpty) args.toSeq else Seq("q01_global_agg")
+    // args: query names, plus optional `conf:key=value[,key=value...]`
+    // A/B arms — each named arm re-times every query under those confs in
+    // the same JVM (interleaved with the default arm's passes)
+    val (confArgs, names0) = args.toSeq.partition(_.startsWith("conf:"))
+    val names = if (names0.nonEmpty) names0 else Seq("q01_global_agg")
+    val arms: Seq[(String, Map[String, String])] =
+      ("default" -> Map.empty[String, String]) +: confArgs.map { a =>
+        val kvs = a.stripPrefix("conf:").split(",").map { kv =>
+          val Array(k, v) = kv.split("=", 2); k -> v
+        }.toMap
+        a.stripPrefix("conf:") -> kvs
+      }
     // warmup on the first target itself (JIT + parquet footers)
     try materialize(names.head) catch { case _: Throwable => () }
     for (name <- names) {
-      val ts = (1 to passes).map(_ => materialize(name))
-      println(f"QTIME $name best=${ts.min}%.3f all=${ts.map(t => f"$t%.2f").mkString(",")}")
+      // interleave arm passes (A,B,A,B,…) so JIT/ambient drift lands on
+      // both arms equally — block-ordered arms systematically favored the
+      // later arm by a full warmup tier
+      val ts: Seq[(String, Double)] = (1 to passes).flatMap { _ =>
+        arms.map { case (armName, confs) =>
+          confs.foreach { case (k, v) => spark.conf.set(k, v) }
+          val t = materialize(name)
+          confs.keys.foreach(spark.conf.unset)
+          armName -> t
+        }
+      }
+      for ((armName, _) <- arms) {
+        val mine = ts.filter(_._1 == armName).map(_._2)
+        val tag = if (arms.size > 1) s" arm=$armName" else ""
+        println(f"QTIME $name$tag best=${mine.min}%.3f all=${mine.map(t => f"$t%.2f").mkString(",")}")
+      }
     }
     spark.stop()
   }

@@ -142,7 +142,8 @@ object ScaleCheck {
         q.contains("ewma") || q.contains("transition") ||
         q.contains("scd2") || q.contains("quantile") ||
         q.contains("top_paths") || q.contains("chi2") ||
-        q.contains("mad") || q.contains("trimmed"))
+        q.contains("mad") || q.contains("trimmed") ||
+        q.contains("sliding") || q.contains("percent_rank"))
         (tDir, factor) // behavioral axis: factor× users
       else (eDir, factor)
 

@@ -117,6 +117,133 @@ object Centrality {
     pr
   }
 
+  /** Standard FLOAT PageRank run to a convergence tolerance — the
+    * GraphFrames-default surface (`resetProb = 0.15`, tol-gated fixpoint)
+    * for users who want the textbook semantics rather than the
+    * hash-gatable integer form ([[pageRankInt]], which remains the
+    * oracle-checked variant; float shuffle-order sums cannot be
+    * bit-compared across engines, so this one is spec-covered only).
+    *
+    * Convergence is `max_v |pr'(v) − pr(v)| ≤ tol`, detected with the
+    * [[Checkpointer.changeCounted]] accumulator probe during the
+    * checkpoint-materializing scan (no extra aggregate stage, and retry
+    * inflation can only add rounds). The per-round state is vertex-sized;
+    * the exact vertex count taken once up front gates broadcasting it
+    * into the edge joins (the SCC/CC adaptive-broadcast device). */
+  def pageRank(edges: DataFrame, resetProb: Double = 0.15,
+      tol: Double = 1e-4, maxIter: Int = 40): DataFrame = {
+    require(resetProb > 0 && resetProb < 1, "resetProb must be in (0, 1)")
+    require(tol > 0 && maxIter >= 1, "tol must be > 0, maxIter >= 1")
+    val spark = edges.sparkSession
+    val ck = Checkpointer(spark, None)
+    val e = ck.lazily(edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst")).distinct())
+    val bcRows = spark.conf
+      .get("spark.graft.pagerank.broadcastThreshold", "2000000").toLong
+    val (verts, nV) = ck.counted(e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct())
+    def bc(df: DataFrame): DataFrame = if (nV <= bcRows) broadcast(df) else df
+    val outdeg = ck.lazily(e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("od")))
+    var pr = verts.withColumn("pr", lit(1.0))
+    var it = 0
+    var stable = false
+    while (!stable && it < maxIter) {
+      val contrib = e
+        .join(bc(pr.select(col("id").as("src"), col("pr"))), "src")
+        .join(bc(outdeg.select(col("id").as("src"), col("od"))), "src")
+        .select(col("dst").as("id"), (col("pr") / col("od")).as("ctr"))
+        .groupBy("id").agg(sum(col("ctr")).as("inmass"))
+      val next = verts
+        .join(contrib, Seq("id"), "left")
+        .join(bc(pr.select(col("id"), col("pr").as("__prev"))), Seq("id"))
+        .select(col("id"),
+          (lit(resetProb) + lit(1.0 - resetProb) *
+            coalesce(col("inmass"), lit(0.0))).as("pr"),
+          col("__prev"))
+      val (ckd, changed) = ck.changeCounted(next
+        .withColumn("chg", abs(col("pr") - col("__prev")) > tol)
+        .select("id", "pr", "chg"), "chg")
+      stable = changed == 0L
+      // per-round stats reset: pr rides the next round's plan TWICE
+      // (contrib numerator + __prev delta), so the inherited sizeInBytes
+      // estimate squares per round — the [[Checkpointer.fresh]] failure
+      // mode (bit-length doubles; by round ~20 the driver burns minutes
+      // in BigInteger multiplies inside the stats visitor, measured here)
+      pr = ck.resetStats(ckd).select("id", "pr")
+      it += 1
+    }
+    lastRounds.set(it)
+    pr
+  }
+
+  /** Standard FLOAT HITS with L2 normalization per half-round, run to a
+    * convergence tolerance — the textbook Kleinberg form next to the
+    * hash-gatable integer [[hits]], same rationale as [[pageRank]]
+    * (float = GraphFrames/networkx parity, spec-covered; integer = the
+    * oracle-checked variant). Converges when both vectors move ≤ tol in
+    * max-norm. */
+  def hitsFloat(edges: DataFrame, tol: Double = 1e-4,
+      maxIter: Int = 40): DataFrame = {
+    require(tol > 0 && maxIter >= 1, "tol must be > 0, maxIter >= 1")
+    val spark = edges.sparkSession
+    val ck = Checkpointer(spark, None)
+    val e = ck.lazily(edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst")).distinct())
+    val bcRows = spark.conf
+      .get("spark.graft.pagerank.broadcastThreshold", "2000000").toLong
+    val (verts, nV) = ck.counted(e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct())
+    def bc(df: DataFrame): DataFrame = if (nV <= bcRows) broadcast(df) else df
+    def l2normalized(raw: DataFrame, c: String): DataFrame = {
+      val nrm = raw.agg(sqrt(sum(col(c) * col(c))).as("__n"))
+      raw.crossJoin(broadcast(nrm))
+        .select(col("id"),
+          when(col("__n") > 0.0, col(c) / col("__n")).otherwise(0.0).as(c))
+    }
+    val n0 = 1.0 / math.sqrt(nV.toDouble)
+    var hub = verts.withColumn("h", lit(n0))
+    var auth = verts.withColumn("a", lit(n0))
+    var it = 0
+    var stable = false
+    while (!stable && it < maxIter) {
+      val aRaw = verts.join(
+          e.join(bc(hub.select(col("id").as("src"), col("h"))), "src")
+            .groupBy(col("dst").as("id")).agg(sum(col("h")).as("ar")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("ar"), lit(0.0)).as("a"))
+      val aNew = l2normalized(aRaw, "a")
+      val hRaw = verts.join(
+          e.join(bc(aNew.select(col("id").as("dst"), col("a"))), "dst")
+            .groupBy(col("src").as("id")).agg(sum(col("a")).as("hr")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("hr"), lit(0.0)).as("h"))
+      val hNew = l2normalized(hRaw, "h")
+      val joined = hNew.join(aNew, "id")
+        .join(bc(hub.select(col("id"), col("h").as("__ph"))), Seq("id"))
+        .join(bc(auth.select(col("id"), col("a").as("__pa"))), Seq("id"))
+      val (ckd, changed) = ck.changeCounted(joined
+        .withColumn("chg",
+          abs(col("h") - col("__ph")) > tol || abs(col("a") - col("__pa")) > tol)
+        .select("id", "h", "a", "chg"), "chg")
+      stable = changed == 0L
+      // same per-round stats reset as [[pageRank]]: hub and auth each
+      // appear twice in the next round's plan (contribution + __prev)
+      val fresh = ck.resetStats(ckd)
+      hub = fresh.select("id", "h")
+      auth = fresh.select("id", "a")
+      it += 1
+    }
+    lastRounds.set(it)
+    hub.join(auth, "id")
+      .select(col("id"), col("h").as("hub"), col("a").as("authority"))
+  }
+
+  /** Rounds taken by the most recent float fixpoint ([[pageRank]] /
+    * [[hitsFloat]]) on the calling thread — spec instrumentation. */
+  private[graft] val lastRounds: ThreadLocal[Integer] =
+    ThreadLocal.withInitial(() => Integer.valueOf(0))
+
   /** Landmark betweenness centrality — bounded-horizon Brandes (2001)
     * with exact-integer dependency accumulation. Forward: level-
     * synchronous BFS from each landmark accumulating the shortest-path

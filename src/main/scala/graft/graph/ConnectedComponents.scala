@@ -48,7 +48,8 @@ object ConnectedComponents {
       assumeDistinctEdges: Boolean = false,
       checkpointDir: Option[String] = None,
       strict: Boolean = false): DataFrame = {
-    val ckpt = Checkpointer(edges.sparkSession, checkpointDir)
+    val spark = edges.sparkSession
+    val ckpt = Checkpointer(spark, checkpointDir)
     val base = edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst"))
     // one job per checkpoint+fingerprint ([[Checkpointer.fingerprinted]]):
@@ -60,16 +61,26 @@ object ConnectedComponents {
     val nodes = ckpt.lazily(
       e.select(explode(array(col("src"), col("dst"))).as("id")).distinct())
 
+    // Adaptive broadcast gate (the SCC device): the per-round minima
+    // tables are one row per live vertex — ≤ the edge-state row count the
+    // convergence fingerprint already returns for free. While the state is
+    // small, broadcasting the minima turns both star joins map-side (the
+    // checkpointed edge state is a default-stats RDD leaf Catalyst would
+    // otherwise shuffle both sides of); past the threshold the plan stays
+    // the shuffle join a cluster-scale edge set needs.
+    val bcRows = spark.conf
+      .get("spark.graft.cc.broadcastThreshold", "2000000").toLong
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      val small = prevFp._1 <= bcRows
       // periodic stats reset: each star round joins the edge state against
       // aggregates of itself twice, so the sizeInBytes estimate each
       // checkpoint inherits grows ~4x per round — by round ~10 the driver
       // would multiply multi-megabit BigInts in the stats visitor (the
       // [[Checkpointer.fresh]] failure mode, measured on SCC). Resetting
       // every 4th round bounds the estimate at default*4^4 bits.
-      val (round, fp) = ckpt.fingerprinted(smallStar(largeStar(e)))
+      val (round, fp) = ckpt.fingerprinted(smallStar(largeStar(e, small), small))
       val next = if (iter % 4 == 3) ckpt.resetStats(round) else round
       converged = fp == prevFp
       prevFp = fp
@@ -96,11 +107,19 @@ object ConnectedComponents {
   /** Large-star: connect every strictly-larger neighbor of u to
     * m = min(Γ⁺(u)). Keeps component minima flowing outward without ever
     * growing the edge set beyond O(m). */
-  private def largeStar(e: DataFrame): DataFrame = {
+  private def largeStar(e: DataFrame, small: Boolean): DataFrame = {
+    // one explicit hash-partitioning on src serves the whole star: the
+    // minima aggregate consumes it without an exchange (HashPartitioning
+    // on src satisfies the groupBy's clustering), the self-join probes it
+    // in place, and ReuseExchange collapses the two identical repartition
+    // subtrees to one shuffle — vs the planner's default of shuffling the
+    // default-stats RDD leaf separately for the aggregate AND the join
     val bidir = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-    val mins = bidir.groupBy("src").agg(min("dst").as("mn"))
+      .repartition(col("src"))
+    val mins0 = bidir.groupBy("src").agg(min("dst").as("mn"))
       .select(col("src").as("u"), least(col("mn"), col("src")).as("m"))
-    // no distinct here: smallStar's canonical-orientation distinct dedups,
+    val mins = if (small) broadcast(mins0) else mins0
+    // no distinct here: smallStar's canonical-orientation dedup handles it,
     // saving one shuffle per round
     bidir.join(mins, bidir("src") === mins("u"))
       .where(col("dst") > col("src"))
@@ -110,13 +129,18 @@ object ConnectedComponents {
 
   /** Small-star: orient edges large→small; connect each smaller neighbor
     * (and u itself) to the minimum smaller neighbor. */
-  private def smallStar(e: DataFrame): DataFrame = {
+  private def smallStar(e: DataFrame, small: Boolean): DataFrame = {
+    // same partitioning-reuse shape as [[largeStar]]: partition once on u,
+    // then the (u,v) dedup, the minima aggregate, and the join all run on
+    // that partitioning with no further exchange
     val dir = e.select(
         greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("v"))
       .where(col("u") =!= col("v"))
-      .distinct()
-    val mins = dir.groupBy("u").agg(min("v").as("m"))
+      .repartition(col("u"))
+      .dropDuplicates("u", "v")
+    val mins0 = dir.groupBy("u").agg(min("v").as("m"))
+    val mins = if (small) broadcast(mins0) else mins0
     dir.join(mins, "u")
       .select(col("v").as("src"), col("m").as("dst"))
       .where(col("src") =!= col("dst"))

@@ -35,24 +35,34 @@ object MinSpanningForest {
     * edges `(a, b, w)` with `a < b`. */
   def boruvka(edges: DataFrame, wCol: String, rounds: Int = 0): DataFrame = {
     require(rounds >= 0 && rounds <= 32, "rounds must be in [0, 32]")
-    val ck = Checkpointer(edges.sparkSession, None)
+    val spark = edges.sparkSession
+    val ck = Checkpointer(spark, None)
     val ew = ck.lazily(edges.select(
         least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"),
         col(wCol).cast("long").as("w"))
       .where(col("a") =!= col("b"))
       .groupBy("a", "b").agg(min("w").as("w")))
-    var comp = ck.lazily(ew.select(col("a").as("id"))
+    // comp is vertex-sized and only ever RELABELED (contraction never adds
+    // rows), so one exact count up front gates broadcasting it — and the
+    // per-round mapping, which is component-count-sized, strictly smaller
+    // — into the label joins (the SCC/CC adaptive-broadcast device)
+    val bcRows = spark.conf
+      .get("spark.graft.msf.broadcastThreshold", "2000000").toLong
+    val (comp0, nV) = ck.counted(ew.select(col("a").as("id"))
       .unionAll(ew.select(col("b").as("id")))
       .distinct().withColumn("comp", col("id")))
+    val small = nV <= bcRows
+    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    var comp = comp0
     var forest: DataFrame = ew.limit(0)
     var iter = 0
     var done = false
     while (!done && (if (rounds == 0) iter < 64 else iter < rounds)) {
       iter += 1
       val labeled = ew
-        .join(comp.select(col("id").as("a"), col("comp").as("__ca")), Seq("a"))
-        .join(comp.select(col("id").as("b"), col("comp").as("__cb")), Seq("b"))
+        .join(bc(comp.select(col("id").as("a"), col("comp").as("__ca"))), Seq("a"))
+        .join(bc(comp.select(col("id").as("b"), col("comp").as("__cb"))), Seq("b"))
         .where(col("__ca") =!= col("__cb"))
       // each live edge bids at both endpoint components; min (w, a, b)
       // per component wins, the opposite component rides for the merge
@@ -71,11 +81,14 @@ object MinSpanningForest {
       if (nPicked == 0) done = true
       else {
         forest = ck.lazily(forest.unionAll(picked))
-        // contraction: CC over the component-level merge graph
+        // contraction: CC over the component-level merge graph; the pick
+        // table is keyed one-row-per-component (groupBy c), so the edge
+        // list is distinct by construction — skip CC's dedup shuffle
         val mapping = ConnectedComponents.runOnEdges(
-          pickRaw.select(col("c").as("src"), col("o").as("dst")))
+          pickRaw.select(col("c").as("src"), col("o").as("dst")),
+          assumeDistinctEdges = true)
         comp = ck.lazily(comp
-          .join(mapping.withColumnRenamed("id", "comp"), Seq("comp"), "left_outer")
+          .join(bc(mapping.withColumnRenamed("id", "comp")), Seq("comp"), "left_outer")
           .select(col("id"), coalesce(col("component"), col("comp")).as("comp")))
       }
     }

@@ -40,9 +40,10 @@ class PlanSpec extends SparkTestBase {
       "q121_target_encoding",
       // broadcast cross of single-row aggregates: pair total N (q130),
       // row total + per-range offsets (q131), per-FK scalar count pairs
-      // (q132), vocabulary size V (q133), edge count m (q135)
+      // (q132), vocabulary size V (q133), edge count m (q135, and per
+      // level in the full multi-level run, q156)
       "q130_ppmi", "q131_quantile_bins", "q132_fk_integrity",
-      "q133_bigram_lm", "q135_louvain",
+      "q133_bigram_lm", "q135_louvain", "q156_louvain_full",
       // broadcast cross of the single-row grand total N for the
       // independence-expected counts (Stats.chiSquare)
       "q147_chi2_independence",
