@@ -72,22 +72,37 @@ object SetJoin {
       minJaccard: Double): DataFrame = {
     require(minJaccard > 0.0 && minJaccard <= 1.0,
       "minJaccard must be in (0, 1]")
+    // one explicit hash-partitioning on id serves every id-keyed step:
+    // HashPartitioning(id) satisfies the clustering required by the
+    // (id, item) dedup, the per-set size aggregate, AND the rare-first
+    // prefix window — all three run partial→final with no further
+    // exchange, vs the planner's default of one shuffle each
     val items = df.select(col(idCol).as("id"), col(itemCol).as("item"))
-      .distinct()
-    val size = items.groupBy("id").agg(count(lit(1)).as("sz"))
-    val cand = candidates(items, size, minJaccard, lengthFilter = true)
-    val inter = cand
-      .join(items.select(col("id").as("id_l"), col("item")), "id_l")
-      .join(items.select(col("id").as("id_r"), col("item")), Seq("id_r", "item"))
-      .groupBy("id_l", "id_r").agg(count(lit(1)).as("common"))
-    inter
-      .join(size.select(col("id").as("id_l"), col("sz").as("sz_l")), "id_l")
-      .join(size.select(col("id").as("id_r"), col("sz").as("sz_r")), "id_r")
+      .repartition(col("id"))
+      .dropDuplicates("id", "item")
+    // whole-set array per id rides the SAME id partitioning (no exchange):
+    // verification then needs only the two cand→set joins and a per-pair
+    // `size(array_intersect)` — vs the exploded shared-item join (rows ×
+    // set size), a pair-keyed count aggregate, and two more size joins.
+    // A set is one record's items (a basket, a document) — bounded per
+    // row by construction, so the array column is 100 TB-safe the same
+    // way every PPJoin implementation's in-record token list is.
+    val sets = items.groupBy("id")
+      .agg(collect_list(col("item")).as("arr"), count(lit(1)).as("sz"))
+    val cand = candidates(items, sets.select("id", "sz"), minJaccard,
+      lengthFilter = true)
+    cand
+      .join(sets.select(col("id").as("id_l"), col("arr").as("__al"),
+        col("sz").as("sz_l")), "id_l")
+      .join(sets.select(col("id").as("id_r"), col("arr").as("__ar"),
+        col("sz").as("sz_r")), "id_r")
+      .withColumn("common", size(array_intersect(col("__al"), col("__ar")))
+        .cast("long"))
       .withColumn("jaccard",
         col("common").cast("double") /
           (col("sz_l") + col("sz_r") - col("common")))
       .where(col("jaccard") >= minJaccard)
-      .select(col("id_l"), col("id_r"), col("common").cast("long").as("common"),
+      .select(col("id_l"), col("id_r"), col("common"),
         col("sz_l").cast("long").as("sz_l"), col("sz_r").cast("long").as("sz_r"),
         col("jaccard"))
   }

@@ -81,14 +81,43 @@ object MinSpanningForest {
       if (nPicked == 0) done = true
       else {
         forest = ck.lazily(forest.unionAll(picked))
-        // contraction: CC over the component-level merge graph; the pick
-        // table is keyed one-row-per-component (groupBy c), so the edge
-        // list is distinct by construction — skip CC's dedup shuffle
-        val mapping = ConnectedComponents.runOnEdges(
-          pickRaw.select(col("c").as("src"), col("o").as("dst")),
-          assumeDistinctEdges = true)
+        // contraction: the pick table is a FUNCTIONAL graph (one out-edge
+        // per component), and under the total (w, a, b) edge order its
+        // only cycles are 2-cycles — along any longer pick cycle the
+        // picked-edge keys would have to strictly decrease all the way
+        // around (each component's pick is ≤ its incident predecessor's
+        // pick-edge), which is impossible. So a full CC run is overkill:
+        // break each 2-cycle at its smaller endpoint (that component
+        // becomes the tree root) and pointer-jump parents to the root —
+        // one tiny keyed join per round, O(log tree-depth) rounds, vs
+        // CC's two star phases (union + repartition + agg + join each)
+        // per round on the same table.
+        val par0 = pickRaw.select(col("c"), col("o"))
+        var par = ck.lazily(par0.as("x")
+          .join(bc(par0.select(col("c").as("__oc"), col("o").as("__oo"))),
+            col("x.o") === col("__oc"))
+          .select(col("x.c").as("c"),
+            when(col("__oo") === col("x.c") && col("x.c") < col("x.o"),
+              col("x.c")).otherwise(col("x.o")).as("p")))
+        var stable = false
+        var jumps = 0
+        while (!stable && jumps < 40) {
+          val nxt = par.as("x")
+            .join(bc(par.select(col("c").as("__pc"), col("p").as("__pp"))),
+              col("x.p") === col("__pc"))
+            .select(col("x.c").as("c"), col("__pp").as("p"),
+              (col("x.p") =!= col("__pp")).as("chg"))
+          // the jump self-joins par, so the inherited sizeInBytes estimate
+          // squares per round — reset leaf stats every round (the table is
+          // component-count-sized; the conversion cost is noise)
+          val (ckd, changed) = ck.changeCounted(nxt, "chg")
+          par = ck.resetStats(ckd).select("c", "p")
+          stable = changed == 0L
+          jumps += 1
+        }
+        val mapping = par.select(col("c").as("comp"), col("p").as("component"))
         comp = ck.lazily(comp
-          .join(bc(mapping.withColumnRenamed("id", "comp")), Seq("comp"), "left_outer")
+          .join(bc(mapping), Seq("comp"), "left_outer")
           .select(col("id"), coalesce(col("component"), col("comp")).as("comp")))
       }
     }
