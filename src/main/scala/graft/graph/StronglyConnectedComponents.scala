@@ -57,6 +57,20 @@ object StronglyConnectedComponents {
       .get("spark.graft.scc.broadcastThreshold", "2000000").toLong
     def bc(df: DataFrame, small: Boolean): DataFrame =
       if (small) broadcast(df) else df
+    // Small-state partition collapse: once the remaining subgraph is under
+    // the broadcast gate, every per-round frame (state, edges, assigned) is
+    // at most a few million narrow rows, yet each one inherits the session
+    // shuffle partitioning (AQE's default parallelismFirst coalescing keeps
+    // ~defaultParallelism partitions however tiny the bytes), so a 13-round
+    // run schedules thousands of near-empty tasks — measured ~30% of q60 at
+    // sf0.1. Coalescing the checkpointed loop frames to a handful of
+    // partitions cuts the per-round task count without touching the
+    // large-graph path: `small == false` keeps full session parallelism,
+    // which is the 100 TB-correct layout.
+    val smallParts = spark.conf
+      .get("spark.graft.scc.smallPartitions", "8").toInt
+    def shrink(df: DataFrame, small: Boolean): DataFrame =
+      if (small && smallParts > 0) df.coalesce(smallParts) else df
     val trimMinPeelFrac = spark.conf
       .get("spark.graft.scc.trimMinPeelFrac", "0.01").toDouble
     def dbg(msg: => String): Unit = if (sys.env.contains("GRAFT_SCC_DEBUG"))
@@ -66,8 +80,8 @@ object StronglyConnectedComponents {
     val v0 = ckpt.counted(g.vertices.select(col("id")).distinct())
     dbg(s"v0 counted n=${v0._2}")
     var verts = v0._1
-    var edges = ckpt.lazily(g.edges.select(col("src"), col("dst"))
-      .where(col("src") =!= col("dst")).distinct())
+    var edges = ckpt.lazily(shrink(g.edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst")).distinct(), v0._2 <= bcRows))
     var assigned = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
@@ -80,8 +94,11 @@ object StronglyConnectedComponents {
     var phase = 0
     var nLeft = v0._2
     while (nLeft > 0 && phase < maxPhases) {
-      // 1. trim to fixpoint: no-in or no-out vertices are singleton SCCs
-      var trimmed = true
+      // 1. trim to fixpoint: no-in or no-out vertices are singleton SCCs.
+      // trimMinPeelFrac >= 1 disables trimming outright (A/B escape hatch
+      // for cycle-dense graphs where even the first flags+count pass is
+      // wasted work — the coloring phases absorb DAG vertices, just later).
+      var trimmed = trimMinPeelFrac < 1.0
       while (trimmed && nLeft > 0) {
         val small = nLeft <= bcRows
         // one union + hash aggregate computes both endpoint flags — a single
@@ -99,11 +116,12 @@ object StronglyConnectedComponents {
         else {
           val peeled = verts.join(bc(core, small), Seq("id"), "left_anti")
             .select(col("id"), col("id").as("component"))
-          assigned = ckpt.lazily(assigned.union(peeled))
+          assigned = ckpt.lazily(shrink(assigned.union(peeled), small))
           verts = core
-          edges = ckpt.lazily(edges
+          edges = ckpt.lazily(shrink(edges
             .join(bc(core.select(col("id").as("src")), small), Seq("src"), "left_semi")
-            .join(bc(core.select(col("id").as("dst")), small), Seq("dst"), "left_semi"))
+            .join(bc(core.select(col("id").as("dst")), small), Seq("dst"), "left_semi"),
+            small))
           // trim is an optimization, not a correctness step — the FW-BW
           // coloring handles whatever remains. When a pass peeled only a
           // negligible sliver, the possible cascade is at most its
@@ -143,18 +161,28 @@ object StronglyConnectedComponents {
         //  - "full": propagate over all remaining vertices with no
         //    class-size machinery at all — fewer fixed per-phase jobs,
         //    right when in-class endpoints are most of the graph anyway.
+        // "auto" (default): under the broadcast gate the endpoint
+        // machinery's extra distinct + checkpoints cost more fixed jobs
+        // than propagating over every remaining vertex saves (SccAb:
+        // full 6.8 s vs endpoints 7.0 s at sf0.1), so go full; past the
+        // gate the smaller endpoint state is what survives 100 TB.
         val endpointsMode =
-          spark.conf.get("spark.graft.scc.collect", "endpoints") != "full"
+          spark.conf.get("spark.graft.scc.collect", "auto") match {
+            case "full" => false
+            case "endpoints" => true
+            case _ => !small
+          }
         val inClassRev0 = edges
           .join(bc(colors.select(col("id").as("src"), col("color").as("__cs")), small), "src")
           .join(bc(colors.select(col("id").as("dst"), col("color").as("__cd")), small), "dst")
           .where(col("__cs") === col("__cd"))
           .select(col("dst").as("src"), col("src").as("dst"))
         val found = if (endpointsMode) {
-          val inClassRev = ckpt.lazily(inClassRev0)
+          val inClassRev = ckpt.lazily(shrink(inClassRev0, small))
           val endpoints = inClassRev.select(col("src").as("id"))
             .union(inClassRev.select(col("dst").as("id"))).distinct()
-          val endVerts = ckpt.lazily(colors.join(bc(endpoints, small), Seq("id"), "left_semi"))
+          val endVerts = ckpt.lazily(
+            shrink(colors.join(bc(endpoints, small), Seq("id"), "left_semi"), small))
           val bcolors = minPropagate(endVerts, inClassRev, ckpt, maxIter, strict, "backward", small)
           // roots (singleton-class or not) are members of their own SCC by
           // reflexivity; non-root endpoints are members iff they reach the
@@ -165,8 +193,8 @@ object StronglyConnectedComponents {
               .where(col("color") === col("bcolor") && col("id") =!= col("color"))
               .select(col("id"), col("color")))
         } else {
-          val bcolors = minPropagate(verts, ckpt.lazily(inClassRev0), ckpt,
-            maxIter, strict, "backward", small)
+          val bcolors = minPropagate(verts, ckpt.lazily(shrink(inClassRev0, small)),
+            ckpt, maxIter, strict, "backward", small)
           colors.join(bc(bcolors.withColumnRenamed("color", "bcolor"), small), Seq("id"))
             .where(col("color") === col("bcolor"))
             .select(col("id"), col("color"))
@@ -175,18 +203,19 @@ object StronglyConnectedComponents {
         // to its minimum member id so the public component id stays the
         // deterministic oracle-checkable min-member contract
         val minIds = found.groupBy("color").agg(min("id").as("component"))
-        val members = ckpt.lazily(found.join(bc(minIds, small), "color")
-          .select(col("id"), col("component")))
+        val members = ckpt.lazily(shrink(found.join(bc(minIds, small), "color")
+          .select(col("id"), col("component")), small))
         // 4. assign and peel the found SCCs
-        assigned = ckpt.lazily(assigned.union(members))
+        assigned = ckpt.lazily(shrink(assigned.union(members), small))
         dbg("pre-assign")
-        val vertsCounted = ckpt.counted(
-          verts.join(bc(members, small), Seq("id"), "left_anti"))
+        val vertsCounted = ckpt.counted(shrink(
+          verts.join(bc(members, small), Seq("id"), "left_anti"), small))
         verts = vertsCounted._1
         nLeft = vertsCounted._2
-        edges = ckpt.lazily(edges
+        edges = ckpt.lazily(shrink(edges
           .join(bc(verts.select(col("id").as("src")), small), Seq("src"), "left_semi")
-          .join(bc(verts.select(col("id").as("dst")), small), Seq("dst"), "left_semi"))
+          .join(bc(verts.select(col("id").as("dst")), small), Seq("dst"), "left_semi"),
+          small))
       }
       dbg(s"phase $phase done nLeft=$nLeft")
       phase += 1
@@ -244,6 +273,16 @@ object StronglyConnectedComponents {
     // re-exchanges inside the loop; the only shuffle left per round is
     // the min-aggregate on the pushed rows
     def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    // same small-state partition collapse as the caller: the round's agg
+    // output is ≤ nLeft rows — coalesce before the materializing scan so
+    // the checkpoint pins (and every next-round read schedules) a handful
+    // of blocks, not session-parallelism many
+    val smallParts = verts.sparkSession.conf
+      .get("spark.graft.scc.smallPartitions", "8").toInt
+    def shrink(df: DataFrame): DataFrame =
+      if (small && smallParts > 0) df.coalesce(smallParts) else df
+    val jumpHops = verts.sparkSession.conf
+      .get("spark.graft.scc.jumpHops", "2").toInt.max(1)
     // order key: (xxhash64(w), w) — the id tiebreak makes the order total
     // even across hash collisions, keeping min() deterministic
     def ord(w: Column): Column = struct(xxhash64(w).as("h"), w.as("w"))
@@ -271,52 +310,80 @@ object StronglyConnectedComponents {
     // no checkpoint or probe job of its own; the loop always runs at
     // least one round (the seed is only a fixpoint when the edge set is
     // empty, and that degenerate round is cheap)
+    // Micro-round chaining: compose `probeEvery` propagation rounds into
+    // ONE lazy plan and pay the checkpoint-materializing probe job only on
+    // the last of them. At bench scale a round is almost pure fixed
+    // overhead (broadcast-build job + probe job on ~15k rows), so probing
+    // every 2nd round removes ~a job per round at the cost of at most
+    // probeEvery−1 extra (cheap) rounds past the fixpoint and a plan that
+    // is probeEvery rounds deep between checkpoints.
+    val probeEvery = verts.sparkSession.conf
+      .get("spark.graft.scc.probeEvery", "1").toInt.max(1)
     var st = verts.select(col("id"), col("id").as("w"))
     var stable = false
     var it = 0
-    while (!stable && it < maxIter) {
+    // One propagation micro-round over `cur`: edge-push + pointer jumps,
+    // min-aggregate. Returns (id, w, chg) where chg flags ids whose color
+    // moved THIS micro-round — the seed rows ride tagged through the union
+    // so the aggregate recovers the previous color per id (min over
+    // only-seed rows — the seed is exactly one row per id) next to the new
+    // min, with no extra exchange.
+    def oneRound(cur: DataFrame, jump: Boolean): DataFrame = {
       // both the edge-push and the pointer jump build against the SAME
-      // un-projected `st` plan so the two BroadcastExchanges canonicalize
+      // un-projected `cur` plan so the BroadcastExchanges canonicalize
       // identically and ReuseExchange collapses them to one broadcast
-      // build per round (projections live on the probe side / after the
-      // join instead)
-      val stBc = bc(st)
-      // seed rows ride tagged through the union so the aggregate can
-      // recover the PREVIOUS color per id (min over only-seed rows — the
-      // seed is exactly one row per id) next to the new min; `chg` then
-      // flags ids whose color moved this round, counted during the
-      // materializing scan with no extra stage
+      // build per micro-round (projections live on the probe side / after
+      // the join instead)
+      val stBc = bc(cur)
       val pushed = edges
         .join(stBc, edges("src") === stBc("id"))
         .select(col("dst").as("id"), col("w"), lit(false).as("__seed"))
-      val base = st.withColumn("__seed", lit(true)).union(pushed)
+      val base = cur.withColumn("__seed", lit(true)).union(pushed)
       // jump from round 2 (round 1's jump is the identity on seeds): with
-      // the broadcast gate the jump join costs far less than a round, so
-      // doubling starts as early as it can help — reach after round k is
-      // 2^k − 1 instead of k for the first three rounds then doubling
-      val folded = if (it < 1) base else {
-        val stL = st.select(col("id").as("__vid"), col("w").as("__w"))
-        val j1 = stL.join(stBc, stL("__w") === stBc("id"))
+      // the broadcast gate each hop is a build-free probe of the SAME
+      // reused broadcast (ReuseExchange), so h hops cost ~one codegen
+      // stage and reach grows (h+1)× per round instead of 2× — the round
+      // count (the dominant fixed cost at bench scale) drops to
+      // log_{h+1}(diameter). Diminishing past a few hops (measured: 4+
+      // hops loses — each hop widens the union the aggregate consumes).
+      val folded = if (!jump) base else {
+        val stL = cur.select(col("id").as("__vid"), col("w").as("__w"))
+        var hop = stL.join(stBc, stL("__w") === stBc("id"))
           .select(col("__vid"), col("w").as("__w1"))
-        // second hop through the same broadcast (reused exchange): three
-        // pointer generations per round — reach grows ~3x+1 per round
-        // instead of ~2x+1, one fewer round on deep witness chains for
-        // one extra build-free broadcast probe
-        val j2 = j1.join(stBc, j1("__w1") === stBc("id"))
-          .select(col("__vid").as("id"), col("w"), lit(false).as("__seed"))
-        val jumped = j1
-          .select(col("__vid").as("id"), col("__w1").as("w"), lit(false).as("__seed"))
-        base.union(jumped).union(j2)
+        var acc = base.union(hop.select(col("__vid").as("id"),
+          col("__w1").as("w"), lit(false).as("__seed")))
+        var h = 1
+        while (h < jumpHops) {
+          hop = hop.join(stBc, hop("__w1") === stBc("id"))
+            .select(col("__vid"), col("w").as("__w1"))
+          acc = acc.union(hop.select(col("__vid").as("id"),
+            col("__w1").as("w"), lit(false).as("__seed")))
+          h += 1
+        }
+        acc
       }
-      val withOld = folded.groupBy("id")
+      folded.groupBy("id")
         .agg(min(ord(col("w"))).getField("w").as("w"),
           min(when(col("__seed"), ord(col("w")))).getField("w").as("__w_old"))
-      val (next3, changed) = ckChanged(withOld
         .withColumn("chg", col("__w_old").isNull || col("w") =!= col("__w_old"))
-        .select("id", "w", "chg"), reset = it % 4 == 3)
+        .select("id", "w", "chg")
+    }
+    while (!stable && it < maxIter) {
+      // chain up to probeEvery micro-rounds lazily; only the last one's
+      // materializing scan carries the accumulator probe. `chg` of the
+      // final micro-round vs its predecessor detects the fixpoint exactly
+      // (0 changes in a full round ⇒ converged), at most probeEvery−1
+      // rounds late.
+      var cur = st
+      var sub = 0
+      while (sub < probeEvery && it + sub < maxIter) {
+        cur = oneRound(cur.select("id", "w"), jump = it + sub >= 1)
+        sub += 1
+      }
+      val (next3, changed) = ckChanged(shrink(cur), reset = (it / 4) != ((it + sub) / 4))
       stable = changed == 0L
       st = next3.select("id", "w")
-      it += 1
+      it += sub
       if (sys.env.contains("GRAFT_SCC_DEBUG"))
         System.err.println(s"[scc-debug] $phaseName it=$it changed=$changed t=${System.nanoTime() / 1000000}")
     }
