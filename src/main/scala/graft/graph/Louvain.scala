@@ -72,41 +72,64 @@ object Louvain {
     require(rounds >= 1 && rounds <= 32, "rounds must be in [1, 32]")
     val spark = wund.sparkSession
     val ck = Checkpointer(spark, None)
+    // Broadcast gate + small-state partition collapse (the SCC pattern —
+    // see StronglyConnectedComponents.run): checkpointed loop state is an
+    // RDD leaf with default (huge) stats, so every labels/deg join would
+    // otherwise plan as a shuffle join, re-exchanging the (much larger)
+    // adjacency every round. The vertex count is paid once below; while
+    // it fits, every vertex-sized build side is broadcast-hinted and
+    // vertex-sized checkpoints coalesce to a handful of partitions. Past
+    // the gate everything stays shuffled on the vertex key — the
+    // 100 TB-correct plan.
+    val bcRows = spark.conf
+      .get("spark.graft.louvain.broadcastThreshold", "2000000").toLong
+    val smallParts = spark.conf
+      .get("spark.graft.louvain.smallPartitions", "8").toInt
     val inter = wund.where(col("a") =!= col("b"))
     val self = wund.where(col("a") === col("b"))
       .select(col("a").as("u"), col("w"))
     val adj = ck.lazily(
       inter.select(col("a").as("u"), col("b").as("v"), col("w"))
         .unionAll(inter.select(col("b").as("u"), col("a").as("v"), col("w"))))
-    // a self-loop of weight w contributes 2w to its vertex's degree mass
-    // (A_ii = 2w in the adjacency convention that keeps Q level-invariant
-    // under contraction)
-    val deg = adj.select(col("u"), col("w"))
-      .unionAll(self.select(col("u"), (col("w") * 2L).as("w")))
-      .groupBy("u").agg(sum(col("w")).as("k"))
-    val mDf = wund.agg(sum(col("w")).as("m"))
-    var labels = adj.select(col("u").as("v"))
+    val (labels0, n) = ck.counted(adj.select(col("u").as("v"))
       .unionAll(self.select(col("u").as("v")))
       .distinct()
-      .withColumn("c", col("v"))
+      .withColumn("c", col("v")))
+    val small = n <= bcRows
+    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    def shrink(df: DataFrame): DataFrame =
+      if (small && smallParts > 0) df.coalesce(smallParts) else df
+    // a self-loop of weight w contributes 2w to its vertex's degree mass
+    // (A_ii = 2w in the adjacency convention that keeps Q level-invariant
+    // under contraction). Degree mass and m are loop constants — checkpoint
+    // once instead of re-aggregating the adjacency every round.
+    val deg = ck.lazily(shrink(adj.select(col("u"), col("w"))
+      .unionAll(self.select(col("u"), (col("w") * 2L).as("w")))
+      .groupBy("u").agg(sum(col("w")).as("k"))))
+    val mDf = ck.lazily(wund.agg(sum(col("w")).as("m")))
+    var labels = labels0
     (1 to rounds).foreach { r =>
-      // k_{i,C}: weight from each vertex into each neighbor community
-      val kic = adj
-        .join(labels.select(col("v").as("__nv"), col("c")),
+      // k_{i,C}: weight from each vertex into each neighbor community.
+      // The own community is always a candidate (k_{i,own} may be 0), so
+      // a zero-weight own row rides the SAME aggregate — summing an extra
+      // 0 is identity, and one groupBy replaces the former
+      // kic-then-max-with-own two-aggregate chain (one exchange saved per
+      // round).
+      val pushedKic = adj
+        .join(bc(labels.select(col("v").as("__nv"), col("c"))),
           col("v") === col("__nv"))
-        .groupBy(col("u"), col("c")).agg(sum(col("w")).as("kic"))
-      // own community is always a candidate (k_{i,own} may be 0)
-      val own = labels.select(col("v").as("u"), col("c"), lit(0L).as("kic"))
-      val cand = kic.unionAll(own)
-        .groupBy("u", "c").agg(max("kic").as("kic"))
+        .select(col("u"), col("c"), col("w"))
+      val own = labels.select(col("v").as("u"), col("c"), lit(0L).as("w"))
+      val cand = pushedKic.unionAll(own)
+        .groupBy("u", "c").agg(sum(col("w")).as("kic"))
       // Σ_C: degree mass per community
       val sigma = labels
-        .join(deg.select(col("u").as("v"), col("k")), "v")
+        .join(bc(deg.select(col("u").as("v"), col("k"))), "v")
         .groupBy("c").agg(sum(col("k")).as("sig"))
       val scored = cand
-        .join(sigma, "c")
-        .join(deg, "u")
-        .join(labels.select(col("v").as("u"), col("c").as("__cown")), "u")
+        .join(bc(sigma), "c")
+        .join(bc(deg), "u")
+        .join(bc(labels.select(col("v").as("u"), col("c").as("__cown"))), "u")
         // direction-alternating schedule (see scaladoc): own always stays
         // admissible because c = __cown satisfies both inequalities
         .where(if (r % 2 == 1) col("c") <= col("__cown")
@@ -117,10 +140,10 @@ object Louvain {
             .otherwise(col("sig")))
         .withColumn("__score",
           lit(2L) * col("m") * col("kic") - col("__sigAdj") * col("k"))
-      labels = ck.lazily(scored
+      labels = ck.lazily(shrink(scored
         .groupBy(col("u").as("v"))
         .agg(max(struct(col("__score"), (-col("c")).as("nc"))).as("__m"))
-        .select(col("v"), (-col("__m.nc")).as("c")))
+        .select(col("v"), (-col("__m.nc")).as("c"))))
     }
     labels
   }
@@ -132,12 +155,17 @@ object Louvain {
     * input labeling's — the level-invariance that makes multi-level
     * Louvain meaningful. One keyed aggregate over the (already
     * contracted, shrinking) weighted edge list. */
-  def contract(wund: DataFrame, labels: DataFrame): DataFrame = wund
-    .join(labels.select(col("v").as("a"), col("c").as("__ca")), "a")
-    .join(labels.select(col("v").as("b"), col("c").as("__cb")), "b")
-    .select(least(col("__ca"), col("__cb")).as("a"),
-      greatest(col("__ca"), col("__cb")).as("b"), col("w"))
-    .groupBy("a", "b").agg(sum(col("w")).as("w"))
+  def contract(wund: DataFrame, labels: DataFrame,
+      broadcastLabels: Boolean = false): DataFrame = {
+    def bc(df: DataFrame): DataFrame =
+      if (broadcastLabels) broadcast(df) else df
+    wund
+      .join(bc(labels.select(col("v").as("a"), col("c").as("__ca"))), "a")
+      .join(bc(labels.select(col("v").as("b"), col("c").as("__cb"))), "b")
+      .select(least(col("__ca"), col("__cb")).as("a"),
+        greatest(col("__ca"), col("__cb")).as("b"), col("w"))
+      .groupBy("a", "b").agg(sum(col("w")).as("w"))
+  }
 
   /** Full multi-level Louvain: `levels` × (move phase, contract), the
     * complete Blondel 2008 loop. Returns each ORIGINAL vertex's community
@@ -147,16 +175,25 @@ object Louvain {
     * bit-deterministic and SQL-unrollable (q156's two-level oracle). */
   def run(edges: DataFrame, roundsPerLevel: Int, levels: Int): DataFrame = {
     require(levels >= 1 && levels <= 8, "levels must be in [1, 8]")
-    val ck = Checkpointer(edges.sparkSession, None)
+    val spark = edges.sparkSession
+    val ck = Checkpointer(spark, None)
+    val bcRows = spark.conf
+      .get("spark.graft.louvain.broadcastThreshold", "2000000").toLong
     var wund = ck.lazily(undirected(edges))
     var mapping: DataFrame = null
     (1 to levels).foreach { level =>
-      val labels = phase1Weighted(wund, roundsPerLevel)
+      // the count gates the level's label-join strategy (broadcast vs
+      // shuffle) and materializes the labels once ahead of their two
+      // consumers (mapping composition + contraction)
+      val (labels, nLabels) = ck.counted(phase1Weighted(wund, roundsPerLevel))
+      val small = nLabels <= bcRows
+      def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
       mapping = if (level == 1) labels
       else ck.lazily(mapping.select(col("v"), col("c").as("__old"))
-        .join(labels.select(col("v").as("__old"), col("c")), "__old")
+        .join(bc(labels.select(col("v").as("__old"), col("c"))), "__old")
         .select(col("v"), col("c")))
-      if (level < levels) wund = ck.lazily(contract(wund, labels))
+      if (level < levels)
+        wund = ck.lazily(contract(wund, labels, broadcastLabels = small))
     }
     mapping
   }
@@ -166,20 +203,30 @@ object Louvain {
     * contribution `in_C/m − (Σ_C/2m)²` (scalar per-row double from exact
     * integers — no cross-row double sum). */
   def communityStats(edges: DataFrame, labels: DataFrame): DataFrame = {
-    val und = edges.select(
+    val spark = edges.sparkSession
+    val ck = Checkpointer(spark, None)
+    val bcRows = spark.conf
+      .get("spark.graft.louvain.broadcastThreshold", "2000000").toLong
+    val und = ck.lazily(edges.select(
         least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .where(col("a") =!= col("b")).distinct()
+      .where(col("a") =!= col("b")).distinct())
+    // one count gates the three labels-build joins below (labels are often
+    // a lazy plan over checkpointed phase-1 state whose default stats
+    // would force shuffle joins) and pins labels for its three consumers
+    val (lab, nLabels) = ck.counted(labels)
+    def bc(df: DataFrame): DataFrame =
+      if (nLabels <= bcRows) broadcast(df) else df
     val mDf = und.agg(count(lit(1)).as("m"))
     val deg = und.select(col("a").as("v"))
       .unionAll(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("k"))
-    val la = labels.select(col("v").as("a"), col("c").as("ca"))
-    val lb = labels.select(col("v").as("b"), col("c").as("cb"))
-    val internal = und.join(la, "a").join(lb, "b")
+    val la = lab.select(col("v").as("a"), col("c").as("ca"))
+    val lb = lab.select(col("v").as("b"), col("c").as("cb"))
+    val internal = und.join(bc(la), "a").join(bc(lb), "b")
       .where(col("ca") === col("cb"))
       .groupBy(col("ca").as("c")).agg(count(lit(1)).as("internal_edges"))
-    labels
+    lab
       .join(deg, "v")
       .groupBy("c")
       .agg(count(lit(1)).as("n_members"), sum(col("k")).as("degree_sum"))
