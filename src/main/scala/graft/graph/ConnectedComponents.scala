@@ -70,17 +70,29 @@ object ConnectedComponents {
     // the shuffle join a cluster-scale edge set needs.
     val bcRows = spark.conf
       .get("spark.graft.cc.broadcastThreshold", "2000000").toLong
+    // Small-state partition collapse knob (the SCC device) — default OFF
+    // here: measured at sf0.1, CC is ~15% FASTER at full parallelism
+    // (q16 1.9 s vs 2.2 s, q48 5.6 vs 6.4). Unlike SCC's vertex-state
+    // probe rounds, a star round does real row work (bidirectional edge
+    // dedup + two joins over the edge set), so collapsing to few
+    // partitions costs more compute spread than it saves in task
+    // scheduling. The knob stays for skew/cluster tuning.
+    val smallParts = spark.conf
+      .get("spark.graft.cc.smallPartitions", "0").toInt
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val small = prevFp._1 <= bcRows
+      val parts = if (small && smallParts > 0) Some(smallParts) else None
       // periodic stats reset: each star round joins the edge state against
       // aggregates of itself twice, so the sizeInBytes estimate each
       // checkpoint inherits grows ~4x per round — by round ~10 the driver
       // would multiply multi-megabit BigInts in the stats visitor (the
       // [[Checkpointer.fresh]] failure mode, measured on SCC). Resetting
       // every 4th round bounds the estimate at default*4^4 bits.
-      val (round, fp) = ckpt.fingerprinted(smallStar(largeStar(e, small), small))
+      val stepped = smallStar(largeStar(e, small, parts), small, parts)
+      val (round, fp) = ckpt.fingerprinted(
+        parts.map(stepped.coalesce).getOrElse(stepped))
       val next = if (iter % 4 == 3) ckpt.resetStats(round) else round
       converged = fp == prevFp
       prevFp = fp
@@ -107,15 +119,17 @@ object ConnectedComponents {
   /** Large-star: connect every strictly-larger neighbor of u to
     * m = min(Γ⁺(u)). Keeps component minima flowing outward without ever
     * growing the edge set beyond O(m). */
-  private def largeStar(e: DataFrame, small: Boolean): DataFrame = {
+  private def largeStar(e: DataFrame, small: Boolean,
+      parts: Option[Int]): DataFrame = {
     // one explicit hash-partitioning on src serves the whole star: the
     // minima aggregate consumes it without an exchange (HashPartitioning
     // on src satisfies the groupBy's clustering), the self-join probes it
     // in place, and ReuseExchange collapses the two identical repartition
     // subtrees to one shuffle — vs the planner's default of shuffling the
     // default-stats RDD leaf separately for the aggregate AND the join
-    val bidir = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src"))
+    val bidir0 = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val bidir = parts.map(n => bidir0.repartition(n, col("src")))
+      .getOrElse(bidir0.repartition(col("src")))
     val mins0 = bidir.groupBy("src").agg(min("dst").as("mn"))
       .select(col("src").as("u"), least(col("mn"), col("src")).as("m"))
     val mins = if (small) broadcast(mins0) else mins0
@@ -129,15 +143,17 @@ object ConnectedComponents {
 
   /** Small-star: orient edges large→small; connect each smaller neighbor
     * (and u itself) to the minimum smaller neighbor. */
-  private def smallStar(e: DataFrame, small: Boolean): DataFrame = {
+  private def smallStar(e: DataFrame, small: Boolean,
+      parts: Option[Int]): DataFrame = {
     // same partitioning-reuse shape as [[largeStar]]: partition once on u,
     // then the (u,v) dedup, the minima aggregate, and the join all run on
     // that partitioning with no further exchange
-    val dir = e.select(
+    val dir0 = e.select(
         greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("v"))
       .where(col("u") =!= col("v"))
-      .repartition(col("u"))
+    val dir = parts.map(n => dir0.repartition(n, col("u")))
+      .getOrElse(dir0.repartition(col("u")))
       .dropDuplicates("u", "v")
     val mins0 = dir.groupBy("u").agg(min("v").as("m"))
     val mins = if (small) broadcast(mins0) else mins0
