@@ -43,21 +43,37 @@ object HyperBall {
       .union(g.vertices.select(col("id").as("src"), col("id").as("dst")))
       .distinct())
 
-    var state = ckpt(g.vertices.select(col("id"),
+    // Broadcast gate (the SCC/Louvain device): the sketch state is exactly
+    // one row per vertex forever, so one up-front count decides the WHOLE
+    // run's join strategy. Gated on estimated broadcast bytes (n · 2^p
+    // registers), not rows — a p=11 sketch is 2 KiB/vertex. Under the gate
+    // both per-round state joins become broadcast probes and the only
+    // shuffle per round is the register-max aggregate; past it everything
+    // stays shuffled on the vertex key.
+    val bcBytes = spark.conf
+      .get("spark.graft.hyperball.broadcastBytes", "268435456").toLong
+    val (state0, nVerts) = ckpt.counted(g.vertices.select(col("id"),
         call_function("hll_init", col("id"), lit(p)).as("sketch"))
       .withColumn("nf", call_function("hll_count", col("sketch")))
       .withColumn("harmonic", lit(0.0)))
-    var lastTotal = Double.NaN
+    val small = nVerts * (1L << p) <= bcBytes
+    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    var state = state0
+    // fixpoint: registers stop changing → the (count, xor-hash) fingerprint
+    // is bit-identical; [[Checkpointer.fingerprinted]] takes it during the
+    // checkpoint-materializing scan — one job per round instead of an eager
+    // checkpoint job plus a separate sum(nf) action
+    var lastFp = (-1L, 0L)
     var rounds = 0
     var converged = false
     while (rounds < maxIter && !converged) {
       rounds += 1
       val merged = edges
-        .join(state.select(col("id").as("dst"), col("sketch")), "dst")
+        .join(bc(state.select(col("id").as("dst"), col("sketch"))), "dst")
         .groupBy(col("src").as("id"))
         .agg(call_function("hll_merge", col("sketch")).as("sketch"))
       val next = merged
-        .join(state.select(col("id"), col("nf").as("nf_prev"), col("harmonic")), "id")
+        .join(bc(state.select(col("id"), col("nf").as("nf_prev"), col("harmonic"))), "id")
         .withColumn("nf", call_function("hll_count", col("sketch")))
         // ball growth at radius r contributes (N_r - N_{r-1}) / r; clamp
         // tiny negative estimator jitter (max-merge never shrinks a ball,
@@ -65,11 +81,10 @@ object HyperBall {
         .withColumn("harmonic",
           col("harmonic") + greatest(col("nf") - col("nf_prev"), lit(0.0)) / rounds)
         .select(col("id"), col("sketch"), col("nf"), col("harmonic"))
-      state = ckpt(next)
-      // fixpoint: registers stop changing → the nf sum is bit-identical
-      val total = state.agg(sum("nf")).head().getDouble(0)
-      if (total == lastTotal) converged = true
-      lastTotal = total
+      val (st, fp) = ckpt.fingerprinted(next)
+      state = st
+      if (fp == lastFp) converged = true
+      lastFp = fp
     }
     state.select(col("id"), col("nf").as("ball_size"), col("harmonic"),
       lit(rounds.toLong).as("rounds"))
