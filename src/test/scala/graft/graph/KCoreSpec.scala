@@ -103,3 +103,54 @@ class SccJumpSpec extends SparkTestBase {
     cycleScc(i => (((i + 1) % 150).toLong, i.toLong))
   }
 }
+
+class SccStrategyParitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  // Mixed topology: two cycles (one reachable from the other one-way, so
+  // they stay distinct SCCs), a DAG tail feeding a cycle, a dangling
+  // chain, a self-loop, and an isolated vertex.
+  private val verts = ((0L to 5L) ++ (10L to 14L) ++ Seq(20L, 21L, 22L, 25L, 30L)).toDF("id")
+  private val edges = Seq(
+    0L -> 1L, 1L -> 2L, 2L -> 0L,                       // 3-cycle {0,1,2}
+    10L -> 11L, 11L -> 12L, 12L -> 13L, 13L -> 14L, 14L -> 10L, // 5-ring
+    2L -> 10L,                                          // one-way bridge
+    20L -> 21L, 21L -> 22L, 22L -> 0L,                  // DAG tail into the cycle
+    3L -> 4L, 4L -> 5L,                                 // dangling chain
+    25L -> 25L                                          // self-loop
+  ).toDF("src", "dst")
+
+  private def sccWith(confs: Map[String, String]): Map[Long, Long] = {
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try StronglyConnectedComponents
+      .run(PropertyGraph(verts, edges), strict = true)
+      .as[(Long, Long)].collect().toMap
+    finally confs.keys.foreach(spark.conf.unset)
+  }
+
+  test("collect strategies, partition collapse, and trim gate all agree") {
+    val base = sccWith(Map.empty)
+    // known structure: the two cycles are distinct SCCs, everything else
+    // singleton
+    assert(Seq(0L, 1L, 2L).forall(base(_) == 0L))
+    assert(Seq(10L, 11L, 12L, 13L, 14L).forall(base(_) == 10L))
+    assert(Seq(3L, 4L, 5L, 20L, 21L, 22L, 25L, 30L).forall(v => base(v) == v))
+    // every at-scale code path must produce the identical assignment:
+    // endpoints collect (what auto picks past the broadcast gate), full
+    // collect, no partition collapse, trim disabled, shuffle-join path
+    // (broadcastThreshold=0 - the 100 TB plan shape), and combinations
+    val arms = Seq(
+      Map("spark.graft.scc.collect" -> "endpoints"),
+      Map("spark.graft.scc.collect" -> "full"),
+      Map("spark.graft.scc.smallPartitions" -> "0"),
+      Map("spark.graft.scc.trimMinPeelFrac" -> "1.0"),
+      Map("spark.graft.scc.broadcastThreshold" -> "0"),
+      Map("spark.graft.scc.collect" -> "endpoints",
+        "spark.graft.scc.broadcastThreshold" -> "0",
+        "spark.graft.scc.smallPartitions" -> "0"),
+      Map("spark.graft.scc.jumpHops" -> "4"))
+    arms.foreach { confs =>
+      assert(sccWith(confs) == base, s"assignment diverged under $confs")
+    }
+  }
+}
