@@ -123,3 +123,37 @@ class LouvainSpec extends SparkTestBase {
       "phase1 did not improve over singletons")
   }
 }
+
+class LouvainStrategyParitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  // Three 4-cliques bridged in a line plus a pendant vertex — enough
+  // structure for two levels to act on.
+  private def clique(ids: Seq[Long]): Seq[(Long, Long)] =
+    for (a <- ids; b <- ids if a < b) yield (a, b)
+  private val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++
+    clique(Seq(11L, 12L, 13L, 14L)) ++ clique(Seq(21L, 22L, 23L, 24L)) ++
+    Seq((4L, 11L), (14L, 21L), (24L, 30L))).toDF("src", "dst")
+
+  private def louvainWith(confs: Map[String, String]): Map[Long, Long] = {
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try Louvain.run(edges, roundsPerLevel = 2, levels = 2)
+      .as[(Long, Long)].collect().toMap
+    finally confs.keys.foreach(spark.conf.unset)
+  }
+
+  test("broadcast gate and partition collapse do not change the labeling") {
+    val base = louvainWith(Map.empty)
+    // the derandomized schedule is engine-deterministic, so the at-scale
+    // shuffle-join plan (threshold 0) and the no-collapse plan must agree
+    // bit-for-bit with the gated default
+    val arms = Seq(
+      Map("spark.graft.louvain.broadcastThreshold" -> "0"),
+      Map("spark.graft.louvain.smallPartitions" -> "0"),
+      Map("spark.graft.louvain.broadcastThreshold" -> "0",
+        "spark.graft.louvain.smallPartitions" -> "0"))
+    arms.foreach { confs =>
+      assert(louvainWith(confs) == base, s"labeling diverged under $confs")
+    }
+  }
+}
