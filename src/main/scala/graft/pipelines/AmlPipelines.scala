@@ -124,7 +124,11 @@ final class AmlPipelines(spark: SparkSession, sfDir: String, warehouseDir: Strin
         ComparisonColumn("name", fuzzy = Some(JaroWinklerLevel(0.9))),
         ComparisonColumn("segment", termFrequency = true)),
       maxIter = 10)
-    val (scored, _) = EntityResolver.scoredComparisons(dirty, settings)
+    // materialize the gamma pass once: EM fit and final scoring both
+    // consume it, and recomputing means a second JaroWinkler pass over
+    // every blocked pair — measured ~2s of the pipeline at sf0.1
+    val (scored, _) = EntityResolver.scoredComparisons(dirty, settings,
+      materializePairs = true)
     catalog.save("dedupe_scored",
       scored.select(col("unique_id_l"), col("unique_id_r"),
         col("gamma_name"), col("gamma_segment"), col("match_probability")))
