@@ -45,14 +45,24 @@ object RandomWalks {
     var frontier = adj.select(col("u").as("start")).distinct()
       .withColumn("cur", col("start"))
     (1 to steps).foreach { t =>
-      val w = Window.partitionBy("start").orderBy(col("__h"), col("v"))
-      frontier = frontier
+      // per-start argmin of (hash, v) as a map-side-combinable min(struct)
+      // hash aggregate — the adjacency fanout collapses to one row per
+      // walk BEFORE the exchange, vs the former sort-window (row_number
+      // over a full shuffle+sort of frontier×degree rows). The carried
+      // path columns are constant within a group (the frontier had
+      // exactly one row per start), so they ride the struct untouched;
+      // (hash, v) is unique per group (v distinct per start), so the
+      // trailing fields never influence the min.
+      val carry = (1 until t).map(i => s"v$i")
+      val picked = frontier
         .join(adj, frontier("cur") === adj("u"))
         .withColumn("__h", score(col("cur"), col("v"), t, seed))
-        .withColumn("__r", row_number().over(w))
-        .where(col("__r") === 1)
-        .drop("u", "cur", "__h", "__r")
-        .withColumnRenamed("v", s"v$t")
+        .groupBy("start")
+        .agg(min(struct(col("__h").as("__h") +: col("v").as(s"v$t") +:
+          carry.map(col): _*)).as("__m"))
+      frontier = picked.select(
+        col("start") +: carry.map(c => col(s"__m.$c").as(c)) :+
+          col(s"__m.v$t").as(s"v$t"): _*)
         .withColumn("cur", col(s"v$t"))
     }
     frontier.drop("cur")
@@ -116,24 +126,28 @@ object RandomWalks {
       .withColumn("prev", lit(null).cast("long"))
       .withColumn("cur", col("start"))
     (1 to steps).foreach { t =>
-      val w = Window.partitionBy("start").orderBy(col("__s"), col("v"))
       val factor =
         when(col("prev").isNull, lit(1L))
           .when(col("v") === col("prev"), lit(returnFactor.toLong))
           .when(col("__pv").isNotNull, lit(1L))
           .otherwise(lit(inOutFactor.toLong))
-      frontier = frontier
+      // same map-side-combinable argmin as [[walks]]: min(struct) keyed by
+      // start replaces the sort-window; the vertex we stood on (`cur`)
+      // rides the struct to become `prev`, the chosen neighbor becomes
+      // both v_t and the new `cur`
+      val carry = (1 until t).map(i => s"v$i")
+      val picked = frontier
         .join(adj, frontier("cur") === adj("u"))
         .join(adjPrev,
           col("__pu") === col("prev") && col("__pv") === col("v"), "left")
         .withColumn("__s", score(col("cur"), col("v"), t, seed) * factor)
-        .withColumn("__r", row_number().over(w))
-        .where(col("__r") === 1)
-        // the vertex we stood on becomes `prev`; the chosen neighbor
-        // becomes both v_t and the new `cur`
-        .select(col("start") +: col("cur").as("__newprev") +:
-          (1 until t).map(i => col(s"v$i")) :+ col("v").as(s"v$t"): _*)
-        .withColumnRenamed("__newprev", "prev")
+        .groupBy("start")
+        .agg(min(struct(col("__s").as("__s") +: col("v").as(s"v$t") +:
+          col("cur").as("__newprev") +: carry.map(col): _*)).as("__m"))
+      frontier = picked.select(
+        col("start") +: col("__m.__newprev").as("prev") +:
+          carry.map(c => col(s"__m.$c").as(c)) :+
+          col(s"__m.v$t").as(s"v$t"): _*)
         .withColumn("cur", col(s"v$t"))
     }
     frontier.drop("cur", "prev")
