@@ -61,6 +61,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.SimHashAgg].getName, "simhash_agg"),
       (children: Seq[Expr]) => graft.functions.SimHashAgg(children.head)))
     ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[graft.functions.MinHashSig].getName, "minhash_sig"),
+      (children: Seq[Expr]) => graft.functions.MinHashSig(children(0), children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("hll_init"),
       new ExpressionInfo(classOf[graft.functions.HllInit].getName, "hll_init"),
       (children: Seq[Expr]) => graft.functions.HllInit(children(0), children(1))))

@@ -141,10 +141,12 @@ object TextDedup {
       .groupBy("id_l", "id_r").agg(count(lit(1)).as("common"))
 
   /** MinHash signature: numPerm permutations simulated with seeded xxhash64
-    * (Broder's min-wise hashing). */
+    * (Broder's min-wise hashing). One-pass codegen-free tight loop
+    * ([[graft.functions.MinHashSig]]); bit-identical to the declarative
+    * `transform(sequence(…), s -> array_min(transform(sh, x -> xxhash64(x, s))))`
+    * it replaces (MinHashSigSpec pins the equality). */
   def minhashSignature(shingleCol: Column, numPerm: Int): Column =
-    transform(sequence(lit(0), lit(numPerm - 1)),
-      s => array_min(transform(shingleCol, x => xxhash64(x, s))))
+    call_function("minhash_sig", shingleCol, lit(numPerm))
 
   /** MinHash + LSH banding: signature → band hashes → bucket self-join for
     * candidates → exact-Jaccard verification of candidates only. The

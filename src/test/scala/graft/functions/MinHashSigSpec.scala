@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class MinHashSigSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // the declarative formulation minhash_sig replaces — kept here as the
+  // reference semantics the expression must match bit-for-bit
+  private def reference(shingles: org.apache.spark.sql.Column, numPerm: Int) =
+    transform(sequence(lit(0), lit(numPerm - 1)),
+      s => array_min(transform(shingles, x => xxhash64(x, s))))
+
+  test("bit-identical to the nested higher-order xxhash64 formulation") {
+    val df = Seq(
+      (1L, Seq("a b c", "b c d", "c d e")),
+      (2L, Seq("hello world five gram", "x")),
+      (3L, Seq("solo")),
+      (4L, Seq.empty[String])
+    ).toDF("id", "sh")
+    val out = df.select(col("id"),
+      call_function("minhash_sig", col("sh"), lit(8)).as("fast"),
+      reference(col("sh"), 8).as("ref"))
+    assert(out.where(not(col("fast") <=> col("ref"))).count() == 0)
+    // empty shingle set -> all-null signature (array_min of empty = NULL)
+    val empty = out.where(col("id") === 4L)
+      .select(col("fast")).as[Seq[Option[Long]]].head()
+    assert(empty.length == 8 && empty.forall(_.isEmpty))
+  }
+
+  test("null elements fold like the multi-arg hash's null skip") {
+    val df = spark.sql(
+      "SELECT array('x', CAST(NULL AS STRING), 'y') AS sh")
+    val out = df.select(
+      call_function("minhash_sig", col("sh"), lit(4)).as("fast"),
+      reference(col("sh"), 4).as("ref"))
+    assert(out.where(not(col("fast") <=> col("ref"))).count() == 0)
+  }
+
+  test("rejects non-literal or out-of-range numPerm") {
+    val df = Seq((1L, Seq("a"))).toDF("id", "sh")
+    intercept[Exception] {
+      df.select(call_function("minhash_sig", col("sh"), lit(0))).collect()
+    }
+    intercept[Exception] {
+      df.select(call_function("minhash_sig", col("sh"), col("id"))).collect()
+    }
+  }
+}
