@@ -48,7 +48,10 @@ class PlanSpec extends SparkTestBase {
       // independence-expected counts (Stats.chiSquare)
       "q147_chi2_independence",
       // the q105 IVF-PQ probing crosses + broadcast(query vectors) re-rank
-      "q148_ivfpq_rerank")
+      "q148_ivfpq_rerank",
+      // broadcast non-equi (type_l < type_r) pairing of the k-row
+      // per-audience sketch table with itself — k(k−1)/2 rows total
+      "q157_audience_overlap_hll")
 
   private lazy val plans: Map[String, String] =
     graft.SparkEntry.queries.map { case (name, fn) =>
