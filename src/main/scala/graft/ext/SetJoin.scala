@@ -48,7 +48,8 @@ object SetJoin {
     * distinct. Exposed for the spec, which asserts candidate-count
     * shrinkage on a skewed-size corpus. */
   private[ext] def candidates(items: DataFrame, size: DataFrame,
-      minJaccard: Double, lengthFilter: Boolean): DataFrame = {
+      minJaccard: Double, lengthFilter: Boolean,
+      dedup: Boolean = true): DataFrame = {
     val freq = items.groupBy("item").agg(count(lit(1)).as("f"))
     val prefix = items
       .join(freq, "item")
@@ -63,9 +64,17 @@ object SetJoin {
       if (lengthFilter)
         ub.cast("double") / (col("a.sz") + col("b.sz") - ub) >= lit(minJaccard)
       else lit(true)
-    prefix.as("a").join(prefix.as("b"),
+    val raw = prefix.as("a").join(prefix.as("b"),
         col("a.item") === col("b.item") && col("a.id") < col("b.id") && posOk)
-      .select(col("a.id").as("id_l"), col("b.id").as("id_r")).distinct()
+      .select(col("a.id").as("id_l"), col("b.id").as("id_r"))
+    // dedup = false defers pair dedup to AFTER verification: a pair occurs
+    // once per shared prefix token (small constant), so verifying the few
+    // duplicates costs less than a full exchange of the candidate set —
+    // the post-verification dedup then runs on the (far smaller) passing
+    // pairs. Identical rows verify identically, so the result set is
+    // unchanged (a pair survives iff ANY of its occurrences passed the
+    // positional bound — exactly the pre-distinct semantics).
+    if (dedup) raw.distinct() else raw
   }
 
   def jaccardPairs(df: DataFrame, idCol: String, itemCol: String,
@@ -90,7 +99,7 @@ object SetJoin {
     val sets = items.groupBy("id")
       .agg(collect_list(col("item")).as("arr"), count(lit(1)).as("sz"))
     val cand = candidates(items, sets.select("id", "sz"), minJaccard,
-      lengthFilter = true)
+      lengthFilter = true, dedup = false)
     cand
       .join(sets.select(col("id").as("id_l"), col("arr").as("__al"),
         col("sz").as("sz_l")), "id_l")
@@ -102,6 +111,9 @@ object SetJoin {
         col("common").cast("double") /
           (col("sz_l") + col("sz_r") - col("common")))
       .where(col("jaccard") >= minJaccard)
+      // pair dedup deferred past verification (see candidates): runs on
+      // the passing pairs only, not the full candidate volume
+      .dropDuplicates("id_l", "id_r")
       .select(col("id_l"), col("id_r"), col("common"),
         col("sz_l").cast("long").as("sz_l"), col("sz_r").cast("long").as("sz_r"),
         col("jaccard"))
