@@ -848,8 +848,10 @@ object AnalyticsQueries {
     * by inclusion–exclusion |A|+|B|−|A∪B|. Gated like q93/q155: exact
     * counts are the hash-compared columns, the estimate is asserted
     * within-bound genuinely in Spark (error ≤ ~3·rsd·|A∪B| at p=12 →
-    * rsd ≈ 1.6%; bound 0.08·|A∪B| leaves ~1.6× margin over the measured
-    * max 0.049 at sf0.01 / sf0.1). */
+    * rsd ≈ 1.6%; bound 0.12·|A∪B| leaves ~2.4× margin over the measured
+    * max 0.049 at sf0.01 / sf0.1 — sketch values are deterministic per
+    * corpus, but the margin keeps the assertion robust to testdata
+    * regeneration). */
   private val q157 = QDef(
     "q157_audience_overlap_hll",
     (s, dir) => {
@@ -879,7 +881,7 @@ object AnalyticsQueries {
         .select(col("type_l"), col("type_r"),
           col("exact_l"), col("exact_r"), col("exact_overlap"),
           (abs(col("__est") - col("exact_overlap")) <=
-            lit(0.08) * (col("exact_l") + col("exact_r") - col("exact_overlap")))
+            lit(0.12) * (col("exact_l") + col("exact_r") - col("exact_overlap")))
             .as("within_bound"))
         .orderBy("type_l", "type_r")
     },
