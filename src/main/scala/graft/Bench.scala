@@ -32,17 +32,29 @@ object Bench {
     // so cross-round regressions in the COMPOSITION — not just per-query
     // — show up in the bench
     def pipelinePass(): Double = {
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft_bench_wh").toString
+      val whPath = java.nio.file.Files.createTempDirectory("graft_bench_wh")
       val t0 = System.nanoTime()
-      try {
-        val p = new graft.pipelines.AmlPipelines(spark, sfDir, wh)
+      // a crashed pass must NOT record its (short) elapsed time — best-of-N
+      // would then preferentially select the failure and report a phantom
+      // speedup. Surface the error on stderr and return a sentinel that
+      // min() never picks over any real pass.
+      val dt = try {
+        val p = new graft.pipelines.AmlPipelines(spark, sfDir, whPath.toString)
         p.runSyntheticIdentity().count()
         p.runStructuring().count()
         p.runEntityResolution().count()
-      } catch { case _: Throwable => () }
-      val dt = (System.nanoTime() - t0) / 1e9
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case t: Throwable =>
+          System.err.println(s"[graft-bench] pipeline_aml pass FAILED: $t")
+          99999.0
+      }
       spark.catalog.clearCache()
+      try { // best-effort temp-warehouse cleanup (one dir of writes per pass)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(whPath).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
       dt
     }
     def onePass(): Seq[(String, Double)] =

@@ -49,9 +49,16 @@ object QTime {
       // later arm by a full warmup tier
       val ts: Seq[(String, Double)] = (1 to passes).flatMap { _ =>
         arms.map { case (armName, confs) =>
+          // restore the PRE-ARM session value, not the engine default:
+          // unset would drop builder-set keys (e.g. shuffle.partitions=cpus)
+          // and silently change the default arm's baseline mid-run
+          val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
           confs.foreach { case (k, v) => spark.conf.set(k, v) }
           val t = materialize(name)
-          confs.keys.foreach(spark.conf.unset)
+          saved.foreach {
+            case (k, Some(v)) => spark.conf.set(k, v)
+            case (k, None) => spark.conf.unset(k)
+          }
           armName -> t
         }
       }

@@ -146,7 +146,11 @@ object TextDedup {
     * `transform(sequence(…), s -> array_min(transform(sh, x -> xxhash64(x, s))))`
     * it replaces (MinHashSigSpec pins the equality). */
   def minhashSignature(shingleCol: Column, numPerm: Int): Column =
-    call_function("minhash_sig", shingleCol, lit(numPerm))
+    // direct expression, not call_function: the helper then resolves in
+    // sessions built WITHOUT GraftExtensions, as it did when declarative
+    graft.functions.Cols.of(graft.functions.MinHashSig(
+      graft.functions.Cols.expr(shingleCol),
+      org.apache.spark.sql.catalyst.expressions.Literal(numPerm)))
 
   /** MinHash + LSH banding: signature → band hashes → bucket self-join for
     * candidates → exact-Jaccard verification of candidates only. The

@@ -22,8 +22,11 @@ import org.apache.spark.sql.types._
   * min — the exact same multi-arg xxhash64 fold, so signatures, bands and
   * buckets are unchanged anywhere the old form was used (MinHashSigSpec
   * pins equality, including null elements — folded as just the int, the
-  * multi-arg hash's null-skip — and the empty array → all-null signature
-  * of `array_min(empty) = NULL`).
+  * multi-arg hash's null-skip — the empty array → all-null signature of
+  * `array_min(empty) = NULL`, and the NULL array → all-null signature:
+  * the old form's outer transform ran over the non-null `sequence`, so a
+  * null shingle array produced `[NULL × p]`, not NULL — null-text docs
+  * band together as candidates rather than silently vanishing).
   *
   * One pass over elements × a tight numPerm inner loop of `XXH64.hashInt`
   * on primitives: no allocation beyond the output array. numPerm must be
@@ -33,7 +36,9 @@ case class MinHashSig(left: Expression, right: Expression)
 
   override def prettyName: String = "minhash_sig"
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
-  override def nullable: Boolean = left.nullable
+  // never NULL: a null/empty shingle array yields the all-null signature
+  // (the declarative form's outer transform ran over the non-null sequence)
+  override def nullable: Boolean = false
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(StringType, _), IntegerType) if right.foldable =>
@@ -50,7 +55,11 @@ case class MinHashSig(left: Expression, right: Expression)
 
   override def eval(input: InternalRow): Any = {
     val arr = left.eval(input)
-    if (arr == null) return null
+    if (arr == null) {
+      // old form: transform(sequence(0,p−1), s -> array_min(transform(NULL,…)))
+      // = [NULL × p] — the outer transform runs over the non-null sequence
+      return new GenericArrayData(new Array[Any](numPerm))
+    }
     val a = arr.asInstanceOf[ArrayData]
     val n = a.numElements()
     if (n == 0) {

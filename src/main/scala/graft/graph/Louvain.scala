@@ -23,9 +23,12 @@ import org.apache.spark.sql.functions._
   * (k_{i,C} = edges from i into C, Σ_C = degree mass of C with i's own
   * degree removed when C is i's current community, m = undirected edge
   * count. This is the standard ΔQ numerator with the constant 1/(2m)²
-  * dropped — sign- and order-preserving). All quantities are exact longs
-  * (safe while 2m·max-degree < 2⁶³ — at 10¹² edges that allows degrees to
-  * ~4·10⁶), ties break toward the smallest community id, so rounds are
+  * dropped — sign- and order-preserving). All quantities are exact: longs
+  * while m < 2³⁰ (the score is bounded by 4m², so it fits 2⁶³), exact
+  * decimal(38,0) past that gate (contracted super-vertices carry
+  * community-sized kic/k that scale with m itself, so no degree bound
+  * saves the long form at scale; decimal is exact to m < ~1.5·10¹⁸).
+  * Ties break toward the smallest community id, so rounds are
   * bit-deterministic on any engine/partitioning and SQL-mirrorable.
   *
   * Synchronous simultaneous moves oscillate on symmetric structures (two
@@ -106,7 +109,24 @@ object Louvain {
     val deg = ck.lazily(shrink(adj.select(col("u"), col("w"))
       .unionAll(self.select(col("u"), (col("w") * 2L).as("w")))
       .groupBy("u").agg(sum(col("w")).as("k"))))
-    val mDf = ck.lazily(wund.agg(sum(col("w")).as("m")))
+    // m is a loop-constant SCALAR: collect it once (single-row aggregate)
+    // and inline it as a literal — no per-round broadcast cross-join.
+    val m: Long = Option(wund.agg(sum(col("w"))).first().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    // Score overflow gate: the Long score `2m·kic − sigAdj·k` is bounded by
+    // 4m² only through the CONTRACTED levels, where a super-vertex's kic/k
+    // scale with total mass m rather than a single vertex's degree — at
+    // m ≥ 2³⁰ the product can exceed 2⁶³ and wrap negative, silently
+    // corrupting the argmax. Past the gate the score runs in decimal(38,0)
+    // (exact to |score| < 10³⁸, i.e. m < ~1.5·10¹⁸); the argmax and
+    // tie-break semantics are unchanged (LouvainSpec pins decimal-arm
+    // parity). Conf forces the arm for testing.
+    val useDecimal = spark.conf
+      .get("spark.graft.louvain.decimalScore", "auto") match {
+      case "true" => true
+      case "false" => false
+      case _ => m >= (1L << 30)
+    }
     var labels = labels0
     (1 to rounds).foreach { r =>
       // k_{i,C}: weight from each vertex into each neighbor community.
@@ -134,12 +154,14 @@ object Louvain {
         // admissible because c = __cown satisfies both inequalities
         .where(if (r % 2 == 1) col("c") <= col("__cown")
                else col("c") >= col("__cown"))
-        .crossJoin(broadcast(mDf))
         .withColumn("__sigAdj",
           when(col("c") === col("__cown"), col("sig") - col("k"))
             .otherwise(col("sig")))
         .withColumn("__score",
-          lit(2L) * col("m") * col("kic") - col("__sigAdj") * col("k"))
+          if (useDecimal)
+            lit(2L * m).cast("decimal(38,0)") * col("kic") -
+              col("__sigAdj").cast("decimal(38,0)") * col("k")
+          else lit(2L * m) * col("kic") - col("__sigAdj") * col("k"))
       labels = ck.lazily(shrink(scored
         .groupBy(col("u").as("v"))
         .agg(max(struct(col("__score"), (-col("c")).as("nc"))).as("__m"))

@@ -57,16 +57,16 @@ object StronglyConnectedComponents {
       .get("spark.graft.scc.broadcastThreshold", "2000000").toLong
     def bc(df: DataFrame, small: Boolean): DataFrame =
       if (small) broadcast(df) else df
-    // Small-state partition collapse: once the remaining subgraph is under
-    // the broadcast gate, every per-round frame (state, edges, assigned) is
-    // at most a few million narrow rows, yet each one inherits the session
-    // shuffle partitioning (AQE's default parallelismFirst coalescing keeps
-    // ~defaultParallelism partitions however tiny the bytes), so a 13-round
-    // run schedules thousands of near-empty tasks — measured ~30% of q60 at
-    // sf0.1. Coalescing the checkpointed loop frames to a handful of
-    // partitions cuts the per-round task count without touching the
-    // large-graph path: `small == false` keeps full session parallelism,
-    // which is the 100 TB-correct layout.
+    // Small-state partition collapse: once a loop frame is provably small,
+    // it still inherits the session shuffle partitioning (AQE's default
+    // parallelismFirst coalescing keeps ~defaultParallelism partitions
+    // however tiny the bytes), so a 13-round run schedules thousands of
+    // near-empty tasks — measured ~30% of q60 at sf0.1. Coalescing the
+    // checkpointed loop frames to a handful of partitions cuts the
+    // per-round task count without touching the large-graph path: a false
+    // gate keeps full session parallelism, which is the 100 TB-correct
+    // layout. Each frame uses the gate matching its own growth bound
+    // (vertsSmallOk / edgesSmallOk / nLeft-small below).
     val smallParts = spark.conf
       .get("spark.graft.scc.smallPartitions", "8").toInt
     def shrink(df: DataFrame, small: Boolean): DataFrame =
@@ -80,8 +80,25 @@ object StronglyConnectedComponents {
     val v0 = ckpt.counted(g.vertices.select(col("id")).distinct())
     dbg(s"v0 counted n=${v0._2}")
     var verts = v0._1
-    var edges = ckpt.lazily(shrink(g.edges.select(col("src"), col("dst"))
-      .where(col("src") =!= col("dst")).distinct(), v0._2 <= bcRows))
+    // The collapse gates are sized by what each frame can GROW to, not by
+    // the current remaining-vertex count `nLeft`:
+    //  - `assigned` accumulates toward the FULL vertex set (its size is the
+    //    complement of nLeft), so it may only collapse when the whole
+    //    vertex set is small (`vertsSmallOk`) — gating it on nLeft would
+    //    coalesce ~all of a 1B-vertex graph into smallParts blocks the
+    //    moment the remainder dips under the broadcast gate;
+    //  - edge frames (remaining edges, in-class reversed edges) are bounded
+    //    by the INITIAL distinct edge count, not by nLeft (2M remaining
+    //    vertices can still carry 500M edges on a dense graph), so they
+    //    collapse only under `edgesSmallOk`. The initial count is a free
+    //    byproduct of the edge checkpoint every phase reads anyway, and
+    //    every later edge frame is a subset of it.
+    val vertsSmallOk = v0._2 <= bcRows
+    val (e0, e0Count) = ckpt.counted(g.edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst")).distinct())
+    val edgesSmallOk = e0Count <= spark.conf
+      .get("spark.graft.scc.edgeCollapseThreshold", (bcRows * 4).toString).toLong
+    var edges = shrink(e0, vertsSmallOk && edgesSmallOk)
     var assigned = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
@@ -116,12 +133,12 @@ object StronglyConnectedComponents {
         else {
           val peeled = verts.join(bc(core, small), Seq("id"), "left_anti")
             .select(col("id"), col("id").as("component"))
-          assigned = ckpt.lazily(shrink(assigned.union(peeled), small))
+          assigned = ckpt.lazily(shrink(assigned.union(peeled), vertsSmallOk))
           verts = core
           edges = ckpt.lazily(shrink(edges
             .join(bc(core.select(col("id").as("src")), small), Seq("src"), "left_semi")
             .join(bc(core.select(col("id").as("dst")), small), Seq("dst"), "left_semi"),
-            small))
+            small && edgesSmallOk))
           // trim is an optimization, not a correctness step — the FW-BW
           // coloring handles whatever remains. When a pass peeled only a
           // negligible sliver, the possible cascade is at most its
@@ -178,7 +195,7 @@ object StronglyConnectedComponents {
           .where(col("__cs") === col("__cd"))
           .select(col("dst").as("src"), col("src").as("dst"))
         val found = if (endpointsMode) {
-          val inClassRev = ckpt.lazily(shrink(inClassRev0, small))
+          val inClassRev = ckpt.lazily(shrink(inClassRev0, small && edgesSmallOk))
           val endpoints = inClassRev.select(col("src").as("id"))
             .union(inClassRev.select(col("dst").as("id"))).distinct()
           val endVerts = ckpt.lazily(
@@ -193,7 +210,8 @@ object StronglyConnectedComponents {
               .where(col("color") === col("bcolor") && col("id") =!= col("color"))
               .select(col("id"), col("color")))
         } else {
-          val bcolors = minPropagate(verts, ckpt.lazily(shrink(inClassRev0, small)),
+          val bcolors = minPropagate(verts,
+            ckpt.lazily(shrink(inClassRev0, small && edgesSmallOk)),
             ckpt, maxIter, strict, "backward", small)
           colors.join(bc(bcolors.withColumnRenamed("color", "bcolor"), small), Seq("id"))
             .where(col("color") === col("bcolor"))
@@ -206,7 +224,7 @@ object StronglyConnectedComponents {
         val members = ckpt.lazily(shrink(found.join(bc(minIds, small), "color")
           .select(col("id"), col("component")), small))
         // 4. assign and peel the found SCCs
-        assigned = ckpt.lazily(shrink(assigned.union(members), small))
+        assigned = ckpt.lazily(shrink(assigned.union(members), vertsSmallOk))
         dbg("pre-assign")
         val vertsCounted = ckpt.counted(shrink(
           verts.join(bc(members, small), Seq("id"), "left_anti"), small))
@@ -215,7 +233,7 @@ object StronglyConnectedComponents {
         edges = ckpt.lazily(shrink(edges
           .join(bc(verts.select(col("id").as("src")), small), Seq("src"), "left_semi")
           .join(bc(verts.select(col("id").as("dst")), small), Seq("dst"), "left_semi"),
-          small))
+          small && edgesSmallOk))
       }
       dbg(s"phase $phase done nLeft=$nLeft")
       phase += 1

@@ -39,6 +39,34 @@ class MinHashSigSpec extends SparkTestBase {
     assert(out.where(not(col("fast") <=> col("ref"))).count() == 0)
   }
 
+  test("NULL shingle array yields the all-null signature, like the old form") {
+    // transform(sequence(0,p−1), s -> array_min(transform(NULL, …))) is
+    // [NULL × p] — the outer transform runs over the non-null sequence. A
+    // NULL result instead would make null-text docs vanish from banding.
+    val df = spark.sql("SELECT CAST(NULL AS ARRAY<STRING>) AS sh")
+    val out = df.select(
+      call_function("minhash_sig", col("sh"), lit(6)).as("fast"),
+      reference(col("sh"), 6).as("ref"))
+    assert(out.where(not(col("fast") <=> col("ref"))).count() == 0)
+    val v = out.select(col("fast")).as[Seq[Option[Long]]].head()
+    assert(v.length == 6 && v.forall(_.isEmpty))
+  }
+
+  test("minhashSignature resolves without the session function registry") {
+    // the helper must build the native expression directly (Cols bridge),
+    // not call_function — a session built WITHOUT GraftExtensions then
+    // still resolves it (the registry path would throw at analysis)
+    val e = graft.functions.Cols.expr(
+      graft.ext.TextDedup.minhashSignature(col("sh"), 4))
+    assert(e.isInstanceOf[MinHashSig],
+      s"expected a direct MinHashSig expression, got ${e.getClass}")
+    val df = Seq((1L, Seq("a", "b"))).toDF("id", "sh")
+    val out = df.select(
+      graft.ext.TextDedup.minhashSignature(col("sh"), 4).as("fast"),
+      reference(col("sh"), 4).as("ref"))
+    assert(out.where(not(col("fast") <=> col("ref"))).count() == 0)
+  }
+
   test("rejects non-literal or out-of-range numPerm") {
     val df = Seq((1L, Seq("a"))).toDF("id", "sh")
     intercept[Exception] {

@@ -148,7 +148,10 @@ class SccStrategyParitySpec extends SparkTestBase {
       Map("spark.graft.scc.collect" -> "endpoints",
         "spark.graft.scc.broadcastThreshold" -> "0",
         "spark.graft.scc.smallPartitions" -> "0"),
-      Map("spark.graft.scc.jumpHops" -> "4"))
+      Map("spark.graft.scc.jumpHops" -> "4"),
+      // dense-graph path: edge frames keep full parallelism even when the
+      // vertex sets are under the broadcast gate
+      Map("spark.graft.scc.edgeCollapseThreshold" -> "0"))
     arms.foreach { confs =>
       assert(sccWith(confs) == base, s"assignment diverged under $confs")
     }

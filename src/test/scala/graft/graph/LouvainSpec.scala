@@ -151,7 +151,11 @@ class LouvainStrategyParitySpec extends SparkTestBase {
       Map("spark.graft.louvain.broadcastThreshold" -> "0"),
       Map("spark.graft.louvain.smallPartitions" -> "0"),
       Map("spark.graft.louvain.broadcastThreshold" -> "0",
-        "spark.graft.louvain.smallPartitions" -> "0"))
+        "spark.graft.louvain.smallPartitions" -> "0"),
+      // overflow-safe arm: the decimal(38,0) score (what auto picks at
+      // m ≥ 2³⁰, where contracted-level Long scores can wrap) must pick
+      // the identical argmax everywhere the Long score is exact
+      Map("spark.graft.louvain.decimalScore" -> "true"))
     arms.foreach { confs =>
       assert(louvainWith(confs) == base, s"labeling diverged under $confs")
     }
