@@ -374,6 +374,48 @@ object RelationalQueries {
                    CAST(count(*) AS BIGINT) AS n_rows
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** q158: the SKETCH path of q43's grouped quantiles — Spark's
+    * `approx_percentile` (Greenwald–Khanna quantile summaries: a mergeable
+    * O(1/ε·log εn) sketch with a deterministic rank guarantee) next to the
+    * exact interpolated percentiles. At 100 TB the exact path's per-group
+    * sort-heavy percentile buffers hold every value; the GK summary is the
+    * scale shape — fixed-size partial state, map-side combinable, one
+    * shuffle of sketches. Gated like q93/q155/q157: the EXACT quantiles
+    * are the hash-compared columns, and the sketch values are asserted
+    * within their rank guarantee genuinely in Spark — accuracy=1000 bounds
+    * rank error by 1/1000, so the approx value must lie between the exact
+    * quantiles at p∓0.02 (a 20× margin), checked per group (DuckDB pins
+    * the assertion columns TRUE). */
+  private val q158 = QDef(
+    "q158_quantile_sketch",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_extendedprice, array(0.48, 0.5, 0.52, 0.93, 0.95, 0.97))")
+            .as("__ex"),
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
+            .as("__ap"),
+          count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"),
+          col("__ex").getItem(1).as("median_price"),
+          col("__ex").getItem(4).as("p95_price"),
+          col("n_rows"),
+          col("__ap").getItem(0).between(
+            col("__ex").getItem(0), col("__ex").getItem(2))
+            .as("within_bound_p50"),
+          col("__ap").getItem(1).between(
+            col("__ex").getItem(3), col("__ex").getItem(5))
+            .as("within_bound_p95"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.5) AS median_price,
+                   quantile_cont(l_extendedprice, 0.95) AS p95_price,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   TRUE AS within_bound_p50, TRUE AS within_bound_p95
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   /** CUBE with grouping_id — the full-lattice companion to q12's rollup
     * (SURVEY.md §2.4 free tier; the reference's grouped aggregations at
     * `01_aml_network_analysis.py:60-63` generalized to all margin
@@ -806,5 +848,5 @@ object RelationalQueries {
   val all: Seq[QDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
       q39, q43, q66, q67, q68, q72, q75, q76, q77, q81, q82, q106, q109,
-      q132, q140, q146)
+      q132, q140, q146, q158)
 }
