@@ -627,6 +627,45 @@ object ExtQueries {
              SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
              FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** q159: the Lloyd UPDATE step of k-means over the embedding column —
+    * the oracle-checked complement of q40's nearest-centroid ASSIGNMENT
+    * (together they pin both halves of [[graft.ext.Ivf.trainCentroids]]'s
+    * iteration; the multi-iteration loop itself is spec'd in ScaleSpec,
+    * where cross-engine double parity can't gate it). Cluster profile per
+    * stride-initialized centroid: member count (exact, hash-gated) and the
+    * mean-updated first two centroid components (order-dependent double
+    * aggregates — rounded to 6 decimals on both engines per the q43/q71
+    * convention). Scale shape: broadcast(k centroids) assignment scored
+    * scalar per row — the corpus is never pairwise-joined — then one keyed
+    * aggregate; the k-row profile is the only shuffled output. */
+  private val q159 = QDef(
+    "q159_kmeans_profile",
+    (s, dir) => {
+      val e = embeddings(s, dir)
+      val cents = e.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("list_id"), col("embedding").as("cv"))
+      graft.ext.Ivf.assignTo(e, cents, "vec_id", "embedding")
+        .select(col("list_id"),
+          col("embedding").getItem(0).as("__c0"),
+          col("embedding").getItem(1).as("__c1"))
+        .groupBy("list_id")
+        .agg(count(lit(1)).as("n_members"),
+          round(avg(col("__c0")), 6).as("mean_c0"),
+          round(avg(col("__c1")), 6).as("mean_c1"))
+        .orderBy("list_id")
+    },
+    Some(s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+             cent AS (SELECT vec_id AS list_id, ve AS cv FROM v WHERE vec_id % 20 = 0),
+             asg AS (SELECT vec_id, ve, list_id FROM (
+                       SELECT v.vec_id, v.ve, cent.list_id,
+                              row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY ${cosSql("v.ve", "cent.cv")} DESC, cent.list_id) AS rn
+                       FROM v CROSS JOIN cent) WHERE rn = 1)
+             SELECT list_id, CAST(count(*) AS BIGINT) AS n_members,
+                    round(avg(ve[1]), 6) AS mean_c0,
+                    round(avg(ve[2]), 6) AS mean_c1
+             FROM asg GROUP BY list_id ORDER BY list_id"""))
+
   // ---------- text analysis ----------
 
   private val stopSql = Map(
@@ -1691,5 +1730,5 @@ object ExtQueries {
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q40, q41, q49, q61, q62, q70, q71, q73, q74, q88, q89, q90, q91,
     q92, q93, q94, q95, q96, q97, q98, q100, q101, q102, q103, q104, q105,
-    q133, q142, q148)
+    q133, q142, q148, q159)
 }
