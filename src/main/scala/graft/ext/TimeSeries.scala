@@ -260,4 +260,54 @@ object TimeSeries {
     iv.withColumn("valid_to_ms", lead(col("valid_from_ms"), 1).over(w2))
       .withColumn("is_current", col("valid_to_ms").isNull.cast("int"))
   }
+
+  /** Gap-fill + linear interpolation: densify each key's daily series to
+    * every day in its own [min, max] range and fill missing days by
+    * linear interpolation between the nearest observed neighbors (edge
+    * gaps take the nearest single neighbor — forward/backward fill). The
+    * standard time-series regularization step before any fixed-step model
+    * (forecasting, rolling windows that assume no holes).
+    *
+    * Determinism contract: the per-day observed value is `avg(value)`
+    * ROUNDED to 6 decimals at the aggregate (shuffle-order-dependent
+    * double sum — the q43/q71 convention), after which interpolation is a
+    * pure scalar expression over identical inputs in a fixed evaluation
+    * order, so filled values are bit-stable across engines/partitionings.
+    *
+    * Shape: one keyed daily aggregate; a per-key min/max + `sequence`
+    * explode for the spine (rows bounded by the key's own date span,
+    * never a global calendar cross-join); one left join back on
+    * (key, day); two ROWS-frame windows (previous / next observed as
+    * structs, ignoreNulls) sharing a single (key, day) sort+exchange.
+    * No global window, no self-join, per-key window state O(1). */
+  def gapFillInterpolate(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", valCol: String = "value"): DataFrame = {
+    val daily = events
+      .select(col(keyCol).as("k"),
+        expr(s"unix_millis($tsCol) div 86400000").as("day"),
+        col(valCol).as("__x"))
+      .groupBy("k", "day")
+      .agg(round(avg(col("__x")), 6).as("__v"))
+    val spine = daily.groupBy("k")
+      .agg(min("day").as("__d0"), max("day").as("__d1"))
+      .select(col("k"),
+        explode(sequence(col("__d0"), col("__d1"))).as("day"))
+    val w = Window.partitionBy("k").orderBy("day")
+    val obs = struct(col("day").as("d"), col("__v").as("v"))
+    val joined = spine.join(daily, Seq("k", "day"), "left_outer")
+      .withColumn("__prev", last(when(col("__v").isNotNull, obs),
+        ignoreNulls = true).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__next", first(when(col("__v").isNotNull, obs),
+        ignoreNulls = true).over(w.rowsBetween(0, Window.unboundedFollowing)))
+    joined.select(col("k").as(keyCol), col("day"),
+      col("__v").isNotNull.as("observed"),
+      when(col("__v").isNotNull, col("__v"))
+        .when(col("__prev").isNull, col("__next.v"))
+        .when(col("__next").isNull, col("__prev.v"))
+        .otherwise(col("__prev.v") +
+          (col("__next.v") - col("__prev.v")) *
+            ((col("day") - col("__prev.d")).cast("double") /
+              (col("__next.d") - col("__prev.d")).cast("double")))
+        .as("value"))
+  }
 }

@@ -900,8 +900,47 @@ object AnalyticsQueries {
                     JOIN sz r ON r.event_type = type_r
             ORDER BY type_l, type_r"""))
 
+  /** q160: daily gap-fill + linear interpolation per user
+    * ([[TimeSeries.gapFillInterpolate]]) — densify each user's daily avg
+    * series to its own [min, max] day range, interpolate interior gaps
+    * between nearest observed neighbors, forward/backward-fill edges.
+    * Daily avgs are rounded at the aggregate (order-dependent double sum),
+    * after which interpolation is a fixed-order scalar expression — the
+    * filled values hash bit-exact against DuckDB's IGNORE NULLS window
+    * mirror. */
+  private val q160 = QDef(
+    "q160_gapfill_interpolate",
+    (s, dir) => TimeSeries
+      .gapFillInterpolate(Tables.load(s, dir, "events"))
+      .orderBy("user_id", "day"),
+    Some("""WITH d AS (SELECT user_id AS k, epoch_ms(ts) // 86400000 AS day,
+                              round(avg(value), 6) AS v
+                       FROM events GROUP BY 1, 2),
+                 spine AS (SELECT k, unnest(range(min(day), max(day) + 1)) AS day
+                           FROM d GROUP BY k),
+                 j AS (SELECT s.k, s.day, d.v
+                       FROM spine s LEFT JOIN d USING (k, day)),
+                 f AS (SELECT k, day, v,
+                         last_value((CASE WHEN v IS NOT NULL
+                             THEN struct_pack(d := day, vv := v) END) IGNORE NULLS)
+                           OVER (PARTITION BY k ORDER BY day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+                         first_value((CASE WHEN v IS NOT NULL
+                             THEN struct_pack(d := day, vv := v) END) IGNORE NULLS)
+                           OVER (PARTITION BY k ORDER BY day
+                                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+                       FROM j)
+            SELECT k AS user_id, day, (v IS NOT NULL) AS observed,
+                   CASE WHEN v IS NOT NULL THEN v
+                        WHEN p IS NULL THEN n.vv
+                        WHEN n IS NULL THEN p.vv
+                        ELSE p.vv + (n.vv - p.vv) *
+                          (CAST(day - p.d AS DOUBLE) / CAST(n.d - p.d AS DOUBLE))
+                   END AS value
+            FROM f ORDER BY user_id, day"""))
+
   val all: Seq[QDef] =
     Seq(q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122,
       q123, q124, q125, q126, q127, q128, q129, q130, q131, q134, q145,
-      q147, q149, q151, q153, q154, q155, q157)
+      q147, q149, q151, q153, q154, q155, q157, q160)
 }

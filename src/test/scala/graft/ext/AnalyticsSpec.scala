@@ -73,6 +73,40 @@ class AnalyticsSpec extends SparkTestBase {
     assert(users.sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
   }
 
+  // ---------- gap-fill interpolation ----------
+
+  test("gapFillInterpolate: hand-checked interior interpolation and edges") {
+    // user 1: days 0 and 3 observed (10, 40) -> days 1,2 interpolated
+    // 20, 30; user 2: single day (no gaps, no spine growth)
+    def dayTs(d: Int): Timestamp =
+      new Timestamp(d.toLong * 86400000L)
+    val df = Seq(
+      (1L, dayTs(0), 1L, 10.0), (1L, dayTs(3), 2L, 40.0),
+      (2L, dayTs(5), 3L, 7.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val got = TimeSeries.gapFillInterpolate(df)
+      .orderBy("user_id", "day")
+      .select("user_id", "day", "observed", "value")
+      .as[(Long, Long, Boolean, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, true, 10.0), (1L, 1L, false, 20.0), (1L, 2L, false, 30.0),
+      (1L, 3L, true, 40.0), (2L, 5L, true, 7.0)))
+  }
+
+  test("gapFillInterpolate: same-day avg rounds, no edge extrapolation") {
+    def dayTs(d: Int): Timestamp = new Timestamp(d.toLong * 86400000L)
+    val df = Seq(
+      // day 0 has two events -> avg 1.5; day 2 observed; day 1 interp 2.25
+      (1L, dayTs(0), 1L, 1.0), (1L, dayTs(0), 2L, 2.0),
+      (1L, dayTs(2), 3L, 3.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val got = TimeSeries.gapFillInterpolate(df)
+      .orderBy("day").select("value").as[Double].collect().toSeq
+    assert(got == Seq(1.5, 2.25, 3.0))
+    // spine never extends past the key's own [min, max] day range
+    assert(TimeSeries.gapFillInterpolate(df).count() == 3)
+  }
+
   // ---------- rolling z-score ----------
 
   test("rollingZScore: constant history then a spike flags only the spike") {
