@@ -118,4 +118,72 @@ object SetJoin {
         col("sz_l").cast("long").as("sz_l"), col("sz_r").cast("long").as("sz_r"),
         col("jaccard"))
   }
+
+  /** DIRECTED set-containment self-join: pairs (l, r), `l ≠ r`, with
+    * `|L ∩ R| / |L| ≥ t` — "basket/document L is mostly inside R". The
+    * asymmetric twin of [[jaccardPairs]] and the general form of
+    * benchmark decontamination ([[TextDedup]]'s 13-gram check is the
+    * `t`-of-fixed-shingles special case): R may be arbitrarily larger
+    * than L, so Jaccard would miss every true sub-document.
+    *
+    * Prefix filtering under containment (Chaudhuri et al. 2006 §4): a
+    * pair can only qualify if R holds one of L's rare-first prefix
+    * tokens of length `|L| − ⌈t·|L|⌉ + 1` — but since containment is
+    * one-sided, the R side must index ALL its tokens (the overlap can
+    * sit anywhere in R's order). Candidates therefore join L's PREFIX
+    * index (rare tokens only — the hot tokens never enter the probe
+    * side) against the full index, under two lossless bounds:
+    * `|R| ≥ ⌈t·|L|⌉` (R must hold at least the required overlap) and
+    * the positional cap `min(|L|−r_l, |R|−r_r) + 1 ≥ ⌈t·|L|⌉` (the
+    * FIRST shared token in the global rare-first order sits in L's
+    * prefix, and every further shared token ranks above both its
+    * positions — same argument as [[candidates]], with the integer
+    * ceiling on both sides so no double rounding is involved).
+    * Verification is exact: `size(array_intersect)` per surviving pair,
+    * one correctly-rounded double division — bit-stable, no rounding.
+    *
+    * Scale shape: identical to [[jaccardPairs]] — one id-partitioned
+    * dedup + size/array aggregate reusing the same exchange, candidate
+    * volume Σ_token df_prefix(token)·df(token), keyed joins only. */
+  def containmentPairs(df: DataFrame, idCol: String, itemCol: String,
+      minContainment: Double): DataFrame = {
+    require(minContainment > 0.0 && minContainment <= 1.0,
+      "minContainment must be in (0, 1]")
+    val items = df.select(col(idCol).as("id"), col(itemCol).as("item"))
+      .repartition(col("id"))
+      .dropDuplicates("id", "item")
+    val sets = items.groupBy("id")
+      .agg(collect_list(col("item")).as("arr"), count(lit(1)).as("sz"))
+    val freq = items.groupBy("item").agg(count(lit(1)).as("f"))
+    val ranked = items
+      .join(freq, "item")
+      .join(sets.select("id", "sz"), "id")
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("id").orderBy(col("f"), col("item"))))
+      .select(col("id"), col("item"), col("sz"), col("__r"))
+    val need = ceil(lit(minContainment) * col("l.sz")).cast("long")
+    val posUb = least(col("l.sz") - col("l.__r"), col("r.sz") - col("r.__r")) +
+      lit(1L)
+    val prefix = ranked.where(col("__r") <=
+      col("sz") - ceil(lit(minContainment) * col("sz")).cast("long") + 1)
+    val cand = prefix.as("l").join(ranked.as("r"),
+        col("l.item") === col("r.item") && col("l.id") =!= col("r.id") &&
+          col("r.sz") >= need && posUb >= need)
+      .select(col("l.id").as("id_l"), col("r.id").as("id_r"))
+    cand
+      .join(sets.select(col("id").as("id_l"), col("arr").as("__al"),
+        col("sz").as("sz_l")), "id_l")
+      .join(sets.select(col("id").as("id_r"), col("arr").as("__ar"),
+        col("sz").as("sz_r")), "id_r")
+      .withColumn("common", size(array_intersect(col("__al"), col("__ar")))
+        .cast("long"))
+      .withColumn("containment",
+        col("common").cast("double") / col("sz_l").cast("double"))
+      .where(col("containment") >= minContainment)
+      // pair dedup deferred past verification, as in jaccardPairs
+      .dropDuplicates("id_l", "id_r")
+      .select(col("id_l"), col("id_r"), col("common"),
+        col("sz_l").cast("long").as("sz_l"),
+        col("sz_r").cast("long").as("sz_r"), col("containment"))
+  }
 }

@@ -280,6 +280,61 @@ object TimeSeries {
     * (key, day); two ROWS-frame windows (previous / next observed as
     * structs, ignoreNulls) sharing a single (key, day) sort+exchange.
     * No global window, no self-join, per-key window state O(1). */
+  /** Kaplan–Meier survival estimate of user lifetime (Kaplan & Meier
+    * 1958): per user, lifetime = days between first and last event;
+    * a user whose last event is more than `churnGapDays` before the
+    * global study horizon (max observed day) has churned (event
+    * observed, d=1), otherwise the lifetime is right-CENSORED — still
+    * active at cutoff, so the duration is a lower bound. The estimator
+    * is the product over ordered durations t_i of (1 − d_i/n_i) with
+    * n_i = users still at risk (duration ≥ t_i); censored users leave
+    * the risk set without contributing a death — the standard
+    * correction naive "avg churn time" gets wrong.
+    *
+    * Determinism contract: risk/death/censor counts are exact integers;
+    * each factor 1 − d/n is one correctly-rounded double division; the
+    * cumulative product runs as exp(Σ ln) in ascending-duration order —
+    * the same sequential order in both engines — and is rounded to 6
+    * decimals to absorb ln/exp ulp noise. A factor of exactly 0 (all
+    * remaining at-risk users die at once) short-circuits to 0 rather
+    * than passing through ln(0).
+    *
+    * Shape: one keyed per-user aggregate (the only data-sized shuffle),
+    * a single-row horizon/total broadcast (the q71 pattern), then a
+    * per-duration aggregate whose row count is bounded by the CALENDAR
+    * SPAN in days — the two cumulative windows over it are
+    * calendar-bounded, not data-bounded, so the unpartitioned window is
+    * 100 TB-safe the same way q153's day-keyed frame is. */
+  def kaplanMeier(events: DataFrame, churnGapDays: Int = 14,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    val perUser = events
+      .select(col(userCol).as("u"),
+        expr(s"unix_millis($tsCol) div 86400000").as("day"))
+      .groupBy("u").agg(min("day").as("d0"), max("day").as("d1"))
+    val horizon = perUser.agg(max(col("d1")).as("__h"),
+      count(lit(1)).as("__n"))
+    val spans = perUser.crossJoin(broadcast(horizon))
+      .select((col("d1") - col("d0")).as("duration"),
+        (col("d1") <= col("__h") - churnGapDays).cast("long").as("__evt"),
+        col("__n"))
+    val byDur = spans.groupBy("duration", "__n")
+      .agg(sum("__evt").as("n_event"),
+        (count(lit(1)) - sum("__evt")).as("n_censor"))
+    val w = Window.orderBy("duration")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val t = lit(1.0) -
+      col("n_event").cast("double") / col("n_risk").cast("double")
+    byDur
+      .withColumn("n_risk",
+        col("__n") - sum(col("n_event") + col("n_censor")).over(w) +
+          col("n_event") + col("n_censor"))
+      .withColumn("__lnsum", sum(when(t > 0.0, log(t))).over(w))
+      .withColumn("__zeros", sum((t === 0.0).cast("long")).over(w))
+      .select(col("duration"), col("n_risk"), col("n_event"), col("n_censor"),
+        round(when(col("__zeros") > 0, 0.0).otherwise(exp(col("__lnsum"))), 6)
+          .as("survival"))
+  }
+
   def gapFillInterpolate(events: DataFrame, keyCol: String = "user_id",
       tsCol: String = "ts", valCol: String = "value"): DataFrame = {
     val daily = events

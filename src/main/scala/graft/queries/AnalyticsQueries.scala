@@ -939,8 +939,54 @@ object AnalyticsQueries {
                    END AS value
             FROM f ORDER BY user_id, day"""))
 
+  /** q161: Kaplan–Meier survival curve of user lifetime
+    * ([[TimeSeries.kaplanMeier]]) — lifetime = first→last event day,
+    * churned if silent > 14 days before the study horizon, otherwise
+    * right-censored. Exact integer risk/death/censor counts are the
+    * backbone; the survival product runs as exp(Σ ln(1 − d/n)) in
+    * ascending-duration order in both engines, rounded to 6 decimals,
+    * with an exact-zero factor short-circuited past ln(0). */
+  private val q161 = QDef(
+    "q161_kaplan_meier",
+    (s, dir) => TimeSeries
+      .kaplanMeier(Tables.load(s, dir, "events"), churnGapDays = 14)
+      .orderBy("duration"),
+    Some("""WITH pu AS (SELECT user_id,
+                               min(epoch_ms(ts) // 86400000) AS d0,
+                               max(epoch_ms(ts) // 86400000) AS d1
+                        FROM events GROUP BY 1),
+                 sp AS (SELECT d1 - d0 AS duration,
+                               CASE WHEN d1 <= (SELECT max(d1) FROM pu) - 14
+                                    THEN 1 ELSE 0 END AS evt
+                        FROM pu),
+                 bd AS (SELECT duration,
+                               CAST(sum(evt) AS BIGINT) AS n_event,
+                               CAST(count(*) - sum(evt) AS BIGINT) AS n_censor
+                        FROM sp GROUP BY duration),
+                 km AS (SELECT duration, n_event, n_censor,
+                               (SELECT CAST(count(*) AS BIGINT) FROM sp)
+                                 - sum(n_event + n_censor) OVER w
+                                 + n_event + n_censor AS n_risk
+                        FROM bd
+                        WINDOW w AS (ORDER BY duration
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW))
+            SELECT duration, CAST(n_risk AS BIGINT) AS n_risk,
+                   n_event, n_censor,
+                   round(CASE WHEN sum(CASE WHEN n_event = n_risk
+                                            THEN 1 ELSE 0 END) OVER w2 > 0
+                              THEN 0.0
+                              ELSE exp(sum(CASE WHEN n_event < n_risk THEN
+                                  ln(1.0 - n_event / CAST(n_risk AS DOUBLE))
+                                END) OVER w2)
+                         END, 6) AS survival
+            FROM km
+            WINDOW w2 AS (ORDER BY duration
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ORDER BY duration"""))
+
   val all: Seq[QDef] =
     Seq(q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122,
       q123, q124, q125, q126, q127, q128, q129, q130, q131, q134, q145,
-      q147, q149, q151, q153, q154, q155, q157, q160)
+      q147, q149, q151, q153, q154, q155, q157, q160, q161)
 }

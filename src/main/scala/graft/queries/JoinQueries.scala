@@ -276,5 +276,37 @@ object JoinQueries {
             WHERE CAST(i.common AS DOUBLE) / (sl.sz + sr.sz - i.common) >= 0.5
             ORDER BY id_l, id_r"""))
 
-  def all: Seq[QDef] = Seq(q63, q64, q65, q83, q84, q110, q111, q141)
+  /** q162: DIRECTED set-containment self-join over order baskets
+    * ([[SetJoin.containmentPairs]]) — pairs where basket L is ≥ half
+    * inside basket R, the asymmetric near-duplicate relation Jaccard
+    * misses when R is much larger. As with q141, the oracle recomputes
+    * the join from the FULL inverted index, so the run is a
+    * losslessness proof of the one-sided prefix + size + positional
+    * bounds. t = 0.5 keeps every threshold comparison exactly
+    * representable (0.5·n and c/n vs 0.5 decide identically in ints
+    * and doubles) — single-division containment, bit-stable unrounded. */
+  private val q162 = QDef(
+    "q162_basket_containment",
+    (s, dir) => SetJoin
+      .containmentPairs(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minContainment = 0.5)
+      .orderBy("id_l", "id_r"),
+    Some("""WITH it AS (SELECT DISTINCT l_orderkey AS id, l_partkey AS item
+                        FROM lineitem),
+                 sz AS (SELECT id, CAST(count(*) AS BIGINT) AS sz
+                        FROM it GROUP BY id),
+                 inter AS (SELECT a.id AS id_l, b.id AS id_r,
+                                  CAST(count(*) AS BIGINT) AS common
+                           FROM it a JOIN it b
+                             ON a.item = b.item AND a.id <> b.id
+                           GROUP BY 1, 2)
+            SELECT i.id_l, i.id_r, i.common, sl.sz AS sz_l, sr.sz AS sz_r,
+                   CAST(i.common AS DOUBLE) / sl.sz AS containment
+            FROM inter i
+            JOIN sz sl ON sl.id = i.id_l
+            JOIN sz sr ON sr.id = i.id_r
+            WHERE CAST(i.common AS DOUBLE) / sl.sz >= 0.5
+            ORDER BY id_l, id_r"""))
+
+  def all: Seq[QDef] = Seq(q63, q64, q65, q83, q84, q110, q111, q141, q162)
 }

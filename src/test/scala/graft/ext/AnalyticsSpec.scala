@@ -107,6 +107,39 @@ class AnalyticsSpec extends SparkTestBase {
     assert(TimeSeries.gapFillInterpolate(df).count() == 3)
   }
 
+  // ---------- Kaplan–Meier survival ----------
+
+  test("kaplanMeier: hand-checked risk sets, censoring, and survival") {
+    def dayTs(d: Int): Timestamp = new Timestamp(d.toLong * 86400000L)
+    // horizon = day 10, gap 3 => churned iff last day <= 7.
+    // A: span 0 (churn), B: span 5 (churn), C/D: span 10 (censored).
+    val df = Seq(
+      (1L, dayTs(0), 1L, 0.0),
+      (2L, dayTs(0), 2L, 0.0), (2L, dayTs(5), 3L, 0.0),
+      (3L, dayTs(0), 4L, 0.0), (3L, dayTs(10), 5L, 0.0),
+      (4L, dayTs(0), 6L, 0.0), (4L, dayTs(10), 7L, 0.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val got = TimeSeries.kaplanMeier(df, churnGapDays = 3)
+      .orderBy("duration")
+      .select("duration", "n_risk", "n_event", "n_censor", "survival")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // S(0) = 3/4, S(5) = 3/4 * 2/3 = 1/2, S(10) unchanged (censor only)
+    assert(got == Seq(
+      (0L, 4L, 1L, 0L, 0.75), (5L, 3L, 1L, 0L, 0.5), (10L, 2L, 0L, 2L, 0.5)))
+  }
+
+  test("kaplanMeier: terminal all-death factor short-circuits to 0") {
+    def dayTs(d: Int): Timestamp = new Timestamp(d.toLong * 86400000L)
+    // gap 0 => everyone churned; last duration kills the whole risk set
+    val df = Seq(
+      (1L, dayTs(0), 1L, 0.0),
+      (2L, dayTs(0), 2L, 0.0), (2L, dayTs(2), 3L, 0.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val got = TimeSeries.kaplanMeier(df, churnGapDays = 0)
+      .orderBy("duration").select("survival").as[Double].collect().toSeq
+    assert(got == Seq(0.5, 0.0))
+  }
+
   // ---------- rolling z-score ----------
 
   test("rollingZScore: constant history then a spike flags only the spike") {

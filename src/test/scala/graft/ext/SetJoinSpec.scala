@@ -71,6 +71,44 @@ class SetJoinSpec extends SparkTestBase {
     assert(got == exp, s"missing ${exp -- got}, extra ${got -- exp}")
   }
 
+  test("containmentPairs: hand-checked directed semantics") {
+    val rows = Seq(
+      (1L, 10L), (1L, 20L),                       // {10,20}
+      (2L, 10L), (2L, 20L), (2L, 30L), (2L, 40L), // {10,20,30,40}
+      (3L, 30L),                                  // {30}
+      (4L, 99L)                                   // disjoint
+    ).toDF("id", "item")
+    val got = SetJoin.containmentPairs(rows, "id", "item", 0.5)
+      .orderBy("id_l", "id_r")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    // 1→2: 2/2 = 1.0; 2→1: 2/4 = 0.5; 3→2: 1/1 = 1.0; 2→3: 1/4 < 0.5
+    assert(got == Seq(
+      (1L, 2L, 2L, 2L, 4L, 1.0),
+      (2L, 1L, 2L, 4L, 2L, 0.5),
+      (3L, 2L, 1L, 1L, 4L, 1.0)))
+  }
+
+  test("containmentPairs: one-sided prefix + bounds are lossless vs brute force") {
+    val rnd = new scala.util.Random(83)
+    // skewed sizes so small-in-large containment actually occurs
+    val rows = (1 to 80).flatMap { id =>
+      val sz = if (id % 5 == 0) 12 + id % 7 else 2 + rnd.nextInt(3)
+      Seq.fill(sz)(rnd.nextInt(30).toLong).distinct.map(item => (id.toLong, item))
+    }.toDF("id", "item").distinct()
+    for (t <- Seq(0.5, 0.75, 1.0)) {
+      val got = SetJoin.containmentPairs(rows, "id", "item", t)
+        .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+      val sets = rows.as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      val exp = (for {
+        a <- sets.keys; b <- sets.keys if a != b
+        c = sets(a).intersect(sets(b)).size.toDouble / sets(a).size
+        if c >= t
+      } yield (a, b)).toSet
+      assert(got == exp, s"t=$t: missing ${exp -- got}, extra ${got -- exp}")
+    }
+  }
+
   test("jaccardPairs: deterministic and partitioning-invariant") {
     val rnd = new scala.util.Random(73)
     val rows = (1 to 80).flatMap { id =>

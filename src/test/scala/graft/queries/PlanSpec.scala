@@ -49,9 +49,15 @@ class PlanSpec extends SparkTestBase {
       "q147_chi2_independence",
       // the q105 IVF-PQ probing crosses + broadcast(query vectors) re-rank
       "q148_ivfpq_rerank",
+      // broadcast(k centroids) assignment cross over one corpus scan —
+      // the q40 pattern (Lloyd update step)
+      "q159_kmeans_profile",
       // broadcast non-equi (type_l < type_r) pairing of the k-row
       // per-audience sketch table with itself — k(k−1)/2 rows total
-      "q157_audience_overlap_hll")
+      "q157_audience_overlap_hll",
+      // broadcast cross of the single-row horizon/total aggregate onto
+      // the per-user spans — the q71 pattern
+      "q161_kaplan_meier")
 
   private lazy val plans: Map[String, String] =
     graft.SparkEntry.queries.map { case (name, fn) =>
