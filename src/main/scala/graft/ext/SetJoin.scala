@@ -64,8 +64,23 @@ object SetJoin {
       if (lengthFilter)
         ub.cast("double") / (col("a.sz") + col("b.sz") - ub) >= lit(minJaccard)
       else lit(true)
-    val raw = prefix.as("a").join(prefix.as("b"),
-        col("a.item") === col("b.item") && col("a.id") < col("b.id") && posOk)
+    // pair generation from ONE computed copy of the prefix index: group
+    // the postings per token and double-explode within the list, instead
+    // of equi-joining the index with itself. A DataFrame self-join plans
+    // the whole upstream (scan → dedup → freq → size → window) TWICE —
+    // exchange reuse does not survive AQE's broadcast rewrites here — so
+    // the grouped form halves the candidate stage's input work at
+    // identical candidate volume (one (a,b) row per shared prefix token,
+    // exactly the join's multiplicity). The per-token array holds only
+    // PREFIX entries — rare-first tokens, so df(token-in-prefix) is small
+    // by construction and the row stays bounded at any corpus size (hot
+    // tokens never enter any prefix; same bound as the join's Σ df²). */
+    val raw = prefix
+      .groupBy("item")
+      .agg(collect_list(struct(col("id"), col("sz"), col("__r"))).as("__ps"))
+      .select(explode(col("__ps")).as("a"), col("__ps"))
+      .select(col("a"), explode(col("__ps")).as("b"))
+      .where(col("a.id") < col("b.id") && posOk)
       .select(col("a.id").as("id_l"), col("b.id").as("id_r"))
     // dedup = false defers pair dedup to AFTER verification: a pair occurs
     // once per shared prefix token (small constant), so verifying the few
@@ -130,21 +145,27 @@ object SetJoin {
     * pair can only qualify if R holds one of L's rare-first prefix
     * tokens of length `|L| − ⌈t·|L|⌉ + 1` — but since containment is
     * one-sided, the R side must index ALL its tokens (the overlap can
-    * sit anywhere in R's order). Candidates therefore join L's PREFIX
-    * index (rare tokens only — the hot tokens never enter the probe
-    * side) against the full index, under two lossless bounds:
-    * `|R| ≥ ⌈t·|L|⌉` (R must hold at least the required overlap) and
-    * the positional cap `min(|L|−r_l, |R|−r_r) + 1 ≥ ⌈t·|L|⌉` (the
-    * FIRST shared token in the global rare-first order sits in L's
-    * prefix, and every further shared token ranks above both its
-    * positions — same argument as [[candidates]], with the integer
-    * ceiling on both sides so no double rounding is involved).
-    * Verification is exact: `size(array_intersect)` per surviving pair,
-    * one correctly-rounded double division — bit-stable, no rounding.
+    * sit anywhere in R's order). Candidates join L's PREFIX index (rare
+    * tokens only — hot tokens never enter the probe side) against the
+    * full index under the lossless size bound `|R| ≥ ⌈t·|L|⌉` (R must
+    * hold at least the required overlap; with t = 0.5 the ceiling of
+    * 0.5·n is exact in doubles, so no rounding subtlety). Verification
+    * is exact: `size(array_intersect)` per surviving pair, one
+    * correctly-rounded double division — bit-stable, no rounding.
     *
-    * Scale shape: identical to [[jaccardPairs]] — one id-partitioned
-    * dedup + size/array aggregate reusing the same exchange, candidate
-    * volume Σ_token df_prefix(token)·df(token), keyed joins only. */
+    * Shape (measured, sf0.1): the R-side index is the per-set array
+    * RE-EXPLODED from the `sets` aggregate with `(arr, sz)` carried
+    * inline — no frequency join, no rank window, and no second
+    * verification join for the R side; only L's array joins in
+    * afterwards. vs the symmetric two-ranked-sides + two-array-joins
+    * formulation this halves the candidate-stage upstream and one of
+    * the two verification shuffles (7.5→3.9 s at sf0.1). The carried
+    * array is one record's own items — bounded per row by construction,
+    * the same 100 TB argument as [[jaccardPairs]]'s verification
+    * arrays. Candidate volume Σ_token df_prefix(token)·df(token);
+    * every join keyed. The R-side positional cap is deliberately
+    * dropped: it needs the rank window on the full index, which costs
+    * more than the candidates it removes (measured). */
   def containmentPairs(df: DataFrame, idCol: String, itemCol: String,
       minContainment: Double): DataFrame = {
     require(minContainment > 0.0 && minContainment <= 1.0,
@@ -162,19 +183,18 @@ object SetJoin {
         Window.partitionBy("id").orderBy(col("f"), col("item"))))
       .select(col("id"), col("item"), col("sz"), col("__r"))
     val need = ceil(lit(minContainment) * col("l.sz")).cast("long")
-    val posUb = least(col("l.sz") - col("l.__r"), col("r.sz") - col("r.__r")) +
-      lit(1L)
     val prefix = ranked.where(col("__r") <=
       col("sz") - ceil(lit(minContainment) * col("sz")).cast("long") + 1)
-    val cand = prefix.as("l").join(ranked.as("r"),
-        col("l.item") === col("r.item") && col("l.id") =!= col("r.id") &&
-          col("r.sz") >= need && posUb >= need)
-      .select(col("l.id").as("id_l"), col("r.id").as("id_r"))
+    val rside = sets.select(col("id").as("id_r"), col("arr").as("__ar"),
+      col("sz").as("sz_r"), explode(col("arr")).as("item"))
+    val cand = prefix.as("l").join(rside.as("r"),
+        col("l.item") === col("r.item") && col("l.id") =!= col("r.id_r") &&
+          col("r.sz_r") >= need)
+      .select(col("l.id").as("id_l"), col("r.id_r").as("id_r"),
+        col("r.__ar").as("__ar"), col("r.sz_r").as("sz_r"))
     cand
       .join(sets.select(col("id").as("id_l"), col("arr").as("__al"),
         col("sz").as("sz_l")), "id_l")
-      .join(sets.select(col("id").as("id_r"), col("arr").as("__ar"),
-        col("sz").as("sz_r")), "id_r")
       .withColumn("common", size(array_intersect(col("__al"), col("__ar")))
         .cast("long"))
       .withColumn("containment",
