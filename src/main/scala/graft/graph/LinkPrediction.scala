@@ -43,15 +43,22 @@ object LinkPrediction {
       .where(col("a") =!= col("b")).distinct()
     val adj = und.select(col("a").as("u"), col("b").as("v"))
       .unionAll(und.select(col("b").as("u"), col("a").as("v")))
-    val deg = adj.groupBy("u").agg(count(lit(1)).as("d"))
-    val centers = deg.where(col("d") <= hubCap)
-    // wedges through each small-degree center z: (x, y) with x < y
-    val cand = adj.as("a1")
-      .join(adj.as("a2"),
-        col("a1.u") === col("a2.u") && col("a1.v") < col("a2.v"))
-      .join(centers.as("sd"), col("sd.u") === col("a1.u"))
-      .select(col("a1.v").as("x"), col("a2.v").as("y"),
-        (lit(1000000000L) / col("sd.d")).cast("long").as("w"))
+    // wedges through each small-degree center z: one grouped aggregate
+    // (degree and neighbor list in the same pass — no separate deg join)
+    // followed by a bounded double-explode of the neighbor array. A
+    // DataFrame self-join on the center would plan the scan → normalize
+    // → union upstream TWICE plus a third time for the degree filter;
+    // grouping computes it once, and the per-center array is bounded by
+    // `hubCap` AFTER the filter — ≤ hubCap² pair rows per center, the
+    // same wedge volume the join produced, with O(hubCap) row width.
+    val cand = adj.groupBy("u")
+      .agg(collect_list(col("v")).as("__ns"), count(lit(1)).as("d"))
+      .where(col("d") <= hubCap)
+      .select(col("d"), explode(col("__ns")).as("x"), col("__ns"))
+      .select(col("d"), col("x"), explode(col("__ns")).as("y"))
+      .where(col("x") < col("y"))
+      .select(col("x"), col("y"),
+        (lit(1000000000L) / col("d")).cast("long").as("w"))
     val scored = cand.groupBy("x", "y")
       .agg(count(lit(1)).as("cn"), sum(col("w")).as("ra_q"))
       .where(col("cn") >= minCommon)
