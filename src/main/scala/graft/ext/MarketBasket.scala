@@ -30,10 +30,17 @@ object MarketBasket {
       .select(col(basketCol).as("ok"), col(itemCol).as("pk")).distinct()
     val n = items.agg(countDistinct(col("ok")).as("n"))
     val pc = items.groupBy(col("pk")).agg(count(lit(1)).as("c"))
-    val pairs = items.as("i1")
-      .join(items.as("i2"),
-        col("i1.ok") === col("i2.ok") && col("i1.pk") < col("i2.pk"))
-      .groupBy(col("i1.pk").as("p1"), col("i2.pk").as("p2"))
+    // pair generation from ONE grouped copy of each basket (per-basket
+    // item array, bounded by the natural basket size) instead of a
+    // self-join on the basket key — the join plans the scan+distinct
+    // upstream twice, the grouped double-explode once, at identical
+    // pair volume (|basket|²/2 rows per basket either way)
+    val pairs = items.groupBy("ok")
+      .agg(collect_list(col("pk")).as("__ps"))
+      .select(explode(col("__ps")).as("p1"), col("__ps"))
+      .select(col("p1"), explode(col("__ps")).as("p2"))
+      .where(col("p1") < col("p2"))
+      .groupBy("p1", "p2")
       .agg(count(lit(1)).as("cab"))
       .where(col("cab") >= minSupport)
     pairs
