@@ -10,12 +10,13 @@ import org.apache.spark.sql.functions._
   * notebook surfaces shared-counterparty structure as a graph, this is the
   * same signal as a ranked item-pair statistic).
   *
-  * Scale shape: the pair generation self-joins the DISTINCT (basket, item)
-  * relation on the basket key — fan-out per basket is |basket|²/2, which is
-  * bounded by the natural basket size (an order has ≤ O(10) lines), NOT by
-  * the corpus, so the join is a plain keyed shuffle with no wedge
-  * explosion. (For unbounded baskets, cap per-basket items first — same
-  * guard as [[graft.graph.LinkPrediction]]'s hubCap.) Counts are exact
+  * Scale shape: pair generation groups each basket's DISTINCT items into
+  * one bounded array and double-explodes the pairs — fan-out per basket is
+  * |basket|²/2, bounded by the natural basket size (an order has ≤ O(10)
+  * lines), NOT by the corpus, so the whole step is one keyed aggregate
+  * with no wedge explosion and no self-join upstream recompute. (For
+  * unbounded baskets, cap per-basket items first — same guard as
+  * [[graft.graph.LinkPrediction]]'s hubCap.) Counts are exact
   * BIGINTs; lift = (N · c_ab) / (c_a · c_b) is a ratio of exact integers
   * evaluated identically on every engine.
   */

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.QDef
 import graft.engine.Tables
-import graft.ext.{ClusterKeep, Eval, Multimodal, Pca, Similarity, TextAnalysis, TextDedup}
+import graft.ext.{ClusterKeep, Eval, Multimodal, Pca, Retrieval, Similarity, TextAnalysis, TextDedup}
 import graft.streaming.Streams
 
 /** LLM-data-pipeline extension coverage (north-star operators beyond the
@@ -1167,6 +1167,88 @@ object ExtQueries {
                    CAST(rank AS BIGINT) AS rank
             FROM r WHERE rank <= 10 ORDER BY query_id, rank"""))
 
+  /** q163: hybrid retrieval via reciprocal-rank fusion
+    * ([[graft.ext.Retrieval.rrfFuse]]) — the q92 BM25 lexical ranking and
+    * a q28-style dense cosine ranking (query embeddings = vec_id 1–3,
+    * matching the BM25 query ids) fused as `Σ 1/(60+rank)` and re-ranked.
+    * The fused score is a fixed-order scalar over exact ranks — bit-stable
+    * unrounded; upstream ranks reuse the already-oracled q92/q28
+    * formulations verbatim (bm25 rounded to 4dp pre-rank, cosine exact
+    * sequential dot product). */
+  private val q163 = QDef(
+    "q163_rrf_hybrid",
+    (s, dir) => {
+      val queryTerms = s.sql(
+        """SELECT CAST(query_id AS BIGINT) AS query_id, term
+           FROM VALUES (1, 'hash'), (1, 'join'),
+                       (2, 'vector'), (2, 'scan'), (2, 'filter'),
+                       (3, 'customer'), (3, 'order') AS t(query_id, term)""")
+      val lex = TextAnalysis.bm25TopK(Tables.load(s, dir, "documents"),
+          "doc_id", "text", queryTerms, k = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val e = embeddings(s, dir)
+      val den = Similarity.bruteForceTopK(e,
+          e.filter(col("vec_id").isin(1L, 2L, 3L)), "vec_id", "embedding",
+          k = 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq("lex" -> lex, "dense" -> den), k0 = 60,
+          topK = 10)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH q(query_id, term) AS (VALUES
+              (1, 'hash'), (1, 'join'),
+              (2, 'vector'), (2, 'scan'), (2, 'filter'),
+              (3, 'customer'), (3, 'order')),
+            tok AS (SELECT doc_id,
+                           unnest(string_split_regex(lower(text), '\\s+')) AS w
+                    FROM documents),
+            tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+            stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+            dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+            parts AS (
+              SELECT q.query_id, tf.doc_id,
+                     ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+                       * (tf * (1.2 + 1.0))
+                       / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl /
+                            (CAST(sum_dl AS DOUBLE) / n_docs))) AS part
+              FROM tf
+              JOIN q ON q.term = tf.w
+              JOIN dfreq USING (w)
+              JOIN dl USING (doc_id)
+              CROSS JOIN stats),
+            lexsc AS (SELECT query_id, doc_id, round(sum(part), 4) AS bm25
+                      FROM parts GROUP BY 1, 2),
+            lex AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+                           row_number() OVER (PARTITION BY query_id
+                             ORDER BY bm25 DESC, doc_id) AS rank
+                    FROM lexsc QUALIFY rank <= 20),
+            qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+                   FROM embeddings WHERE vec_id IN (1, 2, 3)),
+            cv AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS ne
+                   FROM embeddings),
+            den AS (SELECT query_id, doc_id,
+                           row_number() OVER (PARTITION BY query_id
+                             ORDER BY ${cosSql("qe", "ne")} DESC, doc_id) AS rank
+                    FROM qv JOIN cv ON query_id <> doc_id
+                    QUALIFY rank <= 20),
+            u AS (SELECT query_id, doc_id, 'lex' AS rk, rank FROM lex
+                  UNION ALL
+                  SELECT query_id, doc_id, 'dense', rank FROM den),
+            g AS (SELECT query_id, doc_id,
+                         min(CASE WHEN rk = 'lex' THEN rank END) AS rank_lex,
+                         min(CASE WHEN rk = 'dense' THEN rank END) AS rank_dense
+                  FROM u GROUP BY 1, 2),
+            sc AS (SELECT *,
+                          coalesce(1.0 / (60.0 + rank_lex), 0.0) +
+                            coalesce(1.0 / (60.0 + rank_dense), 0.0) AS rrf
+                   FROM g),
+            r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY rrf DESC, doc_id) AS rank FROM sc)
+            SELECT query_id, doc_id, rank_lex, rank_dense, rrf,
+                   CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 10 ORDER BY query_id, rank"""))
+
   /** Per-language approximate distinct-token cardinality (HyperLogLog++,
     * `approx_count_distinct` at rsd 0.05) validated against the exact
     * count — the 100 TB cardinality-estimation primitive (an exact
@@ -1730,5 +1812,5 @@ object ExtQueries {
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q40, q41, q49, q61, q62, q70, q71, q73, q74, q88, q89, q90, q91,
     q92, q93, q94, q95, q96, q97, q98, q100, q101, q102, q103, q104, q105,
-    q133, q142, q148, q159)
+    q133, q142, q148, q159, q163)
 }
