@@ -132,18 +132,20 @@ object ScaleCheck {
       // degree at fixed vertices (and q112's hub cap is the bound under
       // densification), so like motifs they get the modest 2× arm
       else if (q.contains("link_prediction") || q.contains("clustering") ||
-        q.contains("ktruss") || q.contains("jaccard"))
+        q.contains("ktruss") || q.contains("jaccard") ||
+        q.contains("containment"))
         (e2Dir, 2)
       else if (q.contains("tfidf") || q.contains("dedup") ||
         q.contains("minhash") || q.contains("pq") || q.contains("bigram") ||
-        q.contains("scatter"))
+        q.contains("scatter") || q.contains("rrf"))
         (dDir, factor)
       else if (q.contains("funnel") || q.contains("anomaly") ||
         q.contains("ewma") || q.contains("transition") ||
         q.contains("scd2") || q.contains("quantile") ||
         q.contains("top_paths") || q.contains("chi2") ||
         q.contains("mad") || q.contains("trimmed") ||
-        q.contains("sliding") || q.contains("percent_rank"))
+        q.contains("sliding") || q.contains("percent_rank") ||
+        q.contains("gapfill") || q.contains("kaplan"))
         (tDir, factor) // behavioral axis: factor× users
       else (eDir, factor)
 

@@ -177,6 +177,45 @@ object Stats {
         round((o - e) * (o - e) / e, 6).as("chi2"))
   }
 
+  /** Two-proportion z-test per group — the A/B-experiment significance
+    * readout (is variant B's conversion rate different from A's?).
+    * Input: ONE ROW PER UNIT (user) with a 'A'/'B' variant column and a
+    * boolean converted column. Output per group: exact unit/conversion
+    * counts for both variants, the two rates, and the pooled-variance
+    * z-statistic `(p_a − p_b) / √(p̂(1−p̂)(1/n_a + 1/n_b))` with
+    * `p̂ = (x_a+x_b)/(n_a+n_b)` (the classical large-sample test).
+    * Degenerate groups (pooled rate 0 or 1, or an empty variant arm)
+    * emit NULL z rather than NaN/∞.
+    *
+    * Shape: one keyed aggregate over the unit table — four conditional
+    * counters per group, no joins, no window. Determinism: counts are
+    * exact longs; rates and z are fixed-shape per-row double expressions
+    * (each op correctly rounded, same tree both engines), rounded to 6
+    * decimals per the q146/q147 convention. */
+  def twoProportionZ(units: DataFrame, groupCols: Seq[String],
+      variantCol: String, convertedCol: String): DataFrame = {
+    val isA = col(variantCol) === "A"
+    val conv = col(convertedCol).cast("boolean")
+    val g = units.groupBy(groupCols.map(col): _*).agg(
+      sum(when(isA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(isA && conv, 1L).otherwise(0L)).as("x_a"),
+      sum(when(!isA, 1L).otherwise(0L)).as("n_b"),
+      sum(when(!isA && conv, 1L).otherwise(0L)).as("x_b"))
+    val na = col("n_a").cast("double"); val xa = col("x_a").cast("double")
+    val nb = col("n_b").cast("double"); val xb = col("x_b").cast("double")
+    val pooled = (xa + xb) / (na + nb)
+    val se = sqrt(pooled * (lit(1.0) - pooled) *
+      (lit(1.0) / na + lit(1.0) / nb))
+    g.select(groupCols.map(col) ++ Seq(
+      col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+      when(col("n_a") > 0, round(xa / na, 6)).as("p_a"),
+      when(col("n_b") > 0, round(xb / nb, 6)).as("p_b"),
+      when(col("n_a") > 0 && col("n_b") > 0 &&
+          col("x_a") + col("x_b") > 0 &&
+          col("x_a") + col("x_b") < col("n_a") + col("n_b"),
+        round((xa / na - xb / nb) / se, 6)).as("z")): _*)
+  }
+
   /** Referential-integrity audit over declared foreign keys — the
     * data-quality gate a warehouse runs after every load. Per FK
     * `(name, child, childKey, parent, parentKey)`: the child row count,

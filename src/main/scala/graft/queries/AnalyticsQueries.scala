@@ -985,8 +985,67 @@ object AnalyticsQueries {
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             ORDER BY duration"""))
 
+  /** q164: A/B two-proportion z-test per exposure cohort
+    * ([[graft.engine.Stats.twoProportionZ]]) — units are the distinct
+    * users exposed to each event type, variant = user_id parity (the
+    * deterministic hash-split convention of q51), conversion = the user
+    * has ≥ 1 purchase event. Exact long counters in one keyed aggregate;
+    * rates and pooled-variance z as fixed-shape rounded doubles;
+    * degenerate arms (the purchase cohort itself, where both rates are
+    * 1) yield NULL z by the guard rather than NaN. */
+  private val q164 = QDef(
+    "q164_ab_ztest",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val conv = ev.where(col("event_type") === "purchase")
+        .select(col("user_id")).distinct()
+        .withColumn("__conv", lit(true))
+      val units = ev.select(col("event_type"), col("user_id")).distinct()
+        .join(conv, Seq("user_id"), "left_outer")
+        .select(col("event_type"),
+          when(col("user_id") % 2 === 0, lit("A")).otherwise(lit("B"))
+            .as("variant"),
+          coalesce(col("__conv"), lit(false)).as("converted"))
+      graft.engine.Stats
+        .twoProportionZ(units, Seq("event_type"), "variant", "converted")
+        .orderBy("event_type")
+    },
+    Some("""WITH conv AS (SELECT DISTINCT user_id FROM events
+                          WHERE event_type = 'purchase'),
+                 units AS (SELECT DISTINCT e.event_type, e.user_id,
+                                  (e.user_id % 2 = 0) AS is_a,
+                                  (c.user_id IS NOT NULL) AS converted
+                           FROM events e LEFT JOIN conv c USING (user_id)),
+                 g AS (SELECT event_type,
+                              CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END)
+                                   AS BIGINT) AS n_a,
+                              CAST(sum(CASE WHEN is_a AND converted
+                                            THEN 1 ELSE 0 END)
+                                   AS BIGINT) AS x_a,
+                              CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END)
+                                   AS BIGINT) AS n_b,
+                              CAST(sum(CASE WHEN NOT is_a AND converted
+                                            THEN 1 ELSE 0 END)
+                                   AS BIGINT) AS x_b
+                       FROM units GROUP BY 1)
+            SELECT event_type, n_a, x_a, n_b, x_b,
+                   CASE WHEN n_a > 0
+                        THEN round(CAST(x_a AS DOUBLE) / n_a, 6) END AS p_a,
+                   CASE WHEN n_b > 0
+                        THEN round(CAST(x_b AS DOUBLE) / n_b, 6) END AS p_b,
+                   CASE WHEN n_a > 0 AND n_b > 0 AND x_a + x_b > 0
+                             AND x_a + x_b < n_a + n_b
+                        THEN round((CAST(x_a AS DOUBLE) / n_a
+                                    - CAST(x_b AS DOUBLE) / n_b)
+                          / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                                 * (1.0 - CAST(x_a + x_b AS DOUBLE)
+                                          / (n_a + n_b))
+                                 * (1.0 / n_a + 1.0 / n_b)), 6)
+                   END AS z
+            FROM g ORDER BY event_type"""))
+
   val all: Seq[QDef] =
     Seq(q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122,
       q123, q124, q125, q126, q127, q128, q129, q130, q131, q134, q145,
-      q147, q149, q151, q153, q154, q155, q157, q160, q161)
+      q147, q149, q151, q153, q154, q155, q157, q160, q161, q164)
 }

@@ -126,6 +126,28 @@ class StatsSpec extends SparkTestBase {
     assert(got.map(_._3) == Seq(30L, 10L, 10L, 30L))
   }
 
+  test("twoProportionZ: hand-computed z, degenerate groups yield null") {
+    // group g1: A 10 units 4 conv, B 10 units 1 conv
+    // pooled = 5/20 = 0.25; se = sqrt(.25*.75*(0.2)) = sqrt(0.0375)
+    // z = (0.4-0.1)/se = 0.3/0.19364916731... = 1.549193
+    val units =
+      (1 to 10).map(i => ("g1", "A", i <= 4)) ++
+      (1 to 10).map(i => ("g1", "B", i <= 1)) ++
+      // g2: everyone converts -> pooled 1 -> z null
+      Seq(("g2", "A", true), ("g2", "B", true)) ++
+      // g3: one arm empty -> z null
+      Seq(("g3", "A", true), ("g3", "A", false))
+    val got = Stats.twoProportionZ(units.toDF("g", "variant", "converted"),
+        Seq("g"), "variant", "converted")
+      .orderBy("g")
+      .as[(String, Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double])].collect().toSeq
+    assert(got(0) == (("g1", 10L, 4L, 10L, 1L, Some(0.4), Some(0.1),
+      Some(1.549193))))
+    assert(got(1) == (("g2", 1L, 1L, 1L, 1L, Some(1.0), Some(1.0), None)))
+    assert(got(2) == (("g3", 2L, 1L, 0L, 0L, Some(0.5), None, None)))
+  }
+
   test("integrityAudit: duplicate parent keys do not double-count matches") {
     val parent = Seq(1L, 1L, 2L).toDF("pk")
     val child = Seq(1L, 2L, 3L).toDF("fk_col")
