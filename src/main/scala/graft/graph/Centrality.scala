@@ -117,6 +117,53 @@ object Centrality {
     pr
   }
 
+  /** Personalized PageRank in the same integer-derandomized form as
+    * [[pageRankInt]]: the restart mass returns to the SEED SET instead of
+    * every vertex —
+    *
+    *   pr'(v) = (15·S·[v ∈ seeds] + 85 · Σ_{u→v} ⌊pr(u) / outdeg(u)⌋) div 100
+    *
+    * with `pr₀(v) = S·[v ∈ seeds]` — the "entities related to THESE
+    * accounts" primitive (random walk with restart from a watchlist;
+    * Jeh & Widom 2003's personalization vector, uniform over seeds).
+    * All-long floor arithmetic → fixed-round results hash-gate against a
+    * verbatim oracle unroll, exactly like [[pageRankInt]].
+    *
+    * Shape per round: identical to [[pageRankInt]] (one outdeg-join rank
+    * projection + one keyed sum); the seed indicator rides the vertex
+    * frame, so personalization adds no join. Mass never leaves the seed
+    * component — non-reachable vertices stay at exactly 0. */
+  def personalizedPageRankInt(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, "rounds must be in [1, 16]")
+    val S = 1000000L
+    val ck = Checkpointer(edges.sparkSession, None)
+    val e = ck.lazily(edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst")).distinct())
+    val verts = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct()
+    val outdeg = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("od"))
+    val vs = ck.lazily(verts
+      .join(seeds.select(col("id")).distinct().withColumn("__seed", lit(1L)),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("__seed"), lit(0L)).as("__seed")))
+    var pr = vs.select(col("id"), (col("__seed") * S).as("pr"))
+    (1 to rounds).foreach { _ =>
+      val contrib = e
+        .join(pr.select(col("id").as("src"), col("pr")), "src")
+        .join(outdeg.select(col("id").as("src"), col("od")), "src")
+        .select(col("dst").as("id"), expr("pr div od").as("ctr"))
+        .groupBy("id").agg(sum(col("ctr")).as("inmass"))
+      pr = ck.lazily(vs
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          expr(s"(15 * __seed * ${S}L + 85 * coalesce(inmass, 0L)) div 100")
+            .as("pr")))
+    }
+    pr
+  }
+
   /** Standard FLOAT PageRank run to a convergence tolerance — the
     * GraphFrames-default surface (`resetProb = 0.15`, tol-gated fixpoint)
     * for users who want the textbook semantics rather than the

@@ -894,6 +894,48 @@ object GraphQueries {
           SELECT id, pr FROM p2 ORDER BY id"""
     })
 
+  /** q165: personalized PageRank from a seed watchlist, two fixed rounds
+    * ([[graft.graph.Centrality.personalizedPageRankInt]]) — restart mass
+    * returns only to seeds (custkey % 97 = 0), same exact-long floor
+    * arithmetic as q137, so the oracle unrolls the rounds verbatim with
+    * the seed indicator riding the vertex frame. */
+  private val q165 = QDef(
+    "q165_personalized_pagerank",
+    (s, dir) => {
+      val g = txnGraph(s, dir)
+      graft.graph.Centrality
+        .personalizedPageRankInt(g.edges,
+          g.vertices.select(col("id")).where(col("id") % 97 === 0),
+          rounds = 2)
+        .orderBy("id")
+    },
+    Some {
+      def round(r: Int): String = {
+        val p = if (r == 1) "p0" else s"p${r - 1}"
+        s"""ct$r AS (SELECT e.dst AS id,
+                       CAST(sum($p.pr // od.od) AS BIGINT) AS inmass
+                     FROM e JOIN $p ON $p.id = e.src
+                            JOIN od ON od.id = e.src
+                     GROUP BY e.dst),
+            p$r AS (SELECT v.id,
+                      CAST((15 * v.seed * 1000000
+                            + 85 * coalesce(ct$r.inmass, 0))
+                           // 100 AS BIGINT) AS pr
+                    FROM verts v LEFT JOIN ct$r ON ct$r.id = v.id)"""
+      }
+      s"""WITH e0 AS ($txnEdgesSql),
+          e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+          verts AS (SELECT id, CASE WHEN id % 97 = 0 THEN 1 ELSE 0 END AS seed
+                    FROM (SELECT DISTINCT id FROM
+                      (SELECT src AS id FROM e
+                       UNION ALL SELECT dst AS id FROM e))),
+          od AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS od
+                 FROM e GROUP BY src),
+          p0 AS (SELECT id, CAST(seed * 1000000 AS BIGINT) AS pr FROM verts),
+          ${round(1)}, ${round(2)}
+          SELECT id, pr FROM p2 ORDER BY id"""
+    })
+
   /** q138: derandomized maximal matching, three rounds
     * ([[graft.graph.Matching.maximalMatching]]) — both-endpoint local-
     * minimum hash edges per round; the oracle replays each round with
@@ -1189,5 +1231,5 @@ object GraphQueries {
   val all: Seq[QDef] =
     Seq(q15, q16, q17, q18, q19, q20, q42, q44, q45, q48, q50, q58, q59, q60,
       q69, q85, q86, q107, q108, q135, q136, q137, q138, q139, q143, q144,
-      q150, q152, q156)
+      q150, q152, q156, q165)
 }

@@ -84,6 +84,34 @@ class CentralitySpec extends SparkTestBase {
       .foreach(r => assert(r.getLong(1) == 150000L))
   }
 
+  test("personalizedPageRankInt: hand-checked round, unreachable stays 0") {
+    // seed = 1 only; 1->2, 2->3, 4->3 (4 unreachable from the seed)
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val got = Centrality.personalizedPageRankInt(edges, seeds, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    // p0: 1 -> 1e6, others 0. contrib: ->2: 1e6; ->3: 0 + 0
+    assert(got(1L) == 150000L) // seed base, no in-mass
+    assert(got(2L) == 85L * 1000000L / 100L)
+    assert(got(3L) == 0L)
+    assert(got(4L) == 0L) // non-seed source: no base, no in-mass
+  }
+
+  test("personalizedPageRankInt: all-seeds == pageRankInt; invariant") {
+    val rnd = new scala.util.Random(61)
+    val edges = Seq.fill(200)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val allIds = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    val a = Centrality.personalizedPageRankInt(edges, allIds, 3)
+      .orderBy("id").collect().toSeq
+    val b = Centrality.pageRankInt(edges, 3).orderBy("id").collect().toSeq
+    assert(a == b && a.nonEmpty)
+    val c = Centrality.personalizedPageRankInt(edges.repartition(5),
+        allIds, 3).orderBy("id").collect().toSeq
+    assert(a == c)
+  }
+
   test("betweennessInt: path graph — the middle vertex carries all flow") {
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
     val got = Centrality.betweennessInt(edges, Seq(1L, 3L), maxLevels = 3)
