@@ -53,6 +53,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MisraGriesAgg].getName, "approx_top_k"),
       (children: Seq[Expr]) => MisraGriesAgg.fromFunctionCall(children)))
     ext.injectFunction((
+      new FunctionIdentifier("cms_sketch"),
+      new ExpressionInfo(classOf[graft.functions.CmsAgg].getName, "cms_sketch"),
+      (children: Seq[Expr]) => graft.functions.CmsAgg.fromFunctionCall(children)))
+    ext.injectFunction((
+      new FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[graft.functions.CmsEstimate].getName, "cms_estimate"),
+      (children: Seq[Expr]) => graft.functions.CmsAgg.estimateFromFunctionCall(children)))
+    ext.injectFunction((
       new FunctionIdentifier("z_value"),
       new ExpressionInfo(classOf[graft.functions.ZValue].getName, "z_value"),
       (children: Seq[Expr]) => graft.functions.ZValue(children)))

@@ -1249,6 +1249,41 @@ object ExtQueries {
                    CAST(rank AS BIGINT) AS rank
             FROM r WHERE rank <= 10 ORDER BY query_id, rank"""))
 
+  /** q166: Count-Min point-frequency estimation
+    * ([[graft.functions.CmsAgg]] / `cms_sketch` + `cms_estimate`) — one
+    * 4×2048-counter sketch over all lineitem partkeys, probed for every
+    * 100th part and gated like q93/q155/q157: exact counts are the
+    * hash-compared columns; the estimates are asserted genuinely in
+    * Spark to (a) never underestimate — the CMS one-sided guarantee,
+    * deterministic, and (b) overestimate by ≤ 5·N/width (measured max
+    * 1.95 across sf0.01/sf0.1 over ALL keys; the 2.5× margin keeps the
+    * assertion robust to testdata regeneration — sketch counters are
+    * exact integer sums, so values are deterministic per corpus). */
+  private val q166 = QDef(
+    "q166_cms_frequency",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey").cast("string").as("__k"), col("l_partkey"))
+      val sk = li.agg(
+        call_function("cms_sketch", col("__k"), lit(4), lit(2048)).as("__sk"),
+        count(lit(1)).as("__n"))
+      val probes = li.where(col("l_partkey") % 100 === 0)
+        .groupBy("l_partkey").agg(count(lit(1)).as("exact_cnt"))
+      probes.crossJoin(broadcast(sk))
+        .withColumn("__est", call_function("cms_estimate", col("__sk"),
+          col("l_partkey").cast("string"), lit(4), lit(2048)))
+        .select(col("l_partkey"), col("exact_cnt"),
+          (col("__est") >= col("exact_cnt")).as("never_under"),
+          (col("__est") <= col("exact_cnt") +
+            lit(5.0) * col("__n").cast("double") / lit(2048.0))
+            .as("within_bound"))
+        .orderBy("l_partkey")
+    },
+    Some("""SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_cnt,
+                   TRUE AS never_under, TRUE AS within_bound
+            FROM lineitem WHERE l_partkey % 100 = 0
+            GROUP BY l_partkey ORDER BY l_partkey"""))
+
   /** Per-language approximate distinct-token cardinality (HyperLogLog++,
     * `approx_count_distinct` at rsd 0.05) validated against the exact
     * count — the 100 TB cardinality-estimation primitive (an exact
@@ -1812,5 +1847,5 @@ object ExtQueries {
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q40, q41, q49, q61, q62, q70, q71, q73, q74, q88, q89, q90, q91,
     q92, q93, q94, q95, q96, q97, q98, q100, q101, q102, q103, q104, q105,
-    q133, q142, q148, q159, q163)
+    q133, q142, q148, q159, q163, q166)
 }

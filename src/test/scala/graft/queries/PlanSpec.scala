@@ -57,7 +57,10 @@ class PlanSpec extends SparkTestBase {
       "q157_audience_overlap_hll",
       // broadcast cross of the single-row horizon/total aggregate onto
       // the per-user spans — the q71 pattern
-      "q161_kaplan_meier")
+      "q161_kaplan_meier",
+      // broadcast cross of the single-row CMS sketch onto the probe
+      // rows — the q71 pattern
+      "q166_cms_frequency")
 
   private lazy val plans: Map[String, String] =
     graft.SparkEntry.queries.map { case (name, fn) =>
