@@ -52,6 +52,9 @@ class PlanSpec extends SparkTestBase {
       // broadcast(k centroids) assignment cross over one corpus scan —
       // the q40 pattern (Lloyd update step)
       "q159_kmeans_profile",
+      // the dense-ranking arm is q28's broadcast-query non-equi scan;
+      // fusion itself is keyed
+      "q163_rrf_hybrid",
       // broadcast non-equi (type_l < type_r) pairing of the k-row
       // per-audience sketch table with itself — k(k−1)/2 rows total
       "q157_audience_overlap_hll",
