@@ -216,6 +216,41 @@ object Stats {
         round((xa / na - xb / nb) / se, 6)).as("z")): _*)
   }
 
+  /** Distribution-concentration profile per group: over the counts of a
+    * categorical value within each group, the distinct-value count, the
+    * Herfindahl–Hirschman concentration index `Σ (c_i/n)² = (Σc_i²)/n²`
+    * and the Shannon entropy `−Σ (c_i/n)·ln(c_i/n) = ln n − (Σ c_i·ln c_i)/n`
+    * — "is this segment's volume spread out or owned by a few entities",
+    * the screen behind both market-concentration monitoring and
+    * mule-account detection (one user generating a type's whole volume).
+    *
+    * Determinism: `Σc_i²` is summed as integer-VALUED doubles — each
+    * c² < 2⁵³ is exact and sums of exact integers in doubles are
+    * order-independent until 2⁵³ total (documented bound; beyond that,
+    * pre-aggregate groups) — so HHI is a single exact division,
+    * unrounded. `Σ c·ln c` is a genuinely order-dependent double sum →
+    * rounded to 6 per the q43/q71 convention.
+    *
+    * Shape: two keyed aggregates ((group, value) counts, then per-group
+    * reduction) — the same two-shuffle profile as any DISTINCT-count
+    * rollup; nothing is collected or windowed. */
+  def distributionStats(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val c = df.groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    val cd = col("__c").cast("double")
+    val g = c.groupBy(groupCols.map(col): _*).agg(
+      sum(col("__c")).as("n"),
+      count(lit(1)).as("k"),
+      sum(cd * cd).as("__sumsq"),
+      sum(cd * log(cd)).as("__slnc"))
+    val n = col("n").cast("double")
+    g.select(groupCols.map(col) ++ Seq(
+      col("n"), col("k"),
+      (col("__sumsq") / (n * n)).as("hhi"),
+      round(log(n) - col("__slnc") / n, 6).as("entropy")): _*)
+  }
+
   /** Referential-integrity audit over declared foreign keys — the
     * data-quality gate a warehouse runs after every load. Per FK
     * `(name, child, childKey, parent, parentKey)`: the child row count,

@@ -1044,8 +1044,33 @@ object AnalyticsQueries {
                    END AS z
             FROM g ORDER BY event_type"""))
 
+  /** q167: per-event-type user-concentration profile
+    * ([[graft.engine.Stats.distributionStats]]) — distinct users, HHI
+    * concentration (exact: integer-valued-double Σc² then one division)
+    * and Shannon entropy (order-dependent Σ c·ln c, rounded) of each
+    * type's per-user volume distribution. */
+  private val q167 = QDef(
+    "q167_concentration",
+    (s, dir) => graft.engine.Stats
+      .distributionStats(Tables.load(s, dir, "events"),
+        Seq("event_type"), "user_id")
+      .orderBy("event_type"),
+    Some("""WITH c AS (SELECT event_type, user_id, count(*) AS c
+                       FROM events GROUP BY 1, 2),
+                 g AS (SELECT event_type,
+                              CAST(sum(c) AS BIGINT) AS n,
+                              CAST(count(*) AS BIGINT) AS k,
+                              sum(CAST(c AS DOUBLE) * c) AS sumsq,
+                              sum(CAST(c AS DOUBLE)
+                                  * ln(CAST(c AS DOUBLE))) AS slnc
+                       FROM c GROUP BY 1)
+            SELECT event_type, n, k,
+                   sumsq / (CAST(n AS DOUBLE) * n) AS hhi,
+                   round(ln(CAST(n AS DOUBLE)) - slnc / n, 6) AS entropy
+            FROM g ORDER BY event_type"""))
+
   val all: Seq[QDef] =
     Seq(q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122,
       q123, q124, q125, q126, q127, q128, q129, q130, q131, q134, q145,
-      q147, q149, q151, q153, q154, q155, q157, q160, q161, q164)
+      q147, q149, q151, q153, q154, q155, q157, q160, q161, q164, q167)
 }

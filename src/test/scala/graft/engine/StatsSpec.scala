@@ -148,6 +148,29 @@ class StatsSpec extends SparkTestBase {
     assert(got(2) == (("g3", 2L, 1L, 0L, 0L, Some(0.5), None, None)))
   }
 
+  test("distributionStats: hand-checked HHI and entropy, degenerate group") {
+    val rows =
+      Seq.fill(2)(("g1", "u1")) ++ Seq.fill(2)(("g1", "u2")) ++ // 2+2
+      Seq("u1", "u2", "u3", "u4").map(("g2", _)) ++             // uniform
+      Seq.fill(5)(("g3", "u1"))                                 // one owner
+    val got = Stats.distributionStats(rows.toDF("g", "v"), Seq("g"), "v")
+      .orderBy("g")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(got(0) == (("g1", 4L, 2L, 0.5, 0.693147))) // ln 2
+    assert(got(1) == (("g2", 4L, 4L, 0.25, 1.386294))) // ln 4
+    assert(got(2) == (("g3", 5L, 1L, 1.0, 0.0)))
+  }
+
+  test("distributionStats: partitioning-invariant") {
+    val rnd = new scala.util.Random(67)
+    val rows = Seq.fill(400)((s"g${rnd.nextInt(4)}", s"u${rnd.nextInt(25)}"))
+    val a = Stats.distributionStats(rows.toDF("g", "v"), Seq("g"), "v")
+      .orderBy("g").collect().toSeq
+    val b = Stats.distributionStats(rows.toDF("g", "v").repartition(11),
+        Seq("g"), "v").orderBy("g").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("integrityAudit: duplicate parent keys do not double-count matches") {
     val parent = Seq(1L, 1L, 2L).toDF("pk")
     val child = Seq(1L, 2L, 3L).toDF("fk_col")
