@@ -187,7 +187,14 @@ object Stats {
     * Degenerate groups (pooled rate 0 or 1, or an empty variant arm)
     * emit NULL z rather than NaN/∞.
     *
-    * Shape: one keyed aggregate over the unit table — four conditional
+    * Variant-domain contract: only rows with variant exactly 'A' or 'B'
+    * enter the two arms; anything else (a 'C' arm, a typo, NULL) is
+    * counted in the per-group `n_other` output column instead of being
+    * silently folded into arm B — a 3-arm experiment fed to a 2-arm test
+    * surfaces as a nonzero n_other, not as a plausible-but-wrong z.
+    * The extra counter rides the SAME keyed aggregate (no second pass).
+    *
+    * Shape: one keyed aggregate over the unit table — five conditional
     * counters per group, no joins, no window. Determinism: counts are
     * exact longs; rates and z are fixed-shape per-row double expressions
     * (each op correctly rounded, same tree both engines), rounded to 6
@@ -195,19 +202,21 @@ object Stats {
   def twoProportionZ(units: DataFrame, groupCols: Seq[String],
       variantCol: String, convertedCol: String): DataFrame = {
     val isA = col(variantCol) === "A"
+    val isB = col(variantCol) === "B"
     val conv = col(convertedCol).cast("boolean")
     val g = units.groupBy(groupCols.map(col): _*).agg(
       sum(when(isA, 1L).otherwise(0L)).as("n_a"),
       sum(when(isA && conv, 1L).otherwise(0L)).as("x_a"),
-      sum(when(!isA, 1L).otherwise(0L)).as("n_b"),
-      sum(when(!isA && conv, 1L).otherwise(0L)).as("x_b"))
+      sum(when(isB, 1L).otherwise(0L)).as("n_b"),
+      sum(when(isB && conv, 1L).otherwise(0L)).as("x_b"),
+      sum(when(isA || isB, 0L).otherwise(1L)).as("n_other"))
     val na = col("n_a").cast("double"); val xa = col("x_a").cast("double")
     val nb = col("n_b").cast("double"); val xb = col("x_b").cast("double")
     val pooled = (xa + xb) / (na + nb)
     val se = sqrt(pooled * (lit(1.0) - pooled) *
       (lit(1.0) / na + lit(1.0) / nb))
     g.select(groupCols.map(col) ++ Seq(
-      col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+      col("n_a"), col("x_a"), col("n_b"), col("x_b"), col("n_other"),
       when(col("n_a") > 0, round(xa / na, 6)).as("p_a"),
       when(col("n_b") > 0, round(xb / nb, 6)).as("p_b"),
       when(col("n_a") > 0 && col("n_b") > 0 &&

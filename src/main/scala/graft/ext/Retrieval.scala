@@ -33,6 +33,12 @@ object Retrieval {
   def rrfFuse(rankings: Seq[(String, DataFrame)], k0: Int = 60,
       topK: Int = 10): DataFrame = {
     require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    // duplicate names would emit two identical rank_<nm> aggregate columns
+    // — an ambiguous-column analysis failure (or a silently doubled RRF
+    // term) far from this call site; fail here with the offending names
+    require(rankings.map(_._1).distinct.size == rankings.size,
+      s"rrfFuse: ranker names must be distinct, got " +
+        rankings.map(_._1).mkString(", "))
     val tagged = rankings.map { case (nm, df) =>
       df.select(col("query_id"), col("doc_id"), lit(nm).as("__rk"),
         col("rank"))

@@ -49,7 +49,7 @@ object SetJoin {
     * shrinkage on a skewed-size corpus. */
   private[ext] def candidates(items: DataFrame, size: DataFrame,
       minJaccard: Double, lengthFilter: Boolean,
-      dedup: Boolean = true): DataFrame = {
+      dedup: Boolean = true, hotDf: Int = 4096): DataFrame = {
     val freq = items.groupBy("item").agg(count(lit(1)).as("f"))
     val prefix = items
       .join(freq, "item")
@@ -71,15 +71,30 @@ object SetJoin {
     // exchange reuse does not survive AQE's broadcast rewrites here — so
     // the grouped form halves the candidate stage's input work at
     // identical candidate volume (one (a,b) row per shared prefix token,
-    // exactly the join's multiplicity). The per-token array holds only
-    // PREFIX entries — rare-first tokens, so df(token-in-prefix) is small
-    // by construction and the row stays bounded at any corpus size (hot
-    // tokens never enter any prefix; same bound as the join's Σ df²). */
-    val raw = prefix
-      .groupBy("item")
-      .agg(collect_list(struct(col("id"), col("sz"), col("__r"))).as("__ps"))
+    // exactly the join's multiplicity). Rare-first ranking keeps prefix
+    // tokens low-df by construction, but that is a TENDENCY, not a bound:
+    // a set made entirely of hot tokens still pushes a hot token into its
+    // prefix, and collect_list partials cannot spill mid-row — so a token
+    // whose prefix-postings exceed `hotDf` is routed to a keyed SELF-JOIN
+    // instead (streams and spills per-row; same (a,b) multiplicity). The
+    // hot-token list is ≤ |prefix| / hotDf entries — broadcastable at any
+    // corpus size — so the split costs one broadcast anti/semi join pair;
+    // the grouped path's arrays are then ≤ hotDf DURING the aggregate,
+    // the invariant the 100 TB argument actually needs. */
+    val entry = struct(col("id"), col("sz"), col("__r"))
+    val pfxP = prefix.repartition(col("item"))
+    val hotToks = pfxP.groupBy("item").agg(count(lit(1)).as("__pc"))
+      .where(col("__pc") > hotDf).select("item")
+    val grouped = pfxP.join(broadcast(hotToks), Seq("item"), "left_anti")
+      .groupBy("item").agg(collect_list(entry).as("__ps"))
       .select(explode(col("__ps")).as("a"), col("__ps"))
       .select(col("a"), explode(col("__ps")).as("b"))
+      .select(col("a"), col("b"))
+    val hotL = pfxP.join(broadcast(hotToks), Seq("item"), "left_semi")
+    val hotPairs = hotL.select(col("item"), entry.as("a"))
+      .join(hotL.select(col("item"), entry.as("b")), "item")
+      .select(col("a"), col("b"))
+    val raw = grouped.unionAll(hotPairs)
       .where(col("a.id") < col("b.id") && posOk)
       .select(col("a.id").as("id_l"), col("b.id").as("id_r"))
     // dedup = false defers pair dedup to AFTER verification: a pair occurs

@@ -52,6 +52,16 @@ case class CmsAgg(
     else if (width < 16 || width > (1 << 24))
       TypeCheckResult.TypeCheckFailure(
         s"cms_sketch: width must be in [16, 2^24], got $width")
+    // joint bound: serialize() builds an 8·depth·width-byte buffer, so
+    // every ACCEPTED parameter combination must stay well under the 2 GB
+    // Int byte-array ceiling (depth=16 × width=2^24 would overflow
+    // buf.length*8+4 to a negative size and crash at shuffle time).
+    // 2^26 counters = 512 MB per sketch — already far past any sane
+    // per-group sketch; reject, don't defer the failure to serialization.
+    else if (depth.toLong * width > (1L << 26))
+      TypeCheckResult.TypeCheckFailure(
+        s"cms_sketch: depth*width must be <= 2^26 counters " +
+          s"(512 MB serialized), got ${depth.toLong * width}")
     else TypeCheckResult.TypeCheckSuccess
 
   override def createAggregationBuffer(): Array[Long] =

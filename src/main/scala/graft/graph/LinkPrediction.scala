@@ -43,17 +43,23 @@ object LinkPrediction {
       .where(col("a") =!= col("b")).distinct()
     val adj = und.select(col("a").as("u"), col("b").as("v"))
       .unionAll(und.select(col("b").as("u"), col("a").as("v")))
-    // wedges through each small-degree center z: one grouped aggregate
-    // (degree and neighbor list in the same pass — no separate deg join)
-    // followed by a bounded double-explode of the neighbor array. A
-    // DataFrame self-join on the center would plan the scan → normalize
-    // → union upstream TWICE plus a third time for the degree filter;
-    // grouping computes it once, and the per-center array is bounded by
-    // `hubCap` AFTER the filter — ≤ hubCap² pair rows per center, the
-    // same wedge volume the join produced, with O(hubCap) row width.
-    val cand = adj.groupBy("u")
-      .agg(collect_list(col("v")).as("__ns"), count(lit(1)).as("d"))
+    // wedges through each small-degree center z: a degree pass FIRST,
+    // then collect_list only over kept (≤ hubCap) centers, then a bounded
+    // double-explode of the neighbor array. Ordering matters at scale: a
+    // post-aggregate degree filter would still MATERIALIZE one
+    // non-spillable degree-D array row for every hub during the aggregate
+    // (collect_list partials don't spill mid-row), so the bounded-array
+    // invariant must hold DURING the collect, not only after it. Both
+    // passes key on u, so one explicit hash-partitioning serves the
+    // degree aggregate, the keep-join, and the collect with no further
+    // exchange; per kept center the array is ≤ hubCap elements and the
+    // double-explode emits ≤ hubCap² pair rows — the same wedge volume a
+    // self-join would produce, with O(hubCap) row width.
+    val adjP = adj.repartition(col("u"))
+    val keep = adjP.groupBy("u").agg(count(lit(1)).as("d"))
       .where(col("d") <= hubCap)
+    val cand = adjP.join(keep, "u")
+      .groupBy("u", "d").agg(collect_list(col("v")).as("__ns"))
       .select(col("d"), explode(col("__ns")).as("x"), col("__ns"))
       .select(col("d"), col("x"), explode(col("__ns")).as("y"))
       .where(col("x") < col("y"))

@@ -1026,9 +1026,12 @@ object AnalyticsQueries {
                                    AS BIGINT) AS n_b,
                               CAST(sum(CASE WHEN NOT is_a AND converted
                                             THEN 1 ELSE 0 END)
-                                   AS BIGINT) AS x_b
+                                   AS BIGINT) AS x_b,
+                              CAST(sum(CASE WHEN is_a OR NOT is_a
+                                            THEN 0 ELSE 1 END)
+                                   AS BIGINT) AS n_other
                        FROM units GROUP BY 1)
-            SELECT event_type, n_a, x_a, n_b, x_b,
+            SELECT event_type, n_a, x_a, n_b, x_b, n_other,
                    CASE WHEN n_a > 0
                         THEN round(CAST(x_a AS DOUBLE) / n_a, 6) END AS p_a,
                    CASE WHEN n_b > 0

@@ -136,16 +136,33 @@ class StatsSpec extends SparkTestBase {
       // g2: everyone converts -> pooled 1 -> z null
       Seq(("g2", "A", true), ("g2", "B", true)) ++
       // g3: one arm empty -> z null
-      Seq(("g3", "A", true), ("g3", "A", false))
+      Seq(("g3", "A", true), ("g3", "A", false)) ++
+      // g4: a third arm + a typo — must land in n_other, NOT in arm B
+      Seq(("g4", "A", true), ("g4", "B", false), ("g4", "C", true),
+        ("g4", "b", true))
     val got = Stats.twoProportionZ(units.toDF("g", "variant", "converted"),
         Seq("g"), "variant", "converted")
       .orderBy("g")
-      .as[(String, Long, Long, Long, Long, Option[Double], Option[Double],
-        Option[Double])].collect().toSeq
-    assert(got(0) == (("g1", 10L, 4L, 10L, 1L, Some(0.4), Some(0.1),
+      .as[(String, Long, Long, Long, Long, Long, Option[Double],
+        Option[Double], Option[Double])].collect().toSeq
+    assert(got(0) == (("g1", 10L, 4L, 10L, 1L, 0L, Some(0.4), Some(0.1),
       Some(1.549193))))
-    assert(got(1) == (("g2", 1L, 1L, 1L, 1L, Some(1.0), Some(1.0), None)))
-    assert(got(2) == (("g3", 2L, 1L, 0L, 0L, Some(0.5), None, None)))
+    assert(got(1) == (("g2", 1L, 1L, 1L, 1L, 0L, Some(1.0), Some(1.0), None)))
+    assert(got(2) == (("g3", 2L, 1L, 0L, 0L, 0L, Some(0.5), None, None)))
+    // z = (1−0)/√(0.5·0.5·(1/1+1/1)) = √2
+    assert(got(3) == (("g4", 1L, 1L, 1L, 0L, 2L, Some(1.0), Some(0.0),
+      Some(1.414214))))
+  }
+
+  test("twoProportionZ: NULL variants are counted in n_other") {
+    val units = Seq(("g1", Some("A"), true), ("g1", Some("B"), false),
+      ("g1", None, true))
+    val got = Stats.twoProportionZ(
+        units.toDF("g", "variant", "converted"), Seq("g"), "variant",
+        "converted")
+      .select("n_a", "n_b", "n_other")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 1L)))
   }
 
   test("distributionStats: hand-checked HHI and entropy, degenerate group") {

@@ -46,4 +46,12 @@ class RetrievalSpec extends SparkTestBase {
       .orderBy("query_id", "rank").collect().toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("rrfFuse: duplicate ranker names rejected at the call site") {
+    val df = Seq((1L, 1L, 1L)).toDF("query_id", "doc_id", "rank")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq("lex" -> df, "lex" -> df))
+    }
+    assert(e.getMessage.contains("distinct"))
+  }
 }

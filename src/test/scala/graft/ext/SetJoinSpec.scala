@@ -71,6 +71,25 @@ class SetJoinSpec extends SparkTestBase {
     assert(got == exp, s"missing ${exp -- got}, extra ${got -- exp}")
   }
 
+  test("hot-token self-join fallback emits the same candidate pairs") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // hotDf = 1 forces EVERY token with ≥2 prefix postings down the
+    // keyed-self-join arm; the pair set (post-dedup) must equal the
+    // grouped double-explode arm's — the split is routing, not semantics
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 90).flatMap { id =>
+      Seq.fill(8)(rnd.nextInt(40).toLong).distinct.map(item => (id.toLong, item))
+    }.toDF("id", "item").distinct()
+    val size = rows.groupBy("id").agg(count(lit(1)).as("sz"))
+    def pairs(hotDf: Int) =
+      SetJoin.candidates(rows, size, 0.4, lengthFilter = true, hotDf = hotDf)
+        .as[(Long, Long)].collect().toSet
+    val grouped = pairs(4096)
+    val hot = pairs(1)
+    assert(grouped == hot && grouped.nonEmpty,
+      s"missing ${grouped -- hot}, extra ${hot -- grouped}")
+  }
+
   test("containmentPairs: hand-checked directed semantics") {
     val rows = Seq(
       (1L, 10L), (1L, 20L),                       // {10,20}

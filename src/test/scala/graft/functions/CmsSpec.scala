@@ -58,5 +58,12 @@ class CmsSpec extends SparkTestBase {
       Seq("x").toDF("v").agg(call_function("cms_sketch", col("v"),
         lit(0), lit(1024))).collect()
     }
+    // individually-legal depth × width whose product can't serialize
+    // (16 × 2^24 counters would overflow the Int buffer size) must be
+    // rejected at ANALYSIS time, not crash at shuffle time
+    intercept[Exception] {
+      Seq("x").toDF("v").agg(call_function("cms_sketch", col("v"),
+        lit(16), lit(1 << 24))).collect()
+    }
   }
 }
