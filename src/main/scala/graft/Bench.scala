@@ -1,6 +1,69 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
 object Bench {
+
+  /** FROZEN calibration workloads — ambient-host-drift anchors.
+    *
+    * Round 6's bench was uniformly ~33% slower than round 5 across all 78
+    * shared queries INCLUDING never-touched trivial ones — ambient host
+    * load, not regression — which made raw cross-round wall-time totals
+    * (and the driver's within-2×-of-baseline gate) unfalsifiable. These
+    * three workloads never change: their measured time vs the pinned
+    * baseline below yields a `drift_factor` that normalizes every
+    * cross-round comparison. DO NOT EDIT the workload bodies — a changed
+    * anchor is no anchor. Coverage: a pure columnar scan-agg (CPU +
+    * parquet read), a fixed shuffle join (exchange + sort/hash), and a
+    * many-tiny-jobs loop (driver scheduling floor — the q60-style cost).
+    */
+  private object Calibration {
+    def scanAgg(spark: SparkSession, sfDir: String): DataFrame =
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum("l_quantity").as("q"), sum("l_extendedprice").as("p"),
+          count(lit(1)).as("n"))
+    def shuffleJoin(spark: SparkSession, sfDir: String): DataFrame = {
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .repartition(32, col("o_orderkey"))
+      val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_quantity"))
+        .repartition(32, col("l_orderkey"))
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority").agg(sum("l_quantity").as("q"))
+    }
+    /** 24 driver-action round-trips over trivial jobs: times the
+      * scheduler, not the rows. */
+    def jobLoop(spark: SparkSession): Unit = {
+      var i = 0
+      while (i < 24) {
+        spark.range(1000L).agg(sum("id")).collect()
+        i += 1
+      }
+    }
+
+    /** Pinned per-workload baseline seconds (best-of-3 after warmup,
+      * sf0.1, local[32], 4g heap), measured 2026-08-15 (round 7) —
+      * the reference point drift_factor is computed against. NOTE: the
+      * round-7 measurement window itself sat in the ~1.33× ambient-slow
+      * band VERDICT r6 documented, so drift_factor < 1 on a quiet host
+      * is expected and meaningful. */
+    val baseline: Map[String, Double] =
+      Map("cal_scan" -> 0.28, "cal_join" -> 0.65, "cal_loop" -> 1.93)
+
+    def measure(spark: SparkSession, sfDir: String,
+        materialize: DataFrame => Unit): Map[String, Double] = {
+      def time(body: => Unit): Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      Map(
+        "cal_scan" -> time(materialize(scanAgg(spark, sfDir))),
+        "cal_join" -> time(materialize(shuffleJoin(spark, sfDir))),
+        "cal_loop" -> time(jobLoop(spark)))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -22,6 +85,16 @@ object Bench {
     // untimed warmup: JVM/codegen/parquet-footer caches, so per-query times
     // measure the queries rather than first-touch JIT
     try materialize(SparkEntry.entry(spark)) catch { case _: Throwable => () }
+    // calibration anchors bracket the run (once warm, once after the
+    // passes); per-workload MIN = the best host speed seen this run —
+    // matching the best-of-N convention of the query times it normalizes.
+    // Anchors are pinned to the sf0.1 tables whenever present (an anchor
+    // whose DATA scales with the bench SF is not frozen) — only a host
+    // without that directory falls back to the bench dir.
+    val calDir =
+      if (new java.io.File("/root/testdata/sf0.1/lineitem.parquet").exists())
+        "/root/testdata/sf0.1" else sfDir
+    val calBefore = Calibration.measure(spark, calDir, materialize)
     // three passes, per-query best: the host has transient throttling
     // windows and pass 1 still pays residual JIT — the min is the
     // repeatable time (round-4 cross-round comparisons were polluted by
@@ -69,27 +142,41 @@ object Bench {
     val results = (1 to passes).map(_ => onePass()).reduce { (a, b) =>
       a.zip(b).map { case ((n, x), (_, y)) => n -> math.min(x, y) }
     }
-    // Output framing: exactly ONE canonical JSON line (the verify-skill
-    // contract), printed LAST so the driver's tail capture gets it whole,
-    // kept small (values rounded to cs, basename sf label — round-3's
-    // full-precision ~3.5 KB line lost its head to the capture buffer).
-    // Per-query detail lines go first for humans; the same JSON also goes
-    // to bench_results.json as a capture-independent copy.
-    def line(prec: String, sf: String): String = {
-      def fmt(v: Double): String = prec.format(v)
-      val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    val calAfter = Calibration.measure(spark, calDir, materialize)
+    val cal = calBefore.map { case (k, v) => k -> math.min(v, calAfter(k)) }
+    // drift = measured anchor total / pinned baseline total; >1 means the
+    // host is slower than the reference window, so normalized times are
+    // raw/drift. Clamped below at 1e-3 against a degenerate baseline edit.
+    val drift = math.max(1e-3,
+      cal.values.sum / Calibration.baseline.values.sum)
+    val total = results.map(_._2).sum
+
+    def fmt3(v: Double) = f"$v%.3f"
+    def jmap(m: Seq[(String, Double)], prec: Double => String): String =
+      m.map { case (k, v) => "\"" + k + "\":" + prec(v) }
         .mkString("{", ",", "}")
-      val total = fmt(results.map(_._2).sum)
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sf"}"""
-    }
+    // Output framing (round-6 fix): the driver's stdout capture window is
+    // ~1.5 KB of TAIL and sbt appends a [success] line after us, so the
+    // 167-query map (~2.1 KB) lost its head and the driver got
+    // `parsed: null`. The canonical stdout line now carries only the
+    // summary + calibration + the 12 slowest queries (~0.7 KB); the FULL
+    // per-query map goes to bench_results.json (capture-independent).
+    val top12 = results.sortBy(-_._2).take(12).sortBy(_._1)
+    val sfLabel = new java.io.File(sfDir).getName
+    def summaryLine(queries: Seq[(String, Double)]): String =
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec"""" +
+        s""","n":${results.size},"sf":"$sfLabel"""" +
+        s""","calibration":${jmap(cal.toSeq.sortBy(_._1), fmt3)}""" +
+        s""","drift_factor":${fmt3(drift)}""" +
+        s""","value_normalized":${fmt3(total / drift)}""" +
+        s""","queries_file":"bench_results.json"""" +
+        s""","queries":${jmap(queries, fmt3)}}"""
     results.foreach { case (k, v) => println(f"""{"query":"$k%s","sec":$v%.3f}""") }
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_results.json"),
-      (line("%.3f", sfDir) + "\n").getBytes("UTF-8"))
+      (summaryLine(results) + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
-    // stdout canonical line: centisecond precision + basename sf label keep
-    // it ~2.1 KB so the whole line survives the capture window
-    println(line("%.2f", new java.io.File(sfDir).getName))
+    println(summaryLine(top12))
     spark.stop()
   }
 }

@@ -37,8 +37,32 @@ object ScaleCheck {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // measurement-harness memory shape for large factors: iterative /
+      // chained queries localCheckpoint their reused frames, and those
+      // MEMORY_AND_DISK blocks land in the PROTECTED storage pool —
+      // at factor 100 they fill it and squeeze execution to the point
+      // where hash aggregates cannot acquire their first page
+      // (UNABLE_TO_ACQUIRE_MEMORY, observed). A small storageFraction
+      // lets execution evict checkpoint blocks to disk instead — the
+      // correct behavior for checkpoint-heavy jobs at scale (the blocks
+      // are disk-backed; eviction costs a re-read, not a recompute).
+      .config("spark.memory.storageFraction", "0.15")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Partition sizing must TRACK the data factor: 32 shuffle partitions
+    // are right at sf0.1 and exactly wrong at 100× (per-partition bytes
+    // grow 100×, hash aggregates request GB-scale pages and abort with
+    // AGGREGATE_OUT_OF_MEMORY on the 4 GB measurement heap — observed on
+    // the first 100× dedup run). Raise the AQE INITIAL shuffle partition
+    // count with the factor and shrink scan partitions proportionally;
+    // AQE coalesces both back down wherever the data is actually small,
+    // so the base arm in the same JVM is unaffected. This mirrors the
+    // production rule: partition count scales with data, target
+    // per-partition bytes stays constant.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+      math.min(1024, cpus.toInt * factor))
+    spark.conf.set("spark.sql.files.maxPartitionBytes",
+      math.max(4L << 20, (128L << 20) / factor).toString)
 
     // Scaled directories preserving the derived-graph semantics along one
     // growth axis each (a naive offset of BOTH key spaces breaks the txn
@@ -145,7 +169,8 @@ object ScaleCheck {
         q.contains("top_paths") || q.contains("chi2") ||
         q.contains("mad") || q.contains("trimmed") ||
         q.contains("sliding") || q.contains("percent_rank") ||
-        q.contains("gapfill") || q.contains("kaplan"))
+        q.contains("gapfill") || q.contains("kaplan") ||
+        q.contains("ztest") || q.contains("concentration"))
         (tDir, factor) // behavioral axis: factor× users
       else (eDir, factor)
 

@@ -40,18 +40,24 @@ object Tables {
     // would lose precision above 2^53 nanos — while micro-precision files
     // (read as TIMESTAMP_NTZ under the UTC sessions all entry points pin)
     // just cast, which preserves the wall-clock instant.
-    if (name == "events") {
-      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-      df.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          df.withColumn("ts",
-            timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
-        case org.apache.spark.sql.types.TimestampNTZType =>
-          df.withColumn("ts",
-            col("ts").cast(org.apache.spark.sql.types.TimestampType))
-        case _ => df
-      }
-    } else df
+    if (name == "events") normalizeEventsTs(df) else df
+  }
+
+  /** The events.ts normalization applied by [[load]], exposed separately
+    * so a STREAMING scan of the same files (readStream.schema(...).parquet)
+    * can apply the identical cast — it is a plain projection, so it is
+    * valid on streaming DataFrames too. */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
 
   /** Register every testdata table as a temp view (reference pattern:

@@ -96,6 +96,36 @@ object Blocking {
       .reduce(_ union _)
       .dropDuplicates(s"${settings.uniqueId}_l", s"${settings.uniqueId}_r")
 
+  /** Unlinkables diagnostic (splink's `unlinkables` analysis, reference
+    * `03_aml_entity_resolution.py` surface): the share of records with
+    * ZERO candidate pairs under the active blocking rules — records the
+    * linker can never link no matter how good the model is, the first
+    * number to check when recall looks low (too-tight blocking shows up
+    * here before it shows up in scores). One row: record count,
+    * unlinkable count, share.
+    *
+    * Shape: the per-rule pair joins (no pair-level dedup — only
+    * per-record ANY-pair existence matters, so one uid-distinct replaces
+    * the pair-dedup exchange), an anti-join of the record ids against
+    * the linked-id set, two single-row aggregates crossed via broadcast.
+    * The share is one correctly-rounded double division of exact longs —
+    * bit-stable, unrounded. */
+  def unlinkables(df: DataFrame, settings: ErSettings): DataFrame = {
+    val uid = settings.uniqueId
+    val p = settings.blockingRules.map(rulePairs(df, settings, _))
+      .reduce(_ union _)
+    val linked = p.select(col(s"${uid}_l").as("uid"))
+      .unionAll(p.select(col(s"${uid}_r").as("uid")))
+      .distinct()
+    val recs = df.select(col(uid).as("uid")).distinct()
+    recs.join(linked, Seq("uid"), "left_anti")
+      .agg(count(lit(1)).as("n_unlinkable"))
+      .crossJoin(broadcast(recs.agg(count(lit(1)).as("n_records"))))
+      .select(col("n_records"), col("n_unlinkable"),
+        (col("n_unlinkable").cast("double") /
+          col("n_records").cast("double")).as("unlinkable_share"))
+  }
+
   /** One blocking rule's pair join — plain, or salted per
     * [[ErSettings.blockingSalt]]. Salting conjoins `l.__salt = r.__salt`
     * onto the rule: the left row's salt is a hash of the whole row, the

@@ -168,13 +168,18 @@ object SetJoin {
     * is exact: `size(array_intersect)` per surviving pair, one
     * correctly-rounded double division — bit-stable, no rounding.
     *
-    * Shape (measured, sf0.1): the R-side index is the per-set array
+    * Shape: the R-side index is the per-set array
     * RE-EXPLODED from the `sets` aggregate with `(arr, sz)` carried
     * inline — no frequency join, no rank window, and no second
     * verification join for the R side; only L's array joins in
     * afterwards. vs the symmetric two-ranked-sides + two-array-joins
     * formulation this halves the candidate-stage upstream and one of
-    * the two verification shuffles (7.5→3.9 s at sf0.1). The carried
+    * the two verification shuffles. The query is OUTPUT-BOUND: at
+    * sf0.1 / t=0.5 it emits 1.64M true containment pairs, and the
+    * measured cost is ~4.8 µs/pair (7.9 s best-of-3, local[32], 4g
+    * heap, 2026-08-15 — absolute wall time swings ±40% with ambient
+    * host load across rounds; the per-pair figure is the stable
+    * metric, see SCALE.md). The carried
     * array is one record's own items — bounded per row by construction,
     * the same 100 TB argument as [[jaccardPairs]]'s verification
     * arrays. Candidate volume Σ_token df_prefix(token)·df(token);

@@ -25,7 +25,7 @@ import graft.er._
   */
 object ErQueries {
 
-  private def dirty(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def dirty(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.load(s, dir, "customer")
     val orig = c.select(
       (col("c_custkey") * 2).as("unique_id"),
@@ -68,7 +68,7 @@ object ErQueries {
                              ELSE c_name END, 13, 3)
        FROM customer"""
 
-  private val settings = ErSettings(
+  private[graft] val settings = ErSettings(
     uniqueId = "unique_id",
     blockingRules = Seq(
       "l.bucket = r.bucket",
@@ -320,5 +320,31 @@ object ErQueries {
              FROM d LEFT JOIN comp ON d.unique_id = comp.id
              ORDER BY d.unique_id"""))
 
-  val all: Seq[QDef] = Seq(q21, q22, q23, q46, q47, q78)
+  /** Unlinkables diagnostic ([[Blocking.unlinkables]], splink's
+    * `unlinkables` analysis): share of txn records with zero candidate
+    * pairs under the q46/q47 blocking rules — the blocking-recall health
+    * check (`03_aml_entity_resolution.py:72-75` analogue). Run on the
+    * txn-shaped pass, whose rules genuinely strand some records (the
+    * dedupe fixture's bucket rule always pairs each record with its own
+    * twin, which would make this a constant-zero non-check). */
+  private val q169 = QDef(
+    "q169_er_unlinkables",
+    (s, dir) => Blocking.unlinkables(txnEntities(s, dir), txnSettings),
+    Some(s"""WITH t AS ($txnEntitiesSql),
+             p AS (SELECT l.txn_id AS a, r.txn_id AS b
+                   FROM t l JOIN t r
+                     ON ((l.address = r.address
+                          AND substring(l.name, 10, 8) = substring(r.name, 10, 8))
+                         OR (l.odate = r.odate
+                             AND floor(l.amount / 1000) = floor(r.amount / 1000)))
+                        AND l.txn_id < r.txn_id),
+             u AS (SELECT a AS uid FROM p UNION SELECT b AS uid FROM p)
+             SELECT CAST(count(*) AS BIGINT) AS n_records,
+                    CAST(count(*) - count(u.uid) AS BIGINT) AS n_unlinkable,
+                    (CAST(count(*) - count(u.uid) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE)) AS unlinkable_share
+             FROM (SELECT DISTINCT txn_id FROM t) r
+             LEFT JOIN u ON u.uid = r.txn_id"""))
+
+  val all: Seq[QDef] = Seq(q21, q22, q23, q46, q47, q78, q169)
 }

@@ -804,6 +804,49 @@ object ExtQueries {
                    round(sum(value), 2) AS total_value
             FROM events GROUP BY 1, 2 ORDER BY window_start_ms, event_type"""))
 
+  /** q168: the q36 windowed aggregation executed through the ACTUAL
+    * Structured Streaming engine — a file-source `readStream` over the
+    * same events parquet, the SAME [[Streams.windowedAgg]] builder,
+    * `Trigger.AvailableNow` micro-batches into a memory sink, result read
+    * back once the stream terminates. Complete output mode so the final
+    * table equals the batch twin's (append mode would hold back windows
+    * the terminal watermark never passed — a row-count mismatch by
+    * design, not a bug). Oracle = q36's SQL verbatim: this row proves the
+    * STREAMING execution path (micro-batch planner, stateful agg,
+    * memory-sink commit) computes the batch answer, under the driver
+    * contract rather than only in StreamsSpec. */
+  private val q168 = QDef(
+    "q168_stream_window_agg",
+    (s, dir) => {
+      val path = s"$dir/events.parquet"
+      val schema = s.read.parquet(path).schema
+      // the testdata table is a single FILE; the file stream source
+      // requires a directory or a GLOB (it tails for new files), so read
+      // the one file via glob — at scale the path is a directory of
+      // parts and this is just `.parquet(dir)`
+      val ev = Tables.normalizeEventsTs(
+        s.readStream.schema(schema).parquet(s"$path*"))
+      val sink = "q168_stream_sink"
+      // a previous pass's sink table (Bench best-of-N) is stale state,
+      // not input — drop before restarting the stream
+      s.catalog.dropTempView(sink)
+      val q = Streams.windowedAgg(ev, watermark = Some("2 hours"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink)
+        .select(unix_millis(col("window_start")).as("window_start_ms"),
+          col("event_type"), col("n_events"),
+          round(col("total_value"), 2).as("total_value"))
+        .orderBy("window_start_ms", "event_type")
+    },
+    Some("""SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2 ORDER BY window_start_ms, event_type"""))
+
   /** Gap-based sessionization (30-min gap), window-function formulation;
     * millisecond integers throughout for cross-engine exactness. */
   private val q37 = QDef(
@@ -1847,5 +1890,5 @@ object ExtQueries {
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q40, q41, q49, q61, q62, q70, q71, q73, q74, q88, q89, q90, q91,
     q92, q93, q94, q95, q96, q97, q98, q100, q101, q102, q103, q104, q105,
-    q133, q142, q148, q159, q163, q166)
+    q133, q142, q148, q159, q163, q166, q168)
 }

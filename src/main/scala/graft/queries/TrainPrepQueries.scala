@@ -389,5 +389,41 @@ object TrainPrepQueries {
             FROM c WHERE n_copies >= 1
             ORDER BY doc_id, copy"""))
 
-  val all: Seq[QDef] = Seq(q51, q52, q53, q54, q55, q56, q57, q79, q80, q87, q99)
+  /** q170: LEAKAGE-SAFE train/val/test split — the q51 hash split keyed on
+    * the exact-dedup CLUSTER id instead of the row id, so every copy of a
+    * duplicated document lands in the same split (row-keyed splitting puts
+    * one copy in train and another in test — the eval-contamination bug
+    * dedup-then-split pipelines exist to prevent). Query-level composition
+    * of [[graft.ext.TextDedup.exactCanonical]] (canonical_id = min doc_id
+    * per identical text) and [[Sampling.hashSplit]] on canonical_id; any
+    * cluster relation (MinHash clusters, semantic clusters) slots into the
+    * same shape. Split purity per cluster is structural — bucket is a pure
+    * function of canonical_id — not an after-the-fact check. */
+  private val q170 = QDef(
+    "q170_leakage_safe_split",
+    (s, dir) => {
+      val canon = graft.ext.TextDedup
+        .exactCanonical(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("canonical_id"))
+      Sampling.hashSplit(canon, "canonical_id", seed = 7)
+        .select(col("doc_id"), col("canonical_id"), col("bucket"),
+          col("split"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH c AS (SELECT doc_id,
+                              min(doc_id) OVER (PARTITION BY text)
+                                AS canonical_id
+                       FROM documents)
+            SELECT doc_id, canonical_id,
+                   ((canonical_id % 1000003 + 7) * 2654435761)
+                     % 1000000007 % 100 AS bucket,
+                   CASE WHEN ((canonical_id % 1000003 + 7) * 2654435761)
+                             % 1000000007 % 100 < 80 THEN 'train'
+                        WHEN ((canonical_id % 1000003 + 7) * 2654435761)
+                             % 1000000007 % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM c ORDER BY doc_id"""))
+
+  val all: Seq[QDef] =
+    Seq(q51, q52, q53, q54, q55, q56, q57, q79, q80, q87, q99, q170)
 }

@@ -64,6 +64,21 @@ class FellegiSunterSpec extends SparkTestBase {
     assert(multi.count() == 12)
   }
 
+  test("unlinkables: records with zero candidate pairs, exact share") {
+    // blocks of size 1 strand their record; multi-rule coverage counts a
+    // record linked if ANY rule pairs it
+    val d = Seq(
+      (1L, "a", 9.0, 1L), (2L, "a", 8.0, 1L), // block 1: linked
+      (3L, "b", 7.0, 2L),                     // alone in block 2...
+      (4L, "c", 7.0, 3L),                     // ...but amount ties 3-4
+      (5L, "d", 1.0, 4L), (6L, "e", 2.0, 5L)  // unlinkable under both rules
+    ).toDF("unique_id", "name", "amount", "block")
+    val got = Blocking.unlinkables(d, settings.copy(
+        blockingRules = Seq("l.block = r.block", "l.amount = r.amount")))
+      .as[(Long, Long, Double)].head()
+    assert(got == ((6L, 2L, 2.0 / 6.0)))
+  }
+
   test("gamma levels: exact=top, fuzzy=middle, disagree=0, null=-1") {
     val d = Seq(
       (1L, "abc", 2L, "abc"),   // exact -> 2

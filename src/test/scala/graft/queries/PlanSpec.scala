@@ -63,7 +63,10 @@ class PlanSpec extends SparkTestBase {
       "q161_kaplan_meier",
       // broadcast cross of the single-row CMS sketch onto the probe
       // rows — the q71 pattern
-      "q166_cms_frequency")
+      "q166_cms_frequency",
+      // broadcast cross of the two single-row record/unlinkable counters
+      // — the q71 pattern
+      "q169_er_unlinkables")
 
   private lazy val plans: Map[String, String] =
     graft.SparkEntry.queries.map { case (name, fn) =>
