@@ -185,9 +185,31 @@ object ScaleCheck {
     //    measurement heap) — the documented ratio-only failure mode. The
     //    100 TB configuration adds the absolute `dfCapMax` (1000 here); that is the
     //    path worth measuring.
+    //  - q105: the registered query pins ivfStride=20 (one IVF list per 20
+    //    vectors) for the sf0.1 oracle mirror — but a FIXED stride means
+    //    nlist ∝ N, so coarse assignment (corpus × broadcast(centroids))
+    //    goes quadratic with the corpus: at the 100× arm it spilled >79 GB
+    //    and filled the disk. Production IVF holds nlist ~constant (FAISS
+    //    guidance: nlist ≈ √N .. 16√N) as N grows; the scale arm therefore
+    //    scales the stride with the factor, keeping the list count — and
+    //    the per-query probe work — fixed. That is the configuration a
+    //    100 TB deployment would run.
     val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
       "q118_tfidf_cosine" -> ((s, d) => graft.ext.TfIdf.cosinePairs(
-        graft.engine.Tables.load(s, d, "documents"), dfCapMax = 1000L)))
+        graft.engine.Tables.load(s, d, "documents"), dfCapMax = 1000L)),
+      "q105_ivfpq_topk" -> ((s, d) => {
+        val e = graft.engine.Tables.load(s, d, "embeddings")
+        // hold nlist CONSTANT across arms: the base dir keeps the
+        // registered stride (N/20 lists), the scaled dir multiplies the
+        // stride by the factor so factor×N vectors land in the SAME
+        // number of lists — each list just gets factor× deeper, which is
+        // what fixed-nlist IVF does as a corpus grows
+        val stride = if (d.startsWith("target/scale")) 20 * factor else 20
+        graft.ext.IvfPq.topK(e, e.filter(col("vec_id") < 8), "vec_id",
+          "embedding", k = 5, dim = 64, m = 8, ksub = 16,
+          ivfStride = stride, seedStride = stride, nProbe = 4)
+          .orderBy("query_id", "rank")
+      }))
     def queryFor(name: String): (SparkSession, String) => DataFrame =
       variants.getOrElse(name, SparkEntry.queries(name))
     def time(name: String, dir: String): Double = {

@@ -21,16 +21,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // Some testdata generations write events.ts as TIMESTAMP(NANOS), which
-    // Spark's vectorized reader rejects; the legacy conf reads nanos as
-    // long. Verify/Bench/SparkTestBase set it at session construction; the
-    // set-if-needed here only covers externally-created sessions (e.g. the
-    // driver calling SparkEntry.entry directly) and never overrides an
-    // explicit caller value of "true".
+  /** Some testdata generations write events.ts as TIMESTAMP(NANOS), which
+    * Spark's vectorized reader rejects; the legacy conf reads nanos as
+    * long. Verify/Bench/SparkTestBase set it at session construction; the
+    * set-if-needed here covers externally-created sessions (e.g. the
+    * driver calling SparkEntry.entry directly, the plan-dump REPL) and
+    * never overrides an explicit caller value of "true". Exposed for call
+    * sites that read the events parquet OUTSIDE [[load]] (the q168
+    * streaming scan). */
+  def ensureNanosConf(spark: SparkSession): Unit = {
     val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
     if (!spark.conf.getOption(nanosKey).contains("true"))
       spark.conf.set(nanosKey, "true")
+  }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    ensureNanosConf(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // Normalize events.ts to TimestampType regardless of how this testdata
     // generation encoded it, so every downstream query and oracle sees one

@@ -25,6 +25,15 @@ import org.apache.spark.sql.functions._
   * the number of queries probing that list. The scan reads `4·m` bytes of
   * codes per row instead of `4·dim` vector bytes, and only `nProbe/lists`
   * of the corpus.
+  *
+  * SIZING RULE (measured, SCALE.md 100× table): `ivfStride` must GROW
+  * with the corpus so the list count stays ~constant (FAISS guidance:
+  * nlist ≈ √N…16√N). A fixed stride makes nlist ∝ N and coarse
+  * assignment — corpus × broadcast(centroids) — quadratic: the 100×
+  * scale arm with stride 20 spilled >79 GB before the harness adopted
+  * stride ∝ factor. The broadcast itself also grows with nlist; past
+  * ~10⁵ lists switch assignment to a shuffled equi-join on a coarse
+  * pre-bucket.
   */
 object IvfPq {
 

@@ -818,6 +818,7 @@ object ExtQueries {
   private val q168 = QDef(
     "q168_stream_window_agg",
     (s, dir) => {
+      Tables.ensureNanosConf(s) // the scan below bypasses Tables.load
       val path = s"$dir/events.parquet"
       val schema = s.read.parquet(path).schema
       // the testdata table is a single FILE; the file stream source
