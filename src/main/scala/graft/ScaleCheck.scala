@@ -95,6 +95,10 @@ object ScaleCheck {
     customer.write.mode("overwrite").parquet(s"$e2Dir/customer.parquet")
     copies(orders, 2, Map("o_orderkey" -> off))
       .write.mode("overwrite").parquet(s"$e2Dir/orders.parquet")
+    // small dims ride along unscaled (the txn-entity fixtures join nation)
+    val nation = spark.read.parquet(s"$base/nation.parquet")
+    Seq(vDir, eDir, e2Dir).foreach(d =>
+      nation.write.mode("overwrite").parquet(s"$d/nation.parquet"))
     // basket similarity rides the modest arm: its verification volume is
     // linear by design but the 10x arm's working set (2M-part inverted
     // index + per-basket windows) exceeds the 4 GB measurement heap
@@ -157,7 +161,11 @@ object ScaleCheck {
       // densification), so like motifs they get the modest 2× arm
       else if (q.contains("link_prediction") || q.contains("clustering") ||
         q.contains("ktruss") || q.contains("jaccard") ||
-        q.contains("containment"))
+        q.contains("containment") ||
+        // blocking-pair volume is quadratic per block when the same
+        // entities transact more (10× txns from one customer = ~100×
+        // pairs in its block) — the modest arm, like the motif family
+        q.contains("unlinkables"))
         (e2Dir, 2)
       else if (q.contains("tfidf") || q.contains("dedup") ||
         q.contains("minhash") || q.contains("pq") || q.contains("bigram") ||
@@ -170,8 +178,11 @@ object ScaleCheck {
         q.contains("mad") || q.contains("trimmed") ||
         q.contains("sliding") || q.contains("percent_rank") ||
         q.contains("gapfill") || q.contains("kaplan") ||
-        q.contains("ztest") || q.contains("concentration"))
+        q.contains("ztest") || q.contains("concentration") ||
+        q.contains("stream_window"))
         (tDir, factor) // behavioral axis: factor× users
+      else if (q.contains("split"))
+        (dDir, factor) // document-volume axis (dedup-keyed splitting)
       else (eDir, factor)
 
     def materialize(df: DataFrame): Unit =
