@@ -85,16 +85,19 @@ object Bench {
     // untimed warmup: JVM/codegen/parquet-footer caches, so per-query times
     // measure the queries rather than first-touch JIT
     try materialize(SparkEntry.entry(spark)) catch { case _: Throwable => () }
-    // calibration anchors bracket the run (once warm, once after the
-    // passes); per-workload MIN = the best host speed seen this run —
-    // matching the best-of-N convention of the query times it normalizes.
-    // Anchors are pinned to the sf0.1 tables whenever present (an anchor
-    // whose DATA scales with the bench SF is not frozen) — only a host
-    // without that directory falls back to the bench dir.
+    // calibration anchors bracket EVERY pass (passes+1 samples): two
+    // endpoint samples under-read a tide that moves mid-run (observed:
+    // two back-to-back benches with raw totals 7% apart reported
+    // endpoint drifts 37% apart), so each pass is normalized by the
+    // average of its own bracketing samples. Anchors are pinned to the
+    // sf0.1 tables whenever present (an anchor whose DATA scales with
+    // the bench SF is not frozen) — only a host without that directory
+    // falls back to the bench dir.
     val calDir =
       if (new java.io.File("/root/testdata/sf0.1/lineitem.parquet").exists())
         "/root/testdata/sf0.1" else sfDir
-    val calBefore = Calibration.measure(spark, calDir, materialize)
+    def calSample(): Map[String, Double] =
+      Calibration.measure(spark, calDir, materialize)
     // three passes, per-query best: the host has transient throttling
     // windows and pass 1 still pays residual JIT — the min is the
     // repeatable time (round-4 cross-round comparisons were polluted by
@@ -139,17 +142,38 @@ object Bench {
         spark.catalog.clearCache()
         name -> dt
       } :+ ("pipeline_aml" -> pipelinePass())
-    val results = (1 to passes).map(_ => onePass()).reduce { (a, b) =>
+    val calSamples = scala.collection.mutable.ArrayBuffer(calSample())
+    val rawPasses = (1 to passes).map { _ =>
+      val r = onePass(); calSamples += calSample(); r
+    }
+    val results = rawPasses.reduce { (a, b) =>
       a.zip(b).map { case ((n, x), (_, y)) => n -> math.min(x, y) }
     }
-    val calAfter = Calibration.measure(spark, calDir, materialize)
-    val cal = calBefore.map { case (k, v) => k -> math.min(v, calAfter(k)) }
-    // drift = measured anchor total / pinned baseline total; >1 means the
-    // host is slower than the reference window, so normalized times are
-    // raw/drift. Clamped below at 1e-3 against a degenerate baseline edit.
-    val drift = math.max(1e-3,
-      cal.values.sum / Calibration.baseline.values.sum)
+    val baseTot = Calibration.baseline.values.sum
+    // per-pass drift = mean of the pass's bracketing anchor totals over
+    // the pinned baseline total; >1 = slower-than-reference window.
+    // Clamped below at 1e-3 against a degenerate baseline edit.
+    val driftPerPass = (1 to passes).map { i =>
+      math.max(1e-3, (calSamples(i - 1).values.sum +
+        calSamples(i).values.sum) / 2.0 / baseTot)
+    }
+    // headline drift = the BEST bracketed window (matches the best-of-N
+    // convention of the raw times); per-pass samples go to the JSON so a
+    // reader can judge how steady the run was.
+    val drift = driftPerPass.min
+    // normalized per-query best: each pass's raw time over ITS OWN
+    // window's drift, then min across passes — pairs every measurement
+    // with the tide reading nearest in time
+    val normalized = rawPasses.zip(driftPerPass).map { case (pass, d) =>
+      pass.map { case (n, t) => n -> t / d }
+    }.reduce { (a, b) =>
+      a.zip(b).map { case ((n, x), (_, y)) => n -> math.min(x, y) }
+    }
+    val cal = calSamples.reduce { (a, b) =>
+      a.map { case (k, v) => k -> math.min(v, b(k)) }
+    }
     val total = results.map(_._2).sum
+    val totalNormalized = normalized.map(_._2).sum
 
     def fmt3(v: Double) = f"$v%.3f"
     def jmap(m: Seq[(String, Double)], prec: Double => String): String =
@@ -168,7 +192,8 @@ object Bench {
         s""","n":${results.size},"sf":"$sfLabel"""" +
         s""","calibration":${jmap(cal.toSeq.sortBy(_._1), fmt3)}""" +
         s""","drift_factor":${fmt3(drift)}""" +
-        s""","value_normalized":${fmt3(total / drift)}""" +
+        s""","drift_per_pass":[${driftPerPass.map(fmt3).mkString(",")}]""" +
+        s""","value_normalized":${fmt3(totalNormalized)}""" +
         s""","queries_file":"bench_results.json"""" +
         s""","queries":${jmap(queries, fmt3)}}"""
     results.foreach { case (k, v) => println(f"""{"query":"$k%s","sec":$v%.3f}""") }
