@@ -151,7 +151,22 @@ object ScaleCheck {
           .as("embedding"),
         col("label"))
       .write.mode("overwrite").parquet(s"$dDir/embeddings.parquet")
-    def armFor(q: String): (String, Int) =
+    // SPARK_GRAFT_SCALE_ARM forces every selected query onto one axis —
+    // for one-off arms beyond a query's default routing (e.g. the
+    // set-similarity family defaults to the modest e2 densification arm
+    // because output is combinatorial in density, but the e-axis's
+    // DISJOINT copy spaces grow output exactly linearly, so a full-factor
+    // e arm is the right linearity probe)
+    val armOverride = sys.env.get("SPARK_GRAFT_SCALE_ARM")
+    def armFor(q: String): (String, Int) = armOverride match {
+      case Some("v") => (vDir, factor)
+      case Some("e") => (eDir, factor)
+      case Some("e2") => (e2Dir, 2)
+      case Some("t") => (tDir, factor)
+      case Some("d") => (dDir, factor)
+      case _ => defaultArmFor(q)
+    }
+    def defaultArmFor(q: String): (String, Int) =
       if (q.contains("connected_components") || q.contains("hyperball") ||
         q.contains("betweenness"))
         (vDir, factor) // identity-graph growth axis
