@@ -98,22 +98,34 @@ object Bench {
         "/root/testdata/sf0.1" else sfDir
     def calSample(): Map[String, Double] =
       Calibration.measure(spark, calDir, materialize)
-    // three passes, per-query best: the host has transient throttling
+    // up-to-N passes, per-query best: the host has transient throttling
     // windows and pass 1 still pays residual JIT — the min is the
     // repeatable time (round-4 cross-round comparisons were polluted by
     // ambient load; best-of-3 keeps per-query values stable within ~10%)
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val maxPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // Wall-budget guard (round-7 fix): BENCH_r07.json was rc=124 — the
+    // driver's `timeout` killed the run mid-pass and the round had NO
+    // official perf number. The bench now (a) stops adding passes once
+    // elapsed + a projected next pass would cross SPARK_GRAFT_BENCH_BUDGET
+    // seconds (measured from main entry — sbt compile happens before this
+    // JVM reaches us, hence the conservative 900 s default), and (b)
+    // emits the parseable summary line after EVERY completed pass, so
+    // even a killed run leaves a valid last-line JSON in the tail. The
+    // per-pass-bracketing anchor design normalizes any pass count ≥ 1.
+    val tMain = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - tMain) / 1e9
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "900").toDouble
     // composed-pipeline row: the synthetic-identity + structuring + ER
     // stages of the reference DAG end-to-end (catalog writes included),
     // so cross-round regressions in the COMPOSITION — not just per-query
-    // — show up in the bench
+    // — show up in the bench. Runs ONCE per bench (round-7 tail trim:
+    // 3 passes × ~10 s was a top budget cost and the pipeline has its own
+    // crash sentinel instead of best-of-N); one retry on failure, then
+    // the loud 99999 sentinel stays in the artifact — a crash should be
+    // visible, not averaged away.
     def pipelinePass(): Double = {
       val whPath = java.nio.file.Files.createTempDirectory("graft_bench_wh")
       val t0 = System.nanoTime()
-      // a crashed pass must NOT record its (short) elapsed time — best-of-N
-      // would then preferentially select the failure and report a phantom
-      // speedup. Surface the error on stderr and return a sentinel that
-      // min() never picks over any real pass.
       val dt = try {
         val p = new graft.pipelines.AmlPipelines(spark, sfDir, whPath.toString)
         p.runSyntheticIdentity().count()
@@ -141,67 +153,109 @@ object Bench {
         // drop per-query persists so cache buildup can't GC-thrash later queries
         spark.catalog.clearCache()
         name -> dt
-      } :+ ("pipeline_aml" -> pipelinePass())
-    val calSamples = scala.collection.mutable.ArrayBuffer(calSample())
-    val rawPasses = (1 to passes).map { _ =>
-      val r = onePass(); calSamples += calSample(); r
-    }
-    val results = rawPasses.reduce { (a, b) =>
-      a.zip(b).map { case ((n, x), (_, y)) => n -> math.min(x, y) }
-    }
-    val baseTot = Calibration.baseline.values.sum
-    // per-pass drift = mean of the pass's bracketing anchor totals over
-    // the pinned baseline total; >1 = slower-than-reference window.
-    // Clamped below at 1e-3 against a degenerate baseline edit.
-    val driftPerPass = (1 to passes).map { i =>
-      math.max(1e-3, (calSamples(i - 1).values.sum +
-        calSamples(i).values.sum) / 2.0 / baseTot)
-    }
-    // headline drift = the BEST bracketed window (matches the best-of-N
-    // convention of the raw times); per-pass samples go to the JSON so a
-    // reader can judge how steady the run was.
-    val drift = driftPerPass.min
-    // normalized per-query best: each pass's raw time over ITS OWN
-    // window's drift, then min across passes — pairs every measurement
-    // with the tide reading nearest in time
-    val normalized = rawPasses.zip(driftPerPass).map { case (pass, d) =>
-      pass.map { case (n, t) => n -> t / d }
-    }.reduce { (a, b) =>
-      a.zip(b).map { case ((n, x), (_, y)) => n -> math.min(x, y) }
-    }
-    val cal = calSamples.reduce { (a, b) =>
-      a.map { case (k, v) => k -> math.min(v, b(k)) }
-    }
-    val total = results.map(_._2).sum
-    val totalNormalized = normalized.map(_._2).sum
+      }
 
     def fmt3(v: Double) = f"$v%.3f"
     def jmap(m: Seq[(String, Double)], prec: Double => String): String =
       m.map { case (k, v) => "\"" + k + "\":" + prec(v) }
         .mkString("{", ",", "}")
-    // Output framing (round-6 fix): the driver's stdout capture window is
-    // ~1.5 KB of TAIL and sbt appends a [success] line after us, so the
-    // 167-query map (~2.1 KB) lost its head and the driver got
-    // `parsed: null`. The canonical stdout line now carries only the
-    // summary + calibration + the 12 slowest queries (~0.7 KB); the FULL
-    // per-query map goes to bench_results.json (capture-independent).
-    val top12 = results.sortBy(-_._2).take(12).sortBy(_._1)
     val sfLabel = new java.io.File(sfDir).getName
-    def summaryLine(queries: Seq[(String, Double)]): String =
-      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec"""" +
-        s""","n":${results.size},"sf":"$sfLabel"""" +
-        s""","calibration":${jmap(cal.toSeq.sortBy(_._1), fmt3)}""" +
-        s""","drift_factor":${fmt3(drift)}""" +
-        s""","drift_per_pass":[${driftPerPass.map(fmt3).mkString(",")}]""" +
-        s""","value_normalized":${fmt3(totalNormalized)}""" +
-        s""","queries_file":"bench_results.json"""" +
-        s""","queries":${jmap(queries, fmt3)}}"""
-    results.foreach { case (k, v) => println(f"""{"query":"$k%s","sec":$v%.3f}""") }
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_results.json"),
-      (summaryLine(results) + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
-    println(summaryLine(top12))
+    val baseTot = Calibration.baseline.values.sum
+
+    val calSamples = scala.collection.mutable.ArrayBuffer(calSample())
+    val rawPasses = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Double)]]
+    val passDur = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var pipelineSec = Double.NaN
+    var pipelineDrift = 1.0
+
+    /** Summary over the passes completed so far; printed after every pass
+      * (driver tail-capture fail-safe) and written to bench_results.json.
+      * Output framing (round-6 fix): the driver's stdout capture window is
+      * ~1.5 KB of TAIL and sbt appends a [success] line after us, so the
+      * full per-query map (~2.1 KB) would lose its head → `parsed: null`.
+      * The stdout line carries only summary + calibration + the 12 slowest
+      * queries (~0.7 KB); the FULL map goes to bench_results.json. */
+    def emitSummary(): String = {
+      val k = rawPasses.length
+      // per-pass drift = mean of the pass's bracketing anchor totals over
+      // the pinned baseline total; >1 = slower-than-reference window.
+      // Clamped below at 1e-3 against a degenerate baseline edit.
+      val driftPerPass = (1 to k).map { i =>
+        math.max(1e-3, (calSamples(i - 1).values.sum +
+          calSamples(i).values.sum) / 2.0 / baseTot)
+      }
+      // headline drift = the BEST bracketed window (matches the best-of-N
+      // convention of the raw times); per-pass samples go to the JSON so a
+      // reader can judge how steady the run was.
+      val drift = driftPerPass.min
+      val qResults = rawPasses.reduce { (a, b) =>
+        a.zip(b).map { case ((n, x), (_, y)) => n -> math.min(x, y) }
+      }
+      val results = qResults :+ ("pipeline_aml" -> pipelineSec)
+      // normalized per-query best: each pass's raw time over ITS OWN
+      // window's drift, then min across passes — pairs every measurement
+      // with the tide reading nearest in time
+      val normalized = rawPasses.toSeq.zip(driftPerPass).map { case (pass, d) =>
+        pass.map { case (n, t) => n -> t / d }
+      }.reduce { (a, b) =>
+        a.zip(b).map { case ((n, x), (_, y)) => n -> math.min(x, y) }
+      } :+ ("pipeline_aml" -> pipelineSec / pipelineDrift)
+      val cal = calSamples.reduce { (a, b) =>
+        a.map { case (k, v) => k -> math.min(v, b(k)) }
+      }
+      val total = results.map(_._2).sum
+      val totalNormalized = normalized.map(_._2).sum
+      val top12 = results.sortBy(-_._2).take(12).sortBy(_._1)
+      def summaryLine(queries: Seq[(String, Double)]): String =
+        s"""{"metric":"total","value":${fmt3(total)},"unit":"sec"""" +
+          s""","n":${results.size},"sf":"$sfLabel","passes":$k""" +
+          s""","calibration":${jmap(cal.toSeq.sortBy(_._1), fmt3)}""" +
+          s""","drift_factor":${fmt3(drift)}""" +
+          s""","drift_per_pass":[${driftPerPass.map(fmt3).mkString(",")}]""" +
+          s""","value_normalized":${fmt3(totalNormalized)}""" +
+          s""","queries_file":"bench_results.json"""" +
+          s""","queries":${jmap(queries, fmt3)}}"""
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_results.json"),
+        (summaryLine(results) + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+      summaryLine(top12)
+    }
+
+    var continue = true
+    while (continue && rawPasses.length < maxPasses) {
+      val t0 = System.nanoTime()
+      val pass = onePass()
+      if (rawPasses.isEmpty) {
+        pipelineSec = pipelinePass()
+        if (pipelineSec >= 99999.0) pipelineSec = pipelinePass() // one retry
+      }
+      calSamples += calSample()
+      rawPasses += pass
+      passDur += (System.nanoTime() - t0) / 1e9
+      if (rawPasses.length == 1) {
+        // pipeline ran inside pass 1's bracketing window
+        pipelineDrift = math.max(1e-3,
+          (calSamples(0).values.sum + calSamples(1).values.sum) / 2.0 / baseTot)
+      }
+      println(emitSummary())
+      // projected next pass: the slowest query pass so far (pipeline runs
+      // only once, so pass 1's duration over-projects — conservative is
+      // the right direction for a kill-avoidance guard)
+      if (rawPasses.length < maxPasses &&
+          elapsedSec + passDur.max > budget) {
+        System.err.println(f"[graft-bench] budget stop after ${rawPasses.length} passes: " +
+          f"elapsed $elapsedSec%.0f s + projected ${passDur.max}%.0f s > budget $budget%.0f s")
+        continue = false
+      }
+    }
+    // full per-query lines for a human tail-reader, then the canonical
+    // summary REPEATED as the very last stdout line (last-line contract)
+    val finalResults = rawPasses.reduce { (a, b) =>
+      a.zip(b).map { case ((n, x), (_, y)) => n -> math.min(x, y) }
+    } :+ ("pipeline_aml" -> pipelineSec)
+    finalResults.foreach { case (k, v) => println(f"""{"query":"$k%s","sec":$v%.3f}""") }
+    println(emitSummary())
     spark.stop()
   }
 }

@@ -848,6 +848,71 @@ object ExtQueries {
                    round(sum(value), 2) AS total_value
             FROM events GROUP BY 1, 2 ORDER BY window_start_ms, event_type"""))
 
+  /** q171: gap sessionization through the ACTUAL Structured Streaming
+    * STATE-STORE path — q168 proves the stateless micro-batch engine; this
+    * row proves the stateful one (`flatMapGroupsWithState` +
+    * EventTimeTimeout state in the HDFS-backed state store, the path a
+    * user runs sessionization on as a stream). File-source `readStream`
+    * over the same events parquet → [[Streams.sessionizeStream]] →
+    * `Trigger.AvailableNow` → memory sink, Append mode.
+    *
+    * Append-mode streaming semantics, mirrored EXACTLY by the oracle: a
+    * session is emitted either when a later event from the same user
+    * closes it (every session except each user's last), or when the
+    * terminal watermark passes its timeout — Spark times out state when
+    * `timeoutTimestamp < watermark` (strict), with watermark =
+    * floor-to-ms(max event time) at delay 0, so a user's LAST session is
+    * emitted iff `end_ms + gap < max_ms` over the whole table. A
+    * complete-mode wash would hide exactly the state-eviction semantics
+    * this row exists to pin down. */
+  private val q171 = QDef(
+    "q171_stream_sessionize",
+    (s, dir) => {
+      import s.implicits._
+      Tables.ensureNanosConf(s) // the scan below bypasses Tables.load
+      val path = s"$dir/events.parquet"
+      val schema = s.read.parquet(path).schema
+      // single-FILE testdata table read via glob (file stream source wants
+      // a directory/glob); at scale this is just `.parquet(dir)`
+      val ev = Tables.normalizeEventsTs(
+        s.readStream.schema(schema).parquet(s"$path*"))
+      val sink = "q171_stream_sink"
+      // a previous pass's sink table (Bench best-of-N) is stale state
+      s.catalog.dropTempView(sink)
+      val sessions = Streams.sessionizeStream(
+        ev.select(col("user_id"), col("ts")).as[Streams.SessionEvent],
+        gapMs = 30 * 60 * 1000L, watermarkDelay = "0 seconds")
+      val q = sessions.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink).orderBy("user_id", "start_ms")
+    },
+    // q37's session CTEs + the append-mode emission rule (strict <, ms
+    // floor on both engines: Timestamp.getTime / epoch_ms)
+    Some("""WITH x AS (
+              SELECT user_id, event_id, ts, epoch_ms(ts) AS ms,
+                     lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events),
+            y AS (
+              SELECT *, CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0 END AS brk
+              FROM x),
+            z AS (
+              SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM y),
+            sess AS (
+              SELECT user_id, sid, min(ms) AS start_ms, max(ms) AS end_ms,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     max(sid) OVER (PARTITION BY user_id) AS max_sid
+              FROM z GROUP BY user_id, sid)
+            SELECT user_id, start_ms, end_ms, n_events
+            FROM sess
+            WHERE sid < max_sid
+               OR end_ms + 1800000 < (SELECT max(epoch_ms(ts)) FROM events)
+            ORDER BY user_id, start_ms"""))
+
   /** Gap-based sessionization (30-min gap), window-function formulation;
     * millisecond integers throughout for cross-engine exactness. */
   private val q37 = QDef(
@@ -1891,5 +1956,5 @@ object ExtQueries {
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q40, q41, q49, q61, q62, q70, q71, q73, q74, q88, q89, q90, q91,
     q92, q93, q94, q95, q96, q97, q98, q100, q101, q102, q103, q104, q105,
-    q133, q142, q148, q159, q163, q166, q168)
+    q133, q142, q148, q159, q163, q166, q168, q171)
 }
