@@ -20,6 +20,14 @@ import org.apache.spark.sql.types._
   * state — measured 0.9 s on the same input, 4.5×). The single result row
   * is unpivoted into the per-column profile afterwards (column-count rows,
   * trivial).
+  *
+  * Mode choice, explicitly: `approxNdv = false` (exact NDV) exists for
+  * ORACLE PARITY and small-table profiling — its Expand multiplies scan
+  * rows by the column count and shuffles the full corpus, so it grows
+  * superlinearly in practice (10× rows → see SCALE.md's q106 arm). At
+  * scale, `approxNdv = true` IS the default mode of this operator: one
+  * map-side-combinable pass, no Expand, O(sketch·columns) state — the
+  * ANALYZE path every warehouse actually runs.
   */
 object Stats {
 

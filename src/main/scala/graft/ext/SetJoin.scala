@@ -82,7 +82,27 @@ object SetJoin {
     // the grouped path's arrays are then ≤ hotDf DURING the aggregate,
     // the invariant the 100 TB argument actually needs. */
     val entry = struct(col("id"), col("sz"), col("__r"))
-    val pfxP = prefix.repartition(col("item"))
+    // FOUR subplans consume the item-partitioned prefix index (the
+    // hot-token census, the grouped left_anti arm, and both sides of the
+    // hot self-join); AQE's runtime exchange reuse recovers only part of
+    // that duplication (measured on q141's final adaptive plan: 2
+    // ReusedExchange against 7 planned copies of the scan→dedup→freq→
+    // size→window upstream). `spark.graft.setjoin.reusePrefix=true`
+    // materializes the index ONCE as a lazy local checkpoint (executor
+    // blocks, memory+disk — the iterative graph operators' device,
+    // [[graft.graph.Checkpointer]]) and every consumer reads the blocks.
+    // Default OFF: a same-JVM A/B at sf0.1 measured the checkpoint arm
+    // ~15% SLOWER on q141/q162 (block write+read and the broken
+    // whole-stage pipeline cost more than the partially-reused
+    // recompute). Flip it on when the prefix upstream is expensive enough
+    // that 2-3 redundant full-table shuffles dominate — the 100 TB
+    // corpus, not the bench SF.
+    val pfxP0 = prefix.repartition(col("item"))
+    val pfxP =
+      if (items.sparkSession.conf
+          .get("spark.graft.setjoin.reusePrefix", "false").toBoolean)
+        pfxP0.localCheckpoint(false)
+      else pfxP0
     val hotToks = pfxP.groupBy("item").agg(count(lit(1)).as("__pc"))
       .where(col("__pc") > hotDf).select("item")
     val grouped = pfxP.join(broadcast(hotToks), Seq("item"), "left_anti")

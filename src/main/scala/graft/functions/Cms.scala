@@ -27,6 +27,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *    one-sided guarantee), with `est − true ≤ e·N/width` in expectation
   *    per row and exponentially tight in `depth`.
   *
+  * Parameter domain (BEHAVIOR CHANGE, round 7): `depth ∈ [1,16]`,
+  * `width ∈ [16, 2^24]`, and — new — jointly `depth·width ≤ 2^26`
+  * counters (512 MB serialized). Combinations that the per-parameter
+  * bounds alone used to accept (e.g. depth 8 × width 2^24) are now
+  * rejected at ANALYSIS time: the strict Int-overflow hazard only starts
+  * past 2^28 counters, but 2^26 is already far beyond any sane per-group
+  * sketch and failing early beats a shuffle-time serialization crash.
+  * Callers that genuinely need a wider table should shard the keyspace
+  * across groups, not widen one sketch.
+  *
   * Unlike order-sensitive double aggregates, the sketch is a vector of
   * exact integer SUMS: bit-identical under any partitioning or merge
   * tree (counter addition is associative/commutative), so estimates are

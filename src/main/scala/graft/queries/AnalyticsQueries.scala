@@ -1003,7 +1003,11 @@ object AnalyticsQueries {
       val units = ev.select(col("event_type"), col("user_id")).distinct()
         .join(conv, Seq("user_id"), "left_outer")
         .select(col("event_type"),
-          when(col("user_id") % 2 === 0, lit("A")).otherwise(lit("B"))
+          // null-safe variant derivation: a NULL user_id must land in
+          // n_other (the oracle's `CASE WHEN is_a OR NOT is_a` does the
+          // same), not fall through `otherwise` into arm B
+          when(col("user_id").isNull, lit(null).cast("string"))
+            .when(col("user_id") % 2 === 0, lit("A")).otherwise(lit("B"))
             .as("variant"),
           coalesce(col("__conv"), lit(false)).as("converted"))
       graft.engine.Stats

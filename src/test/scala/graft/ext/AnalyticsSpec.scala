@@ -38,6 +38,32 @@ class AnalyticsSpec extends SparkTestBase {
     assert(some.count() == 19L * 18 / 2)
   }
 
+  test("linkPrediction: degree cap joins BELOW the collect_list aggregate") {
+    // Structural regression guard for the hub-row bound: the hubCap degree
+    // filter must join into the plan BEFORE the collect_list aggregate, so
+    // no hub ever materializes an unbounded neighbor array mid-aggregate
+    // (collect_list partials don't spill within a row). The behavioral hub
+    // test above would still pass with a reverted post-aggregate filter —
+    // this one fails: the aggregate would then sit directly on the edge
+    // scan with no join underneath.
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val edges = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val plan = LinkPrediction.resourceAllocation(edges, hubCap = 4, minCommon = 1)
+      .queryExecution.optimizedPlan
+    val collectAggs = plan.collect {
+      case a: Aggregate if a.aggregateExpressions.exists(_.exists {
+        case ae: AggregateExpression =>
+          ae.aggregateFunction.prettyName == "collect_list"
+        case _ => false
+      }) => a
+    }
+    assert(collectAggs.nonEmpty, "expected a collect_list aggregate in the plan")
+    assert(collectAggs.forall(
+      a => a.child.collect { case j: Join => j }.nonEmpty),
+      "the degree-cap keep-join must be a descendant of the collect_list aggregate")
+  }
+
   test("linkPrediction: orientation and multi-edges are normalized away") {
     val e1 = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
     val e2 = Seq((2L, 1L), (3L, 1L), (3L, 1L)).toDF("src", "dst")
