@@ -220,7 +220,16 @@ object ScaleCheck {
     //    scales the stride with the factor, keeping the list count — and
     //    the per-query probe work — fixed. That is the configuration a
     //    100 TB deployment would run.
+    //  - q106_hll_table_stats: not a registered query — the at-scale mode
+    //    of Stats.columnStats (HLL NDV, no Expand, one map-side pass)
+    //    timed side-by-side with registered exact-NDV q106, so the 10×
+    //    arm quantifies both the exact-NDV unpivot growth and what
+    //    switching modes buys.
     val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "q106_hll_table_stats" -> ((s, d) => graft.engine.Stats
+        .columnStats(graft.engine.Tables.load(s, d, "lineitem"),
+          approxNdv = true)
+        .orderBy("col_name")),
       "q118_tfidf_cosine" -> ((s, d) => graft.ext.TfIdf.cosinePairs(
         graft.engine.Tables.load(s, d, "documents"), dfCapMax = 1000L)),
       "q105_ivfpq_topk" -> ((s, d) => {

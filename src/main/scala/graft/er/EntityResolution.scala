@@ -75,7 +75,23 @@ final case class ErSettings(
       * registered oracle queries pin). */
     fixUFromRandomPairs: Boolean = false,
     /** Target random-pair count for the fixed-u estimate. */
-    uTargetPairs: Long = 1000000L)
+    uTargetPairs: Long = 1000000L,
+    /** Block-purge cap ("block purging", Papadakis et al., ACM CSUR 2020
+      * §block cleaning): when set, each rule's pair join sees only records
+      * whose block under THAT rule holds ≤ maxBlockSize records; oversized
+      * blocks are dropped for that rule (they can still pair under other
+      * rules). Pair work per rule is then bounded by
+      * n_blocks · maxBlockSize², whatever the data does — the quadratic
+      * per-block candidate generator is the one unbounded spot in the ER
+      * DAG, and at 100 TB a single hyper-common blocking value (a default
+      * address, an empty name) otherwise owns the job. RECALL TRADEOFF:
+      * a purged block's true matches are lost for that rule, so run
+      * [[Blocking.blockStats]] first — it reports exactly what a given
+      * cap would drop. None (default) = exact splink semantics; the
+      * registered oracle queries pin that. Requires every conjunct of
+      * every rule to be a symmetric equality (see [[Blocking.ruleKeys]]);
+      * salting composes (purge first, salt the survivors). */
+    maxBlockSize: Option[Int] = None)
 
 /** Fitted Fellegi–Sunter parameters: P(gamma level | match) = m,
   * P(gamma level | non-match) = u, overall match proportion lambda. */
@@ -126,15 +142,84 @@ object Blocking {
           col("n_records").cast("double")).as("unlinkable_share"))
   }
 
+  /** A blocking rule's per-record block-key expressions: every conjunct
+    * must be a SYMMETRIC equality `f(l.…) = f(r.…)` — the same expression
+    * on both sides modulo the alias — and the returned columns are each
+    * `f` over bare column names, so `df.groupBy(ruleKeys(rule))` groups
+    * records into exactly the blocks the rule's self-join pairs within.
+    * Parsed with Spark's own SQL parser (no regex fragility); rejects
+    * non-equality conjuncts and asymmetric equalities loudly, since a
+    * block-size readout for a theta condition would silently lie. */
+  private[graft] def ruleKeys(spark: org.apache.spark.sql.SparkSession,
+      rule: String): Seq[Column] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+    def strip(alias: String)(e: Expression): Expression = e.transform {
+      case a: UnresolvedAttribute
+          if a.nameParts.length == 2 && a.nameParts.head.equalsIgnoreCase(alias) =>
+        UnresolvedAttribute(Seq(a.nameParts(1)))
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case other => Seq(other)
+    }
+    conjuncts(spark.sessionState.sqlParser.parseExpression(rule)).map {
+      case EqualTo(lhs, rhs) =>
+        val lk = strip("l")(lhs)
+        val rk = strip("r")(rhs)
+        require(lk.sql == rk.sql,
+          s"blocking rule conjunct is not a symmetric equality: ${lhs.sql} = ${rhs.sql}")
+        graft.functions.Cols.of(lk)
+      case other => throw new IllegalArgumentException(
+        s"blocking rule conjunct is not an equality: ${other.sql}")
+    }
+  }
+
+  /** Block-size telemetry per rule (splink's
+    * `count_comparisons_from_blocking_rule` pre-flight, plus the size
+    * distribution): for each rule, the number of blocks, the largest
+    * block, the p99 block size, and the exact candidate-pair count
+    * Σ n·(n−1)/2 the rule's join WILL emit — computed from per-block
+    * counts only, without generating a single pair. THE number to read
+    * before running blocking at scale: pair volume is quadratic in block
+    * size, so a max_block in the thousands means one rule owns the job
+    * (and tells you what [[ErSettings.maxBlockSize]] cap would bound it,
+    * and what that cap would drop). One count-aggregate per rule over the
+    * record table — linear, broadcast-free, safe at any scale. */
+  def blockStats(df: DataFrame, settings: ErSettings): DataFrame =
+    settings.blockingRules.zipWithIndex.map { case (rule, i) =>
+      val keys = ruleKeys(df.sparkSession, rule)
+      df.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
+        .agg(
+          count(lit(1)).as("n_blocks"),
+          max(col("__n")).as("max_block"),
+          round(expr("percentile(__n, 0.99)"), 3).as("p99_block"),
+          sum(col("__n") * (col("__n") - 1) / 2).cast("long").as("cand_pairs"))
+        .select(lit(i + 1).cast("long").as("rule_idx"), col("n_blocks"),
+          col("max_block"), col("p99_block"), col("cand_pairs"))
+    }.reduce(_ unionAll _)
+
   /** One blocking rule's pair join — plain, or salted per
     * [[ErSettings.blockingSalt]]. Salting conjoins `l.__salt = r.__salt`
     * onto the rule: the left row's salt is a hash of the whole row, the
     * right side carries every salt value, so Catalyst extracts
     * (rule keys, __salt) as the equi-join key and a hot blocking value
     * spreads over `salt` tasks instead of one. Exposed package-private so
-    * ErSpec can assert per-task pair bounds on the pre-dedup join. */
-  private[graft] def rulePairs(df: DataFrame, settings: ErSettings,
+    * ErSpec can assert per-task pair bounds on the pre-dedup join.
+    * With [[ErSettings.maxBlockSize]] set, records in oversized blocks
+    * (w.r.t. THIS rule's keys) are purged before the join — one
+    * whole-partition count window on the block keys, riding the same
+    * hash partitioning the join needs anyway. */
+  private[graft] def rulePairs(df0: DataFrame, settings: ErSettings,
       rule: String): DataFrame = {
+    val df = settings.maxBlockSize match {
+      case Some(cap) =>
+        val keys = ruleKeys(df0.sparkSession, rule)
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)
+        df0.withColumn("__bn", count(lit(1)).over(w))
+          .where(col("__bn") <= cap).drop("__bn")
+      case None => df0
+    }
     val uid = settings.uniqueId
     val outCols =
       df.columns.map(c => col(s"l.$c").as(s"${c}_l")) ++

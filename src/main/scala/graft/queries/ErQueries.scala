@@ -171,7 +171,7 @@ object ErQueries {
   // inside the oracle harness, not just in PipelinesSpec.
   // ---------------------------------------------------------------------
 
-  private def txnEntities(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def txnEntities(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.load(s, dir, "orders")
     val c = Tables.load(s, dir, "customer")
     val n = Tables.load(s, dir, "nation")
@@ -213,7 +213,7 @@ object ErQueries {
     * pair count grows linearly with transactions, never quadratically —
     * blocking on address or date alone produced ~16M pairs at sf0.1 and
     * would be unbounded at scale. */
-  private val txnSettings = ErSettings(
+  private[graft] val txnSettings = ErSettings(
     uniqueId = "txn_id",
     blockingRules = Seq(
       "l.address = r.address AND substring(l.name, 10, 8) = substring(r.name, 10, 8)",
@@ -346,5 +346,35 @@ object ErQueries {
              FROM (SELECT DISTINCT txn_id FROM t) r
              LEFT JOIN u ON u.uid = r.txn_id"""))
 
-  val all: Seq[QDef] = Seq(q21, q22, q23, q46, q47, q78, q169)
+  /** q172: block-size telemetry ([[Blocking.blockStats]], splink's
+    * `count_comparisons_from_blocking_rule` pre-flight + the size
+    * distribution): per rule, block count, max/p99 block size, and the
+    * exact candidate-pair count the rule's join would emit — computed
+    * from per-block counts alone, never generating a pair. The scale
+    * pre-flight for the one quadratic-per-block generator in the engine
+    * (read it before choosing [[ErSettings.maxBlockSize]]). Runs on the
+    * q21 dedupe fixture so the oracle can recompute both rules' blocks. */
+  private val q172 = QDef(
+    "q172_er_block_stats",
+    (s, dir) => Blocking.blockStats(dirty(s, dir), settings)
+      .orderBy("rule_idx"),
+    Some(s"""WITH d AS ($dirtySql),
+             b1 AS (SELECT count(*) AS n FROM d GROUP BY bucket),
+             b2 AS (SELECT count(*) AS n FROM d
+                    GROUP BY nation, segment, digits)
+             SELECT CAST(1 AS BIGINT) AS rule_idx,
+                    CAST(count(*) AS BIGINT) AS n_blocks,
+                    CAST(max(n) AS BIGINT) AS max_block,
+                    round(quantile_cont(n, 0.99), 3) AS p99_block,
+                    CAST(sum(n * (n - 1) // 2) AS BIGINT) AS cand_pairs
+             FROM b1
+             UNION ALL
+             SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+                    CAST(max(n) AS BIGINT),
+                    round(quantile_cont(n, 0.99), 3),
+                    CAST(sum(n * (n - 1) // 2) AS BIGINT)
+             FROM b2
+             ORDER BY rule_idx"""))
+
+  val all: Seq[QDef] = Seq(q21, q22, q23, q46, q47, q78, q169, q172)
 }

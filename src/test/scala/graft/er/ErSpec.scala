@@ -64,6 +64,54 @@ class FellegiSunterSpec extends SparkTestBase {
     assert(multi.count() == 12)
   }
 
+  test("ruleKeys: symmetric equalities parse, theta/asymmetric rejected") {
+    val keys = Blocking.ruleKeys(spark,
+      "l.block = r.block AND substring(l.name, 1, 2) = substring(r.name, 1, 2)")
+    assert(keys.size == 2)
+    // the parsed keys group df into exactly the rule's blocks
+    val n = df.groupBy(keys: _*).count().count()
+    assert(n == df.select(col("block"), substring(col("name"), 1, 2))
+      .distinct().count())
+    intercept[IllegalArgumentException] {
+      Blocking.ruleKeys(spark, "l.amount < r.amount")
+    }
+    intercept[IllegalArgumentException] {
+      Blocking.ruleKeys(spark, "l.name = r.block")
+    }
+  }
+
+  test("blockStats: counts, max/p99, exact pair prediction per rule") {
+    val stats = Blocking.blockStats(df, settings.copy(
+        blockingRules = Seq("l.block = r.block", "l.amount = r.amount")))
+      .orderBy("rule_idx")
+      .as[(Long, Long, Long, Double, Long)].collect().toSeq
+    // rule 1: 4 blocks of 3 → max 3, pairs 4·C(3,2)=12
+    assert(stats.head == ((1L, 4L, 3L, 3.0, 12L)))
+    // rule 2: amounts 100/200/300/400 pair up (4 blocks of 2), 4 singletons
+    assert(stats(1) == ((2L, 8L, 2L, 2.0, 4L)))
+    // the prediction equals the rule join's actual pre-dedup output
+    val actual = Blocking.pairs(df,
+      settings.copy(blockingRules = Seq("l.block = r.block"))).count()
+    assert(stats.head._5 == actual)
+  }
+
+  test("maxBlockSize purges oversized blocks per rule, others unaffected") {
+    val capped = settings.copy(
+      blockingRules = Seq("l.block = r.block", "l.amount = r.amount"),
+      maxBlockSize = Some(2))
+    val pairs = Blocking.pairs(df, capped)
+    // every size-3 block is purged under rule 1 (0 pairs); rule 2's
+    // size-2 amount blocks survive → exactly the 4 same-amount pairs
+    assert(pairs.count() == 4)
+    assert(pairs.filter(col("name_l") =!= col("name_r")).count() == 0)
+    // cap high enough to keep everything == exact uncapped semantics
+    val loose = Blocking.pairs(df, capped.copy(maxBlockSize = Some(3)))
+      .select("unique_id_l", "unique_id_r").collect().toSet
+    val exact = Blocking.pairs(df, capped.copy(maxBlockSize = None))
+      .select("unique_id_l", "unique_id_r").collect().toSet
+    assert(loose == exact)
+  }
+
   test("unlinkables: records with zero candidate pairs, exact share") {
     // blocks of size 1 strand their record; multi-rule coverage counts a
     // record linked if ANY rule pairs it
