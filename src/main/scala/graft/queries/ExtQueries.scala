@@ -913,6 +913,72 @@ object ExtQueries {
                OR end_ms + 1800000 < (SELECT max(epoch_ms(ts)) FROM events)
             ORDER BY user_id, start_ms"""))
 
+  /** q173: watermarked streaming exact dedup through the real engine —
+    * the `dropDuplicates` state-store path (one state row per distinct
+    * key within the watermark horizon), the third stateful operator
+    * under the driver contract after q171's flatMapGroupsWithState and
+    * q168's stateful agg. Append mode emits each distinct
+    * (user_id, event_type, ts) the batch it first appears, so the
+    * terminal output is exactly the batch DISTINCT — the oracle. Event
+    * time is truncated to the hour BEFORE the dedup so the stream
+    * genuinely drops rows (raw micro-timestamps are all distinct — a
+    * no-op dedup would exercise the state store without testing the
+    * drops); the truncated column stays a valid event-time watermark.
+    * Only the dedup keys are selected: any other column's value would
+    * depend on which duplicate arrived first. */
+  private val q173 = QDef(
+    "q173_stream_dedup",
+    (s, dir) => {
+      Tables.ensureNanosConf(s)
+      val path = s"$dir/events.parquet"
+      val schema = s.read.parquet(path).schema
+      val ev = Tables.normalizeEventsTs(
+          s.readStream.schema(schema).parquet(s"$path*"))
+        .withColumn("ts", date_trunc("hour", col("ts")))
+      val sink = "q173_stream_sink"
+      s.catalog.dropTempView(sink)
+      val q = Streams.dedupStream(ev, Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type"),
+          unix_millis(col("ts")).as("hour_ms"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink).orderBy("user_id", "event_type", "hour_ms")
+    },
+    Some("""SELECT DISTINCT user_id, event_type,
+                   epoch_ms(date_trunc('hour', ts)) AS hour_ms
+            FROM events ORDER BY user_id, event_type, hour_ms"""))
+
+  /** q174: key-only streaming dedup through the real
+    * `dropDuplicatesWithinWatermark` state path — unlike q173 (which
+    * keys state on key+timestamp), ANY re-occurrence of a key inside the
+    * watermark horizon is dropped; the testdata spans one horizon under
+    * AvailableNow, so the emitted set is exactly the distinct keys. Only
+    * the key column is selected (the surviving row per key is
+    * first-arrival-wins — nondeterministic for non-key columns). */
+  private val q174 = QDef(
+    "q174_stream_dedup_keys",
+    (s, dir) => {
+      Tables.ensureNanosConf(s)
+      val path = s"$dir/events.parquet"
+      val schema = s.read.parquet(path).schema
+      val ev = Tables.normalizeEventsTs(
+        s.readStream.schema(schema).parquet(s"$path*"))
+      val sink = "q174_stream_sink"
+      s.catalog.dropTempView(sink)
+      val q = Streams.dedupKeysWithinWatermark(ev, Seq("event_type"))
+        .select(col("event_type"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink).orderBy("event_type")
+    },
+    Some("SELECT DISTINCT event_type FROM events ORDER BY event_type"))
+
   /** Gap-based sessionization (30-min gap), window-function formulation;
     * millisecond integers throughout for cross-engine exactness. */
   private val q37 = QDef(
@@ -1956,5 +2022,5 @@ object ExtQueries {
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q40, q41, q49, q61, q62, q70, q71, q73, q74, q88, q89, q90, q91,
     q92, q93, q94, q95, q96, q97, q98, q100, q101, q102, q103, q104, q105,
-    q133, q142, q148, q159, q163, q166, q168, q171)
+    q133, q142, q148, q159, q163, q166, q168, q171, q173, q174)
 }
