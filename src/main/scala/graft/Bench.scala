@@ -45,10 +45,20 @@ object Bench {
 
     /** Pinned per-workload baseline seconds (best-of-3 after warmup,
       * sf0.1, local[32], 4g heap), measured 2026-08-15 (round 7) —
-      * the reference point drift_factor is computed against. NOTE: the
-      * round-7 measurement window itself sat in the ~1.33× ambient-slow
-      * band VERDICT r6 documented, so drift_factor < 1 on a quiet host
-      * is expected and meaningful. */
+      * the reference point drift_factor is computed against.
+      *
+      * Provenance audit 2026-08-16 (round 8, `runMain graft.Bench cal`
+      * probes; full series in SCALE.md): the quietest standalone probe
+      * read (0.249, 0.671, 2.098) → drift 1.056 — within ~6% of these
+      * pins, so they ARE quiet-host-correct and r7's "measured in a slow
+      * band" caveat was wrong; left unchanged (a <10% re-pin is inside
+      * the probe noise). Two context facts for reading drift_factor:
+      * the tide moves 1.05→1.45 within half an hour, and IN-BENCH
+      * bracketing samples read ~1.2× above concurrent standalone probes
+      * (the 174-query JVM's GC/page-cache state — shared with the
+      * queries being normalized, which is exactly why the brackets
+      * sample inside that JVM). So in-bench drift ≈ tide × JVM-state,
+      * both of which the queries experience too. */
     val baseline: Map[String, Double] =
       Map("cal_scan" -> 0.28, "cal_join" -> 0.65, "cal_loop" -> 1.93)
 
@@ -64,7 +74,35 @@ object Bench {
     }
   }
 
+  /** Repo tooling: sample the calibration anchors N times (default 3) and
+    * print each sample + its drift vs the pinned baseline — the cheap
+    * host-tide probe used to hunt a verified-quiet window for re-pinning
+    * (SCALE.md anchor-provenance protocol) without paying a full bench.
+    * Run: `sbt "runMain graft.Bench cal [n]"`. */
+  private def calProbe(n: Int): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def mat(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val dir = "/root/testdata/sf0.1"
+    Calibration.measure(spark, dir, mat) // warmup, untimed
+    val baseTot = Calibration.baseline.values.sum
+    (1 to n).foreach { i =>
+      val s = Calibration.measure(spark, dir, mat)
+      println(f"""{"cal_sample":$i,"cal_scan":${s("cal_scan")}%.3f,"cal_join":${s("cal_join")}%.3f,"cal_loop":${s("cal_loop")}%.3f,"drift":${s.values.sum / baseTot}%.3f}""")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("cal")) {
+      calProbe(args.lift(1).map(_.toInt).getOrElse(3)); return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
