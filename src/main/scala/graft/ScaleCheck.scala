@@ -167,8 +167,12 @@ object ScaleCheck {
       case _ => defaultArmFor(q)
     }
     def defaultArmFor(q: String): (String, Int) =
-      if (q.contains("connected_components") || q.contains("hyperball") ||
-        q.contains("betweenness"))
+      // stream-contract queries read the events table — route them to the
+      // behavioral axis FIRST (q173_stream_dedup would otherwise match the
+      // dedup branch and point at a documents-only dir)
+      if (q.contains("stream_")) (tDir, factor)
+      else if (q.contains("connected_components") || q.contains("hyperball") ||
+        q.contains("betweenness") || q.contains("incremental_cc"))
         (vDir, factor) // identity-graph growth axis
       else if (q.contains("motif")) (e2Dir, 2)
       // densification arm: wedge/triangle families are combinatorial in
@@ -193,8 +197,7 @@ object ScaleCheck {
         q.contains("mad") || q.contains("trimmed") ||
         q.contains("sliding") || q.contains("percent_rank") ||
         q.contains("gapfill") || q.contains("kaplan") ||
-        q.contains("ztest") || q.contains("concentration") ||
-        q.contains("stream_window"))
+        q.contains("ztest") || q.contains("concentration"))
         (tDir, factor) // behavioral axis: factor× users
       else if (q.contains("split"))
         (dDir, factor) // document-volume axis (dedup-keyed splitting)
