@@ -100,6 +100,55 @@ class StreamsSpec extends SparkTestBase {
     } finally sq.stop()
   }
 
+  test("stateful sessionization runs on the RocksDB state store (the at-scale provider)") {
+    // The default HDFS-backed provider keeps every state row on-heap — at
+    // 10⁹ live session keys that is the executor memory, not a state
+    // store. Spark's RocksDB provider (bundled: rocksdbjni) spills state
+    // to local disk with an off-heap block cache; this test pins that the
+    // flatMapGroupsWithState operator produces IDENTICAL output under it,
+    // so the 100 TB deployment conf is a flip, not a rewrite.
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = for {
+        u <- 1L to 3L
+        i <- 0 until 8
+      } yield (u, ts((i * 7 + (if (i > 4) 90 else 0)).toInt + u.toInt))
+      val batch = Streams.sessionizeBatch(
+          events.zipWithIndex
+            .map { case ((u, t), i) => (i.toLong, u, t) }
+            .toDF("event_id", "user_id", "ts"),
+          gapMs = 30 * 60 * 1000L)
+        .select("user_id", "start_ms", "end_ms", "n_events")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val mem = MemoryStream[SessionEvent]
+      val sq = Streams.sessionizeStream(mem.toDS(), gapMs = 30 * 60 * 1000L, "1 minute")
+        .writeStream.format("memory").queryName("sess_rocksdb")
+        .outputMode("append").start()
+      try {
+        events.sortBy(_._2.getTime).foreach { case (u, t) => mem.addData(SessionEvent(u, t)) }
+        sq.processAllAvailable()
+        // two watermark advances flush the remaining open sessions
+        mem.addData(SessionEvent(99L, ts(3000)))
+        sq.processAllAvailable()
+        mem.addData(SessionEvent(99L, ts(3001)))
+        sq.processAllAvailable()
+        val streamed = spark.table("sess_rocksdb")
+          .filter(col("user_id") =!= 99L)
+          .select("user_id", "start_ms", "end_ms", "n_events")
+          .as[(Long, Long, Long, Long)].collect().toSet
+        assert(streamed == batch,
+          s"RocksDB-store divergence: missing=${batch -- streamed} extra=${streamed -- batch}")
+      } finally sq.stop()
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stream-stream fan-in join matches the batch motif on the same transactions") {
     implicit val sqlCtx = spark.sqlContext
     // (ts, sender, beneficiary, amount, txn_id)
