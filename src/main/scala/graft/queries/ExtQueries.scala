@@ -979,6 +979,65 @@ object ExtQueries {
     },
     Some("SELECT DISTINCT event_type FROM events ORDER BY event_type"))
 
+  /** q175: the structuring fan-in motif as a REAL stream-stream self-join —
+    * the last stateful-operator family under the driver contract
+    * (stream-stream join state: both sides buffered in the state store,
+    * evicted past watermark + range). File-source `readStream` over
+    * orders → the q17-style txn derivation (stateless in-stream) →
+    * [[Streams.fanInPairs]] (watermarked event-time-range inner
+    * self-join: two senders into one beneficiary within ±24 h, combined
+    * amount over the threshold) → AvailableNow → memory sink. Inner join
+    * in append mode emits each pair the micro-batch both sides exist, so
+    * the terminal table equals the batch twin — the oracle recomputes the
+    * same pairs relationally. `total` is one double addition of two
+    * parquet values — bit-identical cross-engine, no rounding. */
+  private val q175 = QDef(
+    "q175_stream_fanin_join",
+    (s, dir) => {
+      Tables.ensureNanosConf(s)
+      val ordPath = s"$dir/orders.parquet"
+      val schema = s.read.parquet(ordPath).schema
+      val nCust = Tables.load(s, dir, "customer")
+        .agg(max(col("c_custkey"))).head().getLong(0)
+      val txns = s.readStream.schema(schema).parquet(s"$ordPath*")
+        .select(
+          col("o_custkey").as("sender"),
+          (lit(1L) + (col("o_orderkey") * lit(7919L)) % lit(nCust))
+            .as("beneficiary"),
+          col("o_orderkey").as("txn_id"),
+          col("o_totalprice").as("amount"),
+          col("o_orderdate").cast("timestamp").as("ts"))
+        .where(col("sender") =!= col("beneficiary"))
+      val sink = "q175_stream_sink"
+      s.catalog.dropTempView(sink)
+      val q = Streams.fanInPairs(txns, minTotal = 300000.0,
+          within = "24 hours", watermark = "48 hours", streaming = true)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink).orderBy("a_txn", "b_txn")
+    },
+    Some("""WITH t AS (
+              SELECT * FROM (
+                SELECT o_custkey AS sender,
+                       1 + (o_orderkey * 7919) % (SELECT max(c_custkey)
+                                                  FROM customer) AS beneficiary,
+                       o_orderkey AS txn_id, o_totalprice AS amount,
+                       CAST(o_orderdate AS TIMESTAMP) AS ts
+                FROM orders) WHERE sender <> beneficiary)
+            SELECT a.sender AS a_id, b.sender AS b_id,
+                   a.beneficiary AS m_id,
+                   a.txn_id AS a_txn, b.txn_id AS b_txn,
+                   a.amount + b.amount AS total
+            FROM t a JOIN t b
+              ON a.beneficiary = b.beneficiary AND a.sender < b.sender
+             AND b.ts >= a.ts - INTERVAL 24 HOUR
+             AND b.ts <= a.ts + INTERVAL 24 HOUR
+            WHERE a.amount + b.amount > 300000
+            ORDER BY a_txn, b_txn"""))
+
   /** Gap-based sessionization (30-min gap), window-function formulation;
     * millisecond integers throughout for cross-engine exactness. */
   private val q37 = QDef(
@@ -2022,5 +2081,5 @@ object ExtQueries {
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q40, q41, q49, q61, q62, q70, q71, q73, q74, q88, q89, q90, q91,
     q92, q93, q94, q95, q96, q97, q98, q100, q101, q102, q103, q104, q105,
-    q133, q142, q148, q159, q163, q166, q168, q171, q173, q174)
+    q133, q142, q148, q159, q163, q166, q168, q171, q173, q174, q175)
 }

@@ -107,7 +107,15 @@ object Streams {
     * other, combined amount over `minTotal`. The event-time range bound plus
     * the watermark lets Spark evict join state older than
     * watermark + within, so state is bounded at any scale. The same plan
-    * runs on a batch frame (StreamsSpec proves stream ≡ batch). */
+    * runs on a batch frame (StreamsSpec proves stream ≡ batch).
+    *
+    * Expected noise: Catalyst pushes the `minTotal` filter (it references
+    * both sides) into the join condition, and StreamingJoinHelper logs a
+    * WARN per non-time conjunct it cannot solve for a state constraint —
+    * the TIME conjuncts still yield the watermark constraint, so state IS
+    * evicted. Pinned by StreamsSpec's "state is EVICTED" test (the same
+    * log shows `generated watermark constraint`, and numRowsTotal shrinks
+    * once the watermark passes). */
   def fanInPairs(txns: DataFrame, minTotal: Double, within: String = "1 hour",
       watermark: String = "2 hours", streaming: Boolean = true): DataFrame = {
     def side(p: String): DataFrame = {

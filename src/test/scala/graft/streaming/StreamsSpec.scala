@@ -250,6 +250,44 @@ class StreamsSpec extends SparkTestBase {
     } finally sq.stop()
   }
 
+  test("fan-in join state is EVICTED once the watermark passes the range") {
+    // The minTotal filter references both sides, so Catalyst pushes it
+    // into the stream-stream join condition and StreamingJoinHelper WARNs
+    // it cannot extract a state constraint from that conjunct. This test
+    // pins that the TIME conjuncts still yield the state watermark — old
+    // buffered rows must be removed as the watermark advances. If this
+    // ever fails, fanInPairs' bounded-state claim is broken and the
+    // threshold filter must move out of the streaming plan.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double, Long, Long)]
+    val txns = mem.toDF()
+      .toDF("sender", "beneficiary", "amount", "txn_id", "ms")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+    val q = Streams
+      .fanInPairs(txns, minTotal = 100.0, within = "1 hour",
+        watermark = "1 hour", streaming = true)
+      .writeStream.format("memory").queryName("fanin_evict")
+      .outputMode("append").start()
+    // offsets ride on the 2024 fixture base: epoch-0 rows would be dropped
+    // as late against the initial watermark (observed: 4 rows dropped)
+    def hr(h: Int): Long = t0 + h * 3600000L
+    try {
+      mem.addData((1L, 9L, 200.0, 101L, hr(0)), (2L, 9L, 300.0, 102L, hr(0)))
+      q.processAllAvailable()
+      val afterLoad = q.lastProgress.stateOperators.apply(0).numRowsTotal
+      assert(afterLoad >= 2, s"expected both txns buffered, got $afterLoad")
+      // advance the watermark far past hour 0 + within + delay
+      Seq(10, 20).foreach { h =>
+        mem.addData((50L + h, 999L, 1.0, 900L + h, hr(h)))
+        q.processAllAvailable()
+      }
+      val afterAdvance = q.lastProgress.stateOperators.apply(0).numRowsTotal
+      assert(afterAdvance < afterLoad + 2,
+        s"state grew without eviction: $afterLoad -> $afterAdvance")
+      assert(spark.table("fanin_evict").count() == 1) // the (1,2)->9 pair
+    } finally q.stop()
+  }
+
   test("stream-stream left-outer join emits unmatched rows after the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val pm = MemoryStream[(Timestamp, Long, Long)] // ts, txn_id, user_id
