@@ -170,7 +170,8 @@ object ScaleCheck {
       // stream-contract queries read the events table — route them to the
       // behavioral axis FIRST (q173_stream_dedup would otherwise match the
       // dedup branch and point at a documents-only dir)
-      if (q.contains("stream_")) (tDir, factor)
+      if (q.contains("stream_fanin")) (e2Dir, 2) // orders-derived txn pairs: combinatorial in density, the motif family's arm
+      else if (q.contains("stream_")) (tDir, factor)
       else if (q.contains("connected_components") || q.contains("hyperball") ||
         q.contains("betweenness") || q.contains("incremental_cc"))
         (vDir, factor) // identity-graph growth axis
