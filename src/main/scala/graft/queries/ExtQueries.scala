@@ -36,12 +36,19 @@ object ExtQueries {
     * SPARK_GRAFT_STREAM_PARTITIONS to match its key cardinality. (The
     * temporary session-conf set is visible to concurrently-planned batch
     * queries — partition count never changes their results.) */
-  private def withStreamPartitions[T](s: SparkSession)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val saved = s.conf.get(key)
-    s.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
-    try body finally s.conf.set(key, saved)
-  }
+  private val streamConfLock = new Object
+  private def withStreamPartitions[T](s: SparkSession)(body: => T): T =
+    // serialized: Verify runs queries on 4 threads over ONE session, and
+    // two interleaved set/restore pairs would restore the wrong value
+    // (T1 saves 32, T2 saves T1's 8, T2 restores 8 — the session is left
+    // at 8 for every later batch plan). Stream runs are seconds; the
+    // other 170 queries keep their full concurrency.
+    streamConfLock.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val saved = s.conf.get(key)
+      s.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+      try body finally s.conf.set(key, saved)
+    }
 
   // ---------- deduplication ----------
 
