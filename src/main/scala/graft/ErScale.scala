@@ -61,8 +61,13 @@ object ErScale {
       math.max(4L << 20, (128L << 20) / factor).toString)
 
     val off = 100000000L
-    def copies(df: DataFrame, n: Int, shift: Map[String, Long]): DataFrame =
-      df.crossJoin(spark.range(n).select(col("id").as("__c")))
+    // `from = 1` for union arms: every clone shifts by ≥ off so no clone
+    // keeps the original's key (a __c=0 clone unioned with the base would
+    // duplicate unique_ids, and the l.uid < r.uid pair dedup would then
+    // collapse some pairs, skewing the measured densification)
+    def copies(df: DataFrame, n: Int, shift: Map[String, Long],
+        from: Int = 0): DataFrame =
+      df.crossJoin(spark.range(from, from + n).select(col("id").as("__c")))
         .select(df.columns.map { c =>
           shift.get(c).fold(col(c))(m => (col(c) + col("__c") * m).as(c))
         }.toIndexedSeq: _*)
@@ -77,7 +82,7 @@ object ErScale {
     val skewDir = s"$out-skew$factor"
     customer.unionAll(
         copies(customer.where(col("c_custkey") % 100 === 0), factor,
-          Map("c_custkey" -> off)))
+          Map("c_custkey" -> off), from = 1))
       .write.mode("overwrite").parquet(s"$skewDir/customer.parquet")
     // uniform arm: every customer cloned factor× (ScaleCheck's v-axis)
     val uniDir = s"$out-uni$factor"

@@ -163,10 +163,14 @@ object Blocking {
       case And(a, b) => conjuncts(a) ++ conjuncts(b)
       case other => Seq(other)
     }
+    // strip BOTH aliases from BOTH sides: a symmetric equality is legal
+    // written either way around (`l.x = r.x` or `r.x = l.x`), and each
+    // side references exactly one alias, so the double strip is safe
+    val bare = (e: Expression) => strip("r")(strip("l")(e))
     conjuncts(spark.sessionState.sqlParser.parseExpression(rule)).map {
       case EqualTo(lhs, rhs) =>
-        val lk = strip("l")(lhs)
-        val rk = strip("r")(rhs)
+        val lk = bare(lhs)
+        val rk = bare(rhs)
         require(lk.sql == rk.sql,
           s"blocking rule conjunct is not a symmetric equality: ${lhs.sql} = ${rhs.sql}")
         graft.functions.Cols.of(lk)
@@ -185,11 +189,20 @@ object Blocking {
     * size, so a max_block in the thousands means one rule owns the job
     * (and tells you what [[ErSettings.maxBlockSize]] cap would bound it,
     * and what that cap would drop). One count-aggregate per rule over the
-    * record table — linear, broadcast-free, safe at any scale. */
+    * record table — linear, broadcast-free, safe at any scale.
+    *
+    * NULL block keys: rows where ANY of the rule's key expressions is
+    * NULL are excluded before the per-block aggregate — the rule's
+    * equi-join never matches NULL keys (SQL `NULL = NULL` is not true),
+    * so counting them as a block (groupBy groups nulls together) would
+    * over-predict the pair count on exactly the dirty data this
+    * pre-flight targets. The readout is the pair count the join WILL
+    * emit, null-keyed rows contributing zero pairs under this rule. */
   def blockStats(df: DataFrame, settings: ErSettings): DataFrame =
     settings.blockingRules.zipWithIndex.map { case (rule, i) =>
       val keys = ruleKeys(df.sparkSession, rule)
-      df.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
+      df.where(keys.map(_.isNotNull).reduce(_ && _))
+        .groupBy(keys: _*).agg(count(lit(1)).as("__n"))
         .agg(
           count(lit(1)).as("n_blocks"),
           max(col("__n")).as("max_block"),

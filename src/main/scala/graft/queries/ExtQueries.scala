@@ -22,33 +22,40 @@ import graft.streaming.Streams
   */
 object ExtQueries {
 
-  /** Runs `body` (a streaming query's start + awaitTermination) with
-    * `spark.sql.shuffle.partitions` sized for STREAM STATE, restoring the
-    * session value after. A streaming query freezes its shuffle-partition
-    * count into the state checkpoint at FIRST start (it can never change
-    * across restarts — every state store lives per partition forever), so
-    * unlike batch it must be a deliberate choice sized to expected state
-    * volume, not inherited from the batch default: at the contract SFs,
-    * 32 partitions mean 32 (×2 per stream-stream join side) state-store
-    * lifecycles per micro-batch for kilobytes of state — measured 12.4 s
-    * → 4.4 s on q175 and 2.7 s → 1.4 s on q168 at 4 partitions. Default 8
-    * keeps real parallelism; a large deployment sets
-    * SPARK_GRAFT_STREAM_PARTITIONS to match its key cardinality. (The
-    * temporary session-conf set is visible to concurrently-planned batch
-    * queries — partition count never changes their results.) */
-  private val streamConfLock = new Object
-  private def withStreamPartitions[T](s: SparkSession)(body: => T): T =
-    // serialized: Verify runs queries on 4 threads over ONE session, and
-    // two interleaved set/restore pairs would restore the wrong value
-    // (T1 saves 32, T2 saves T1's 8, T2 restores 8 — the session is left
-    // at 8 for every later batch plan). Stream runs are seconds; the
-    // other 170 queries keep their full concurrency.
-    streamConfLock.synchronized {
-      val key = "spark.sql.shuffle.partitions"
-      val saved = s.conf.get(key)
-      s.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
-      try body finally s.conf.set(key, saved)
-    }
+  /** Runs `body` against a FRESH session (`spark.newSession()` — shared
+    * SparkContext and catalog, session-scoped SQL conf and temp views)
+    * whose `spark.sql.shuffle.partitions` is sized for STREAM STATE. A
+    * streaming query freezes its shuffle-partition count into the state
+    * checkpoint at FIRST start (it can never change across restarts —
+    * every state store lives per partition forever), so unlike batch it
+    * must be a deliberate choice sized to expected state volume, not
+    * inherited from the batch default: at the contract SFs, 32 partitions
+    * mean 32 (×2 per stream-stream join side) state-store lifecycles per
+    * micro-batch for kilobytes of state — measured 12.4 s → 4.4 s on q175
+    * and 2.7 s → 1.4 s on q168 at 4 partitions. Default 8 keeps real
+    * parallelism; a large deployment sets SPARK_GRAFT_STREAM_PARTITIONS
+    * to match its key cardinality.
+    *
+    * Session-scoped conf means no lock, no set/restore race, and ZERO
+    * visibility to the batch queries Verify plans concurrently on its
+    * thread pool (round 8's shared-session wrapper serialized
+    * stream-vs-stream but still planned concurrent BATCH queries at the
+    * stream's partition count while a stream held the conf). The memory
+    * sink's temp view registers in the session that starts the stream, so
+    * `body` receives the stream session and must do ALL its work there —
+    * readStream, start, and the terminal sink-table read; a fresh session
+    * per run also means no stale sink view from a previous Bench pass.
+    * Runtime confs do not carry into a new session, so the two this path
+    * depends on are re-established explicitly. */
+  private def withStreamSession[T](s: SparkSession)(body: SparkSession => T): T = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.session.timeZone",
+      s.conf.get("spark.sql.session.timeZone"))
+    Tables.ensureNanosConf(ss)
+    ss.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    body(ss)
+  }
 
   // ---------- deduplication ----------
 
@@ -845,29 +852,23 @@ object ExtQueries {
     * contract rather than only in StreamsSpec. */
   private val q168 = QDef(
     "q168_stream_window_agg",
-    (s, dir) => {
-      Tables.ensureNanosConf(s) // the scan below bypasses Tables.load
+    (s, dir) => withStreamSession(s) { ss =>
       val path = s"$dir/events.parquet"
-      val schema = s.read.parquet(path).schema
+      val schema = ss.read.parquet(path).schema
       // the testdata table is a single FILE; the file stream source
       // requires a directory or a GLOB (it tails for new files), so read
       // the one file via glob — at scale the path is a directory of
       // parts and this is just `.parquet(dir)`
       val ev = Tables.normalizeEventsTs(
-        s.readStream.schema(schema).parquet(s"$path*"))
+        ss.readStream.schema(schema).parquet(s"$path*"))
       val sink = "q168_stream_sink"
-      // a previous pass's sink table (Bench best-of-N) is stale state,
-      // not input — drop before restarting the stream
-      s.catalog.dropTempView(sink)
-      withStreamPartitions(s) {
-        val q = Streams.windowedAgg(ev, watermark = Some("2 hours"))
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("complete")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-      s.table(sink)
+      val q = Streams.windowedAgg(ev, watermark = Some("2 hours"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table(sink)
         .select(unix_millis(col("window_start")).as("window_start_ms"),
           col("event_type"), col("n_events"),
           round(col("total_value"), 2).as("total_value"))
@@ -897,29 +898,24 @@ object ExtQueries {
     * this row exists to pin down. */
   private val q171 = QDef(
     "q171_stream_sessionize",
-    (s, dir) => {
-      import s.implicits._
-      Tables.ensureNanosConf(s) // the scan below bypasses Tables.load
+    (s, dir) => withStreamSession(s) { ss =>
+      import ss.implicits._
       val path = s"$dir/events.parquet"
-      val schema = s.read.parquet(path).schema
+      val schema = ss.read.parquet(path).schema
       // single-FILE testdata table read via glob (file stream source wants
       // a directory/glob); at scale this is just `.parquet(dir)`
       val ev = Tables.normalizeEventsTs(
-        s.readStream.schema(schema).parquet(s"$path*"))
+        ss.readStream.schema(schema).parquet(s"$path*"))
       val sink = "q171_stream_sink"
-      // a previous pass's sink table (Bench best-of-N) is stale state
-      s.catalog.dropTempView(sink)
       val sessions = Streams.sessionizeStream(
         ev.select(col("user_id"), col("ts")).as[Streams.SessionEvent],
         gapMs = 30 * 60 * 1000L, watermarkDelay = "0 seconds")
-      withStreamPartitions(s) {
-        val q = sessions.writeStream.format("memory").queryName(sink)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-      s.table(sink).orderBy("user_id", "start_ms")
+      val q = sessions.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table(sink).orderBy("user_id", "start_ms")
     },
     // q37's session CTEs + the append-mode emission rule (strict <, ms
     // floor on both engines: Timestamp.getTime / epoch_ms)
@@ -960,26 +956,22 @@ object ExtQueries {
     * depend on which duplicate arrived first. */
   private val q173 = QDef(
     "q173_stream_dedup",
-    (s, dir) => {
-      Tables.ensureNanosConf(s)
+    (s, dir) => withStreamSession(s) { ss =>
       val path = s"$dir/events.parquet"
-      val schema = s.read.parquet(path).schema
+      val schema = ss.read.parquet(path).schema
       val ev = Tables.normalizeEventsTs(
-          s.readStream.schema(schema).parquet(s"$path*"))
+          ss.readStream.schema(schema).parquet(s"$path*"))
         .withColumn("ts", date_trunc("hour", col("ts")))
       val sink = "q173_stream_sink"
-      s.catalog.dropTempView(sink)
-      withStreamPartitions(s) {
-        val q = Streams.dedupStream(ev, Seq("user_id", "event_type"))
-          .select(col("user_id"), col("event_type"),
-            unix_millis(col("ts")).as("hour_ms"))
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-      s.table(sink).orderBy("user_id", "event_type", "hour_ms")
+      val q = Streams.dedupStream(ev, Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type"),
+          unix_millis(col("ts")).as("hour_ms"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table(sink).orderBy("user_id", "event_type", "hour_ms")
     },
     Some("""SELECT DISTINCT user_id, event_type,
                    epoch_ms(date_trunc('hour', ts)) AS hour_ms
@@ -989,31 +981,34 @@ object ExtQueries {
     * `dropDuplicatesWithinWatermark` state path — unlike q173 (which
     * keys state on key+timestamp), ANY re-occurrence of a key inside the
     * watermark horizon is dropped; the testdata spans one horizon under
-    * AvailableNow, so the emitted set is exactly the distinct keys. Only
-    * the key column is selected (the surviving row per key is
-    * first-arrival-wins — nondeterministic for non-key columns). */
+    * AvailableNow, so the emitted set is exactly the distinct keys.
+    * Keyed on (user_id, event_type) so the contract output is one row
+    * per user-type pair (thousands of rows at the contract SFs, one
+    * state row per pair) — wide enough that a regression double-emitting
+    * or dropping per-key first arrivals is visible, where an
+    * event_type-only key (5 rows) would mask everything short of a
+    * whole-type loss. Only the key columns are selected (the surviving
+    * row per key is first-arrival-wins — nondeterministic for non-key
+    * columns). */
   private val q174 = QDef(
     "q174_stream_dedup_keys",
-    (s, dir) => {
-      Tables.ensureNanosConf(s)
+    (s, dir) => withStreamSession(s) { ss =>
       val path = s"$dir/events.parquet"
-      val schema = s.read.parquet(path).schema
+      val schema = ss.read.parquet(path).schema
       val ev = Tables.normalizeEventsTs(
-        s.readStream.schema(schema).parquet(s"$path*"))
+        ss.readStream.schema(schema).parquet(s"$path*"))
       val sink = "q174_stream_sink"
-      s.catalog.dropTempView(sink)
-      withStreamPartitions(s) {
-        val q = Streams.dedupKeysWithinWatermark(ev, Seq("event_type"))
-          .select(col("event_type"))
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-      s.table(sink).orderBy("event_type")
+      val q = Streams.dedupKeysWithinWatermark(ev, Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table(sink).orderBy("user_id", "event_type")
     },
-    Some("SELECT DISTINCT event_type FROM events ORDER BY event_type"))
+    Some("""SELECT DISTINCT user_id, event_type FROM events
+            ORDER BY user_id, event_type"""))
 
   /** q175: the structuring fan-in motif as a REAL stream-stream self-join —
     * the last stateful-operator family under the driver contract
@@ -1029,13 +1024,12 @@ object ExtQueries {
     * parquet values — bit-identical cross-engine, no rounding. */
   private val q175 = QDef(
     "q175_stream_fanin_join",
-    (s, dir) => {
-      Tables.ensureNanosConf(s)
+    (s, dir) => withStreamSession(s) { ss =>
       val ordPath = s"$dir/orders.parquet"
-      val schema = s.read.parquet(ordPath).schema
-      val nCust = Tables.load(s, dir, "customer")
+      val schema = ss.read.parquet(ordPath).schema
+      val nCust = Tables.load(ss, dir, "customer")
         .agg(max(col("c_custkey"))).head().getLong(0)
-      val txns = s.readStream.schema(schema).parquet(s"$ordPath*")
+      val txns = ss.readStream.schema(schema).parquet(s"$ordPath*")
         .select(
           col("o_custkey").as("sender"),
           (lit(1L) + (col("o_orderkey") * lit(7919L)) % lit(nCust))
@@ -1045,17 +1039,14 @@ object ExtQueries {
           col("o_orderdate").cast("timestamp").as("ts"))
         .where(col("sender") =!= col("beneficiary"))
       val sink = "q175_stream_sink"
-      s.catalog.dropTempView(sink)
-      withStreamPartitions(s) {
-        val q = Streams.fanInPairs(txns, minTotal = 300000.0,
-            within = "24 hours", watermark = "48 hours", streaming = true)
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-      s.table(sink).orderBy("a_txn", "b_txn")
+      val q = Streams.fanInPairs(txns, minTotal = 300000.0,
+          within = "24 hours", watermark = "48 hours", streaming = true)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table(sink).orderBy("a_txn", "b_txn")
     },
     Some("""WITH t AS (
               SELECT * FROM (

@@ -80,6 +80,31 @@ class FellegiSunterSpec extends SparkTestBase {
     }
   }
 
+  test("ruleKeys: reversed-alias symmetric equality accepted (r.x = l.x)") {
+    val keys = Blocking.ruleKeys(spark, "r.block = l.block")
+    assert(keys.size == 1)
+    assert(df.groupBy(keys: _*).count().count() == 4)
+    // mixed orientation across conjuncts too
+    assert(Blocking.ruleKeys(spark,
+      "r.block = l.block AND l.amount = r.amount").size == 2)
+  }
+
+  test("blockStats excludes NULL-keyed rows (the join emits no pairs for them)") {
+    // two null-block rows would form a 2-row "block" under groupBy (which
+    // groups nulls), but the rule's equi-join never matches NULL = NULL —
+    // the predicted pair count must not include them
+    val withNulls = df.unionByName(Seq(
+        (100L, "nan", 1.0, Option.empty[Long]),
+        (101L, "nan2", 1.0, Option.empty[Long]))
+      .toDF("unique_id", "name", "amount", "block"))
+    val one = settings.copy(blockingRules = Seq("l.block = r.block"))
+    val stats = Blocking.blockStats(withNulls, one)
+      .as[(Long, Long, Long, Double, Long)].head()
+    assert(stats == ((1L, 4L, 3L, 3.0, 12L))) // identical to the null-free df
+    // and matches the rule join's actual pre-dedup output on the dirty data
+    assert(stats._5 == Blocking.pairs(withNulls, one).count())
+  }
+
   test("blockStats: counts, max/p99, exact pair prediction per rule") {
     val stats = Blocking.blockStats(df, settings.copy(
         blockingRules = Seq("l.block = r.block", "l.amount = r.amount")))
