@@ -132,6 +132,58 @@ object GraphQueries {
     },
     q16.oracle)
 
+  /** q177: [[graft.graph.IncrementalCC]] driven through a REAL Structured
+    * Streaming source and sink — q48 folds the same three edge batches in
+    * a batch loop; this row runs them as a file-source STREAM
+    * (`maxFilesPerTrigger = 1`, so each batch file is its own
+    * micro-batch) into [[graft.streaming.Streams.IncrementalCCSink]] via
+    * `foreachBatch`, the "persist the assignment per micro-batch" path
+    * the operator's scaladoc prescribes for production. The terminal
+    * assignment is read from the sink after `AvailableNow` termination.
+    * Min-member normalization makes the fold equal to one batch CC over
+    * the union REGARDLESS of micro-batch order, so file-discovery order
+    * does not matter and the oracle is q16's recursive CTE verbatim.
+    * Batch inputs are staged to a per-run temp dir (three single-file
+    * parquet batches split by `src mod 3` — the q48 split); at scale the
+    * source is simply the edge landing directory. */
+  private val q177 = QDef(
+    "q177_stream_incremental_cc",
+    (s, dir) => StreamSession(s) { ss =>
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val g = sharedAttrGraph(ss, dir)
+      val edges = g.edges.select(col("src"), col("dst"))
+      val tmp = Files.createTempDirectory("q177_").toString
+      val inDir = s"$tmp/in"
+      Files.createDirectories(Paths.get(inDir))
+      (0 until 3).foreach { i =>
+        val stage = s"$tmp/stage_$i"
+        edges.where(pmod(col("src"), lit(3)) === i)
+          .coalesce(1).write.parquet(stage)
+        val part = Files.list(Paths.get(stage)).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet part written under $stage"))
+        Files.move(part, Paths.get(s"$inDir/batch_$i.parquet"))
+      }
+      val sink = new graft.streaming.Streams.IncrementalCCSink()
+      val q = ss.readStream.schema(edges.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+        .writeStream
+        .foreachBatch((b: DataFrame, id: Long) => sink.update(b, id))
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val assign = sink.current
+        .getOrElse(sys.error("stream produced no micro-batches"))
+      g.vertices
+        .join(assign, Seq("id"), "left_outer")
+        .select(col("id"),
+          coalesce(col("component"), col("id")).as("component"))
+        .orderBy("id")
+    },
+    q16.oracle)
+
   /** Landmark shortest paths (GraphFrames `shortestPaths` surface) on the
     * identity graph: BFS hop distance from every reachable vertex to
     * landmarks 1 and 7. Oracle: bounded recursive-CTE walk + min per
@@ -1231,5 +1283,5 @@ object GraphQueries {
   val all: Seq[QDef] =
     Seq(q15, q16, q17, q18, q19, q20, q42, q44, q45, q48, q50, q58, q59, q60,
       q69, q85, q86, q107, q108, q135, q136, q137, q138, q139, q143, q144,
-      q150, q152, q156, q165)
+      q150, q152, q156, q165, q177)
 }

@@ -708,6 +708,50 @@ object RelationalQueries {
       Some(branches.mkString("", " UNION ALL ", " ORDER BY col_name")))
   }
 
+  /** q176: the AT-SCALE stats mode under the contract — q106 registers
+    * [[graft.engine.Stats.columnStats]]'s exact-NDV mode (oracle parity);
+    * this row runs the `approxNdv = true` HyperLogLog path (no Expand,
+    * one map-side-combinable pass — THE mode a 100 TB ANALYZE runs) and
+    * gates it with the q93 device: the hash-compared columns are the
+    * exact profile (reproduced by DuckDB) plus a within-4×rsd assertion
+    * on the HLL estimate computed genuinely in Spark (rsd 0.05 default →
+    * bound 0.2·exact; the sketch value itself is engine-specific, so the
+    * bound — not the estimate — is the portable contract). A broken HLL
+    * path (garbage estimates, wrong column routing) flips within_bound
+    * and fails the row hash. Runs on orders so the Expand of the exact
+    * side stays cheap next to q106's lineitem profile. */
+  private val q176 = {
+    val cols = Seq( // (name, isNumeric) — orders schema, TESTDATA.md
+      "o_orderkey" -> true, "o_custkey" -> true, "o_orderstatus" -> false,
+      "o_totalprice" -> true, "o_orderdate" -> false,
+      "o_orderpriority" -> false)
+    val branches = cols.map { case (c, num) =>
+      val (mn, mx) =
+        if (num) (s"CAST(min($c) AS DOUBLE)", s"CAST(max($c) AS DOUBLE)")
+        else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                 CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+                 $mn AS min_num, $mx AS max_num, TRUE AS within_bound
+          FROM orders"""
+    }
+    QDef(
+      "q176_table_stats_hll",
+      (s, dir) => {
+        val approx = graft.engine.Stats
+          .columnStats(t(s, dir, "orders"), approxNdv = true)
+          .select(col("col_name"), col("ndv").as("__hll"))
+        graft.engine.Stats.columnStats(t(s, dir, "orders"))
+          .join(approx, Seq("col_name"))
+          .select(col("col_name"), col("n_rows"), col("n_nulls"), col("ndv"),
+            col("min_num"), col("max_num"),
+            (abs(col("__hll") - col("ndv")).cast("double") <=
+              lit(0.2) * col("ndv").cast("double")).as("within_bound"))
+          .orderBy("col_name")
+      },
+      Some(branches.mkString("", " UNION ALL ", " ORDER BY col_name")))
+  }
+
   /** q109: snapshot diff ([[graft.engine.Diff]]) between documents and a
     * deterministically perturbed v2 (drop id%7==0, edit text of id%5==0,
     * add id%11==0 clones under offset ids) — per-key added/removed/
@@ -848,5 +892,5 @@ object RelationalQueries {
   val all: Seq[QDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
       q39, q43, q66, q67, q68, q72, q75, q76, q77, q81, q82, q106, q109,
-      q132, q140, q146, q158)
+      q132, q140, q146, q158, q176)
 }

@@ -486,4 +486,91 @@ class StreamsSpec extends SparkTestBase {
         s"divergence: missing=${batch -- streamed} extra=${streamed -- batch}")
     } finally sq.stop()
   }
+
+  test("restart recovery: stateful stream resumes from a filesystem checkpoint exactly-once") {
+    // The state-store RECOVERY path a production stream exercises on every
+    // deploy, which no other test drives: run a stateful sessionization
+    // over PART of the input with a filesystem checkpointLocation +
+    // durable file sink, let AvailableNow terminate, append more input
+    // files, REBUILD the whole pipeline (as a restarted job would) against
+    // the same checkpoint, and run again. The offset log must skip the
+    // already-processed files (a replay would double-emit run 1's
+    // sessions into the append-only sink) and the state store must reload
+    // the open-session state version (a loss would split every
+    // boundary-spanning session in two). Both failure modes land in the
+    // terminal file-sink contents, which are asserted against the batch
+    // twin over ALL input.
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft_restart_").toString
+    val srcDir = s"$tmp/src"; val ckpt = s"$tmp/ckpt"; val outDir = s"$tmp/out"
+    Files.createDirectories(Paths.get(srcDir))
+
+    val gapMs = 30 * 60 * 1000L
+    // per user u in 1..4 (minutes, offset by u to decorrelate users):
+    //   part 1: 0,7,14  = session A (closed by the 60-min event in run 1)
+    //           60,67   = session B, OPEN at the end of run 1
+    //   part 2: 80,87   = session B continues (13 min < gap: SPANS restart)
+    //           150     = session C (open forever — never emitted)
+    // watermark delay 2 h > the part-1 span, so nothing times out in run 1
+    // and emission is purely closed-by-later-event — the batch twin is
+    // "every session except each user's last".
+    def mkEvents(minutes: Seq[Int]) =
+      (for { u <- 1L to 4L; m <- minutes } yield (u, ts(m + u.toInt)))
+        .toDF("user_id", "ts")
+    val part1 = Seq(0, 7, 14, 60, 67)
+    val part2 = Seq(80, 87, 150)
+
+    def runOnce(): Unit = {
+      val sq = Streams.sessionizeStream(
+          spark.readStream
+            .schema(mkEvents(part1).schema).parquet(srcDir)
+            .as[SessionEvent],
+          gapMs = gapMs, watermarkDelay = "2 hours")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+    }
+    def sunk(): Set[(Long, Long, Long, Long)] = spark.read.parquet(outDir)
+      .select("user_id", "start_ms", "end_ms", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    mkEvents(part1).coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce()
+    val afterRun1 = sunk()
+    // run 1 emits exactly the four closed A-sessions (3 events each)
+    assert(afterRun1.size == 4 && afterRun1.forall(_._4 == 3L),
+      s"run 1 emitted $afterRun1")
+
+    mkEvents(part2).coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce() // fresh pipeline, same checkpoint: the recovery path
+    val terminal = sunk()
+
+    // batch twin over ALL input: every session except each user's last
+    val allDf = mkEvents(part1 ++ part2)
+      .withColumn("event_id", col("user_id") * 1000 + unix_millis(col("ts")))
+    val twin = Streams.sessionizeBatch(allDf, gapMs)
+      .withColumn("last_sid",
+        max(col("sid")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")))
+      .where(col("sid") < col("last_sid"))
+      .select("user_id", "start_ms", "end_ms", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(terminal == twin,
+      s"restart divergence: missing=${twin -- terminal} extra=${terminal -- twin}")
+
+    // run 1's rows survived unduplicated (an offset replay would re-emit
+    // them as duplicate files in the sink's commit log)
+    assert(afterRun1.subsetOf(terminal))
+    val totalRows = spark.read.parquet(outDir).count()
+    assert(totalRows == terminal.size.toLong,
+      s"duplicate emissions: $totalRows physical rows, ${terminal.size} distinct")
+    // the boundary-spanning B-sessions carry events from BOTH runs: state
+    // was genuinely reloaded (a lost store would emit (80,87) pairs of 2)
+    val bSessions = terminal -- afterRun1
+    assert(bSessions.size == 4 && bSessions.forall(_._4 == 4L),
+      s"boundary sessions wrong (state not recovered?): $bSessions")
+  }
 }
