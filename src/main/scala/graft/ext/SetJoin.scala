@@ -87,22 +87,37 @@ object SetJoin {
     // hot self-join); AQE's runtime exchange reuse recovers only part of
     // that duplication (measured on q141's final adaptive plan: 2
     // ReusedExchange against 7 planned copies of the scan→dedup→freq→
-    // size→window upstream). `spark.graft.setjoin.reusePrefix=true`
-    // materializes the index ONCE as a lazy local checkpoint (executor
-    // blocks, memory+disk — the iterative graph operators' device,
-    // [[graft.graph.Checkpointer]]) and every consumer reads the blocks.
-    // Default OFF: a same-JVM A/B at sf0.1 measured the checkpoint arm
-    // ~15% SLOWER on q141/q162 (block write+read and the broken
-    // whole-stage pipeline cost more than the partially-reused
-    // recompute). Flip it on when the prefix upstream is expensive enough
-    // that 2-3 redundant full-table shuffles dominate — the 100 TB
-    // corpus, not the bench SF.
+    // size→window upstream; regression-guarded in PlanSpec).
+    // `spark.graft.setjoin.reusePrefix=true` materializes the index ONCE
+    // as a lazy local checkpoint (executor blocks, memory+disk — the
+    // iterative graph operators' device, [[graft.graph.Checkpointer]])
+    // and every consumer reads the blocks. The crossover was MEASURED on
+    // the e-axis volume arms (alternating-sample A/B so host tide
+    // cancels; every sample disclosed in SCALE.md): checkpoint is 1.13×
+    // (13% SLOWER) at sf0.1 (block write+read and the broken whole-stage
+    // pipeline cost more than the partially-reused recompute),
+    // break-even 0.96× at 10×, and at 100× it is the VARIANCE-REDUCING
+    // choice — on-samples span 173–241 s where off-samples span
+    // 164–368 s across identical runs (the redundant upstream shuffles
+    // multiply ambient contention): quiet-window floor 5% slower, median
+    // ~18% faster, loaded-window 35% faster. Default "auto" encodes
+    // that: checkpoint iff the optimizer's size estimate of the (pruned)
+    // items input exceeds `spark.graft.setjoin.reuseAutoBytes` (64 MB —
+    // between the measured break-even ~15 MB and robust-win ~136 MB
+    // estimates), so bench-scale corpora keep the recompute path and
+    // large corpora — which in the 100 TB context run on shared
+    // clusters, where the robust plan IS the fast plan — get
+    // checkpoint-once without anyone flipping a knob.
     val pfxP0 = prefix.repartition(col("item"))
-    val pfxP =
-      if (items.sparkSession.conf
-          .get("spark.graft.setjoin.reusePrefix", "false").toBoolean)
-        pfxP0.localCheckpoint(false)
-      else pfxP0
+    val conf = items.sparkSession.conf
+    val reuse = conf.get("spark.graft.setjoin.reusePrefix", "auto") match {
+      case "auto" =>
+        val threshold = BigInt(conf
+          .get("spark.graft.setjoin.reuseAutoBytes", (64L << 20).toString))
+        items.queryExecution.optimizedPlan.stats.sizeInBytes > threshold
+      case v => v.toBoolean
+    }
+    val pfxP = if (reuse) pfxP0.localCheckpoint(false) else pfxP0
     val hotToks = pfxP.groupBy("item").agg(count(lit(1)).as("__pc"))
       .where(col("__pc") > hotDf).select("item")
     val grouped = pfxP.join(broadcast(hotToks), Seq("item"), "left_anti")

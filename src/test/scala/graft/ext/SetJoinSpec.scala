@@ -139,4 +139,33 @@ class SetJoinSpec extends SparkTestBase {
       .orderBy("id_l", "id_r").collect().toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("reusePrefix modes (false/true/auto at both thresholds) agree exactly") {
+    // the knob chooses a MATERIALIZATION strategy for the prefix index —
+    // results must be bit-identical in every mode. auto = checkpoint iff
+    // the input's optimizer size estimate exceeds reuseAutoBytes; forcing
+    // the threshold to 1 byte drives the tiny fixture down the
+    // checkpoint path, so both auto branches are genuinely executed.
+    val rnd = new scala.util.Random(79)
+    val rows = (1 to 60).flatMap { id =>
+      Seq.fill(3 + rnd.nextInt(3))((id.toLong, rnd.nextInt(25).toLong))
+    }.distinct.toDF("id", "item")
+    val keyMode = "spark.graft.setjoin.reusePrefix"
+    val keyAuto = "spark.graft.setjoin.reuseAutoBytes"
+    def run(): Seq[org.apache.spark.sql.Row] =
+      SetJoin.jaccardPairs(rows, "id", "item", 0.4)
+        .orderBy("id_l", "id_r").collect().toSeq
+    val ref = try { spark.conf.set(keyMode, "false"); run() }
+      finally spark.conf.unset(keyMode)
+    def check(mode: String, autoBytes: Option[String]): Unit = {
+      spark.conf.set(keyMode, mode)
+      autoBytes.foreach(spark.conf.set(keyAuto, _))
+      try assert(run() == ref, s"mode=$mode autoBytes=$autoBytes diverged")
+      finally { spark.conf.unset(keyMode); spark.conf.unset(keyAuto) }
+    }
+    check("true", None)
+    check("auto", None)      // estimate ≪ 64 MB default → recompute branch
+    check("auto", Some("1")) // 1-byte threshold → checkpoint branch
+    assert(ref.nonEmpty)
+  }
 }

@@ -112,4 +112,26 @@ class PlanSpec extends SparkTestBase {
     assert(plans("q44_motif_structuring5").contains("Scan parquet"),
       "q44 should read its sources in-plan")
   }
+
+  test("q141's FINAL adaptive plan reuses part of the prefix-index upstream") {
+    // The set-join candidate generator plans the prefix-index upstream
+    // (scan → dedup → freq → size → window) for four consumers; AQE's
+    // runtime exchange reuse recovers only part of that duplication
+    // (measured at sf0.1: 2 ReusedExchange against 7 planned upstream
+    // copies — the fact behind the reusePrefix knob's crossover,
+    // SetJoin.scala). PLANS.md's main table records INITIAL plans, where
+    // reuse is still a guess; this executes the query's own
+    // QueryExecution and asserts on the FINALIZED AdaptiveSparkPlan so
+    // the partial-reuse claim is regression-guarded: losing all reuse
+    // (or the plan silently going non-adaptive) fails here.
+    val qe = graft.SparkEntry.queries("q141_basket_jaccard")(spark, dir)
+      .queryExecution
+    qe.toRdd.foreach(_ => ()) // execute THIS plan; AQE finalizes in place
+    val p = qe.explainString(FormattedMode)
+    val finalPart = p.split("== Initial Plan ==").head
+    assert(p.contains("isFinalPlan=true"), "q141 plan did not finalize")
+    val reused = finalPart.linesIterator.count(_.contains("ReusedExchange"))
+    assert(reused >= 1,
+      s"expected ≥1 ReusedExchange in q141's final adaptive plan, got $reused")
+  }
 }
