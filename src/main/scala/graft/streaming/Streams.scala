@@ -190,15 +190,84 @@ object Streams {
     * rebuild). The assignment is checkpointed every batch, so the lineage
     * chain never grows with the number of batches. Use with
     * `edges.writeStream.foreachBatch(sink.update _)`; read `sink.current`
-    * between/after batches. */
-  final class IncrementalCCSink(checkpointDir: Option[String] = None) {
+    * between/after batches.
+    *
+    * RESTART: with `stateDir` set, every folded assignment is committed to
+    * `stateDir/assign-<batchId>` (parquet; the `_SUCCESS` marker makes the
+    * commit atomic — a crash mid-write leaves no marker and the directory
+    * is ignored), and a new sink built over the same `stateDir` resumes
+    * from the highest committed batch. Micro-batch replay is handled the
+    * way every foreachBatch sink must: Structured Streaming re-delivers
+    * the last batch after a crash-before-sink-commit with the SAME
+    * batchId and (for replayable sources) the same rows, so `update`
+    * SKIPS any batchId ≤ the last committed one — exactly-once state
+    * folds over at-least-once delivery. The committed parquet also
+    * replaces the in-memory lineage root, so restart cost is one scan of
+    * the assignment, not a replay of history. Without `stateDir` the sink
+    * is single-lifecycle, as before. Old commits are pruned to the last
+    * `keepCommits` (default 2 — the live one plus its predecessor for
+    * post-mortems). */
+  final class IncrementalCCSink(checkpointDir: Option[String] = None,
+      stateDir: Option[String] = None, keepCommits: Int = 2) {
     import graft.graph.IncrementalCC
+    require(keepCommits >= 1, "keepCommits must be >= 1")
     @volatile private var assign: Option[DataFrame] = None
+    @volatile private var lastBatchId: Long = -1L
+    @volatile private var restored = false
+
+    private def committedBatches(d: String): Seq[(Long, java.io.File)] = {
+      val root = new java.io.File(d)
+      Option(root.listFiles()).getOrElse(Array.empty).toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("assign-") &&
+          new java.io.File(f, "_SUCCESS").exists())
+        .flatMap(f => f.getName.stripPrefix("assign-").toLongOption.map(_ -> f))
+        .sortBy(_._1)
+    }
+
+    /** Reload the newest committed assignment (needs a session, so it runs
+      * lazily on the first `update`/`currentOrRestore` of a lifecycle). */
+    private def restore(spark: org.apache.spark.sql.SparkSession): Unit =
+      stateDir.foreach { d =>
+        if (!restored) {
+          committedBatches(d).lastOption.foreach { case (bid, f) =>
+            assign = Some(spark.read.parquet(f.getPath))
+            lastBatchId = bid
+          }
+          restored = true
+        }
+      }
+
     /** The latest `(id, component)` assignment (None before the first batch). */
     def current: Option[DataFrame] = assign
+    /** [[current]], restoring from `stateDir` first if this lifecycle has
+      * not folded a batch yet. */
+    def currentOrRestore(spark: org.apache.spark.sql.SparkSession): Option[DataFrame] = {
+      restore(spark); assign
+    }
+
     def update(batch: DataFrame, batchId: Long): Unit = synchronized {
+      restore(batch.sparkSession)
+      if (batchId <= lastBatchId) return // replayed micro-batch: already folded
       val a = assign.getOrElse(IncrementalCC.emptyAssignment(batch))
-      assign = Some(IncrementalCC.step(a, batch, checkpointDir))
+      val next = IncrementalCC.step(a, batch, checkpointDir)
+      stateDir match {
+        case Some(d) =>
+          val path = s"$d/assign-$batchId"
+          next.write.mode("overwrite").parquet(path)
+          // the committed file IS the new lineage root (restart reads it
+          // anyway; reading it now keeps memory flat and drops the step's
+          // localCheckpoint blocks at the next GC)
+          assign = Some(batch.sparkSession.read.parquet(path))
+          committedBatches(d).dropRight(keepCommits).foreach { case (_, f) =>
+            def rm(x: java.io.File): Unit = {
+              Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+              x.delete(); ()
+            }
+            rm(f)
+          }
+        case None => assign = Some(next)
+      }
+      lastBatchId = batchId
     }
   }
 

@@ -340,6 +340,61 @@ class StreamsSpec extends SparkTestBase {
     } finally sq.stop()
   }
 
+  test("incremental CC sink restarts from its state dir, exactly-once over replay") {
+    // the custom-sink twin of the checkpoint-restart test: the built-in
+    // state store recovers via the offset/state logs, but a foreachBatch
+    // sink owns its own state — with stateDir set, the assignment must
+    // survive a new sink instance (a restarted job) and a re-delivered
+    // micro-batch (foreachBatch's at-least-once contract) must not be
+    // folded twice
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_ccsink_").toString
+    val src = s"$tmp/src"; val ckpt = s"$tmp/ckpt"; val state = s"$tmp/state"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    val all = Seq((1L, 2L), (3L, 4L), (2L, 3L), (10L, 11L), (4L, 10L))
+    def edgesDf(s: Seq[(Long, Long)]) = s.toDF("src", "dst")
+
+    def runLifecycle(sink: Streams.IncrementalCCSink): Unit = {
+      val sq = spark.readStream.schema(edgesDf(all).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+          sink.update(b, id))
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+    }
+
+    // lifecycle 1: first three edges in two files
+    edgesDf(all.take(2)).coalesce(1).write.mode("append").parquet(src)
+    edgesDf(all.slice(2, 3)).coalesce(1).write.mode("append").parquet(src)
+    val sink1 = new Streams.IncrementalCCSink(stateDir = Some(state))
+    runLifecycle(sink1)
+    val mid = sink1.current.get.as[(Long, Long)].collect().toSet
+    assert(mid.map(_._2) == Set(1L), s"1-2-3-4 should be one component: $mid")
+
+    // replayed micro-batch (same id as the last committed) must be a no-op
+    // even with DIFFERENT rows — the skip is by id, per the engine contract
+    sink1.update(edgesDf(Seq((777L, 778L))), 1L)
+    assert(sink1.current.get.as[(Long, Long)].collect().toSet == mid,
+      "replayed batchId was folded twice")
+
+    // lifecycle 2: a RESTARTED job — fresh sink instance over the same
+    // state dir + stream checkpoint; the remaining edges arrive
+    edgesDf(all.drop(3)).coalesce(1).write.mode("append").parquet(src)
+    val sink2 = new Streams.IncrementalCCSink(stateDir = Some(state))
+    assert(sink2.currentOrRestore(spark).get
+      .as[(Long, Long)].collect().toSet == mid, "state not restored")
+    runLifecycle(sink2)
+    val streamed = sink2.current.get.as[(Long, Long)].collect().toSet
+    val batch = graft.graph.ConnectedComponents
+      .runOnEdges(edgesDf(all))
+      .select("id", "component").as[(Long, Long)].collect().toSet
+    assert(streamed == batch,
+      s"restart divergence: missing=${batch -- streamed} extra=${streamed -- batch}")
+  }
+
   test("streaming sessionization closes sessions on gap or watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SessionEvent]
