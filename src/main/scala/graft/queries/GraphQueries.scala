@@ -145,7 +145,11 @@ object GraphQueries {
     * does not matter and the oracle is q16's recursive CTE verbatim.
     * Batch inputs are staged to a per-run temp dir (three single-file
     * parquet batches split by `src mod 3` — the q48 split); at scale the
-    * source is simply the edge landing directory. */
+    * source is simply the edge landing directory. The sink runs with
+    * `stateDir` — the DURABLE path (atomic per-batch assignment commits,
+    * restart-restore, replayed-batchId skip; StreamsSpec drives the
+    * actual restart) — so the contract exercises the production
+    * configuration, not the single-lifecycle one. */
   private val q177 = QDef(
     "q177_stream_incremental_cc",
     (s, dir) => StreamSession(s) { ss =>
@@ -165,7 +169,8 @@ object GraphQueries {
           .getOrElse(sys.error(s"no parquet part written under $stage"))
         Files.move(part, Paths.get(s"$inDir/batch_$i.parquet"))
       }
-      val sink = new graft.streaming.Streams.IncrementalCCSink()
+      val sink = new graft.streaming.Streams.IncrementalCCSink(
+        stateDir = Some(s"$tmp/state"))
       val q = ss.readStream.schema(edges.schema)
         .option("maxFilesPerTrigger", "1").parquet(inDir)
         .writeStream
