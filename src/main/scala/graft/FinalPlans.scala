@@ -25,6 +25,21 @@ import org.apache.spark.sql.execution.FormattedMode
   * markdown row per query; paste into PLANS.md's final-plans section.
   */
 object FinalPlans {
+  /** Splits a formatted explain of an EXECUTED adaptive plan into
+    * (final-plan section, initial-plan section). The final section is
+    * everything before the FIRST "== Initial Plan ==" marker; the initial
+    * section is truncated at "===== Subqueries" because adaptively-executed
+    * subqueries print their own Final/Initial pairs after the main plan —
+    * counting their detail rows as the main plan's planned exchanges would
+    * silently inflate the "planned N" column. Shared with PlanSpec's
+    * final-plan regression test so both parse one way. */
+  def sections(p: String): (String, String) = {
+    val iInit = p.indexOf("== Initial Plan ==")
+    val (fin, rest) = if (iInit >= 0) p.splitAt(iInit) else (p, "")
+    val iSub = rest.indexOf("===== Subqueries")
+    (fin, if (iSub >= 0) rest.take(iSub) else rest)
+  }
+
   // the consistently-slowest batch queries across BENCH_r0{6,7,8}
   private val DefaultQueries = Seq(
     "q162_basket_containment", "q141_basket_jaccard", "q156_louvain_full",
@@ -50,11 +65,7 @@ object FinalPlans {
       val qe = df.queryExecution
       qe.toRdd.foreach(_ => ()) // execute THIS plan; AQE finalizes in place
       val p = qe.explainString(FormattedMode)
-      // formatted AQE output prints the FINAL plan, then an
-      // "== Initial Plan ==" section — count markers per section so the
-      // row reads "planned N exchanges, final reused K"
-      val sections = p.split("== Initial Plan ==")
-      val (fin, init) = (sections.head, sections.lift(1).getOrElse(""))
+      val (fin, init) = FinalPlans.sections(p)
       def c(part: String, m: String) = part.linesIterator.count(_.contains(m))
       def exch(part: String) = part.linesIterator
         .count(l => l.trim.matches("\\(\\d+\\) Exchange"))

@@ -163,12 +163,22 @@ object Blocking {
       case And(a, b) => conjuncts(a) ++ conjuncts(b)
       case other => Seq(other)
     }
-    // strip BOTH aliases from BOTH sides: a symmetric equality is legal
-    // written either way around (`l.x = r.x` or `r.x = l.x`), and each
-    // side references exactly one alias, so the double strip is safe
+    // a symmetric equality is legal written either way around
+    // (`l.x = r.x` or `r.x = l.x`) — but each side must reference exactly
+    // ONE alias and the two sides must reference DIFFERENT aliases,
+    // enforced before stripping: blindly stripping both aliases from both
+    // sides would silently accept a typo'd tautology like `l.x = l.x`
+    // (always true — a non-blocking cross join) as a block key on x
+    def aliasesOf(e: Expression): Set[String] = e.collect {
+      case a: UnresolvedAttribute if a.nameParts.length == 2 =>
+        a.nameParts.head.toLowerCase(java.util.Locale.ROOT)
+    }.toSet
     val bare = (e: Expression) => strip("r")(strip("l")(e))
     conjuncts(spark.sessionState.sqlParser.parseExpression(rule)).map {
       case EqualTo(lhs, rhs) =>
+        require(Set(aliasesOf(lhs), aliasesOf(rhs)) == Set(Set("l"), Set("r")),
+          s"blocking rule conjunct must compare side l with side r: " +
+            s"${lhs.sql} = ${rhs.sql}")
         val lk = bare(lhs)
         val rk = bare(rhs)
         require(lk.sql == rk.sql,

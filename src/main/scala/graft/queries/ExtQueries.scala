@@ -22,11 +22,6 @@ import graft.streaming.Streams
   */
 object ExtQueries {
 
-  /** Per-run stream session with deliberately sized state partitions —
-    * see [[StreamSession]] (shared with q177 in [[GraphQueries]]). */
-  private def withStreamSession[T](s: SparkSession)(body: SparkSession => T): T =
-    StreamSession(s)(body)
-
   // ---------- deduplication ----------
 
   /** Exact dedup: canonical id per identical text (min doc_id). */
@@ -822,7 +817,7 @@ object ExtQueries {
     * contract rather than only in StreamsSpec. */
   private val q168 = QDef(
     "q168_stream_window_agg",
-    (s, dir) => withStreamSession(s) { ss =>
+    (s, dir) => StreamSession(s) { ss =>
       val path = s"$dir/events.parquet"
       val schema = ss.read.parquet(path).schema
       // the testdata table is a single FILE; the file stream source
@@ -868,7 +863,7 @@ object ExtQueries {
     * this row exists to pin down. */
   private val q171 = QDef(
     "q171_stream_sessionize",
-    (s, dir) => withStreamSession(s) { ss =>
+    (s, dir) => StreamSession(s) { ss =>
       import ss.implicits._
       val path = s"$dir/events.parquet"
       val schema = ss.read.parquet(path).schema
@@ -926,7 +921,7 @@ object ExtQueries {
     * depend on which duplicate arrived first. */
   private val q173 = QDef(
     "q173_stream_dedup",
-    (s, dir) => withStreamSession(s) { ss =>
+    (s, dir) => StreamSession(s) { ss =>
       val path = s"$dir/events.parquet"
       val schema = ss.read.parquet(path).schema
       val ev = Tables.normalizeEventsTs(
@@ -962,7 +957,7 @@ object ExtQueries {
     * columns). */
   private val q174 = QDef(
     "q174_stream_dedup_keys",
-    (s, dir) => withStreamSession(s) { ss =>
+    (s, dir) => StreamSession(s) { ss =>
       val path = s"$dir/events.parquet"
       val schema = ss.read.parquet(path).schema
       val ev = Tables.normalizeEventsTs(
@@ -994,7 +989,7 @@ object ExtQueries {
     * parquet values — bit-identical cross-engine, no rounding. */
   private val q175 = QDef(
     "q175_stream_fanin_join",
-    (s, dir) => withStreamSession(s) { ss =>
+    (s, dir) => StreamSession(s) { ss =>
       val ordPath = s"$dir/orders.parquet"
       val schema = ss.read.parquet(ordPath).schema
       val nCust = Tables.load(ss, dir, "customer")

@@ -26,6 +26,16 @@ import graft.graph.{ConnectedComponents, Motif, Pregel, PropertyGraph}
   */
 object GraphQueries {
 
+  /** One JVM-wide shutdown hook reaping every registered temp dir — a hook
+    * per q177 run would accumulate one live Thread per Bench/Verify pass. */
+  private object TmpReaper {
+    private val dirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    sys.addShutdownHook {
+      dirs.forEach(d => graft.engine.Fs.deleteRecursively(new java.io.File(d)))
+    }
+    def register(dir: String): String = { dirs.add(dir); dir }
+  }
+
   private final val AttrBase = 10000000L
 
   /** Bipartite identity graph: customers + acctbal-bucket attribute nodes. */
@@ -157,16 +167,23 @@ object GraphQueries {
       import scala.jdk.CollectionConverters._
       val g = sharedAttrGraph(ss, dir)
       val edges = g.edges.select(col("src"), col("dst"))
-      val tmp = Files.createTempDirectory("q177_").toString
+      // staged batches / checkpoint / sink state stay on disk until the
+      // returned frame has been fully consumed (it plans over the
+      // committed state parquet), so cleanup rides JVM exit via the
+      // single shared reaper — one small dir per run, deleted even when
+      // Bench loops the query
+      val tmp = TmpReaper.register(Files.createTempDirectory("q177_").toString)
       val inDir = s"$tmp/in"
       Files.createDirectories(Paths.get(inDir))
       (0 until 3).foreach { i =>
         val stage = s"$tmp/stage_$i"
         edges.where(pmod(col("src"), lit(3)) === i)
           .coalesce(1).write.parquet(stage)
-        val part = Files.list(Paths.get(stage)).iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no parquet part written under $stage"))
+        val listing = Files.list(Paths.get(stage))
+        val part = try listing.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no parquet part written under $stage"))
+          finally listing.close() // Files.list holds an open directory fd
         Files.move(part, Paths.get(s"$inDir/batch_$i.parquet"))
       }
       val sink = new graft.streaming.Streams.IncrementalCCSink(

@@ -30,13 +30,22 @@ import graft.engine.Tables
   * `body` receives the stream session and must do ALL its work there —
   * readStream, start, and the terminal sink-table read; a fresh session
   * per run also means no stale sink view from a previous Bench pass.
-  * Runtime confs do not carry into a new session, so the two this path
-  * depends on are re-established explicitly. */
+  *
+  * Runtime confs do not carry into a new session (its SQLConf initializes
+  * from the SparkContext conf), so the PARENT's runtime confs are copied
+  * over first — the isolation this wrapper wants is outward (our
+  * partition override invisible to batch queries), not inward: a harness
+  * arm conf (QTime `conf:` A/Bs) set on the parent session must reach the
+  * stream it measures. Static/non-settable entries are skipped. The
+  * stream-state partition override is applied LAST so it wins. */
 private[queries] object StreamSession {
   def apply[T](s: SparkSession)(body: SparkSession => T): T = {
     val ss = s.newSession()
-    ss.conf.set("spark.sql.session.timeZone",
-      s.conf.get("spark.sql.session.timeZone"))
+    s.conf.getAll.foreach { case (k, v) =>
+      if (!ss.conf.getOption(k).contains(v))
+        try ss.conf.set(k, v)
+        catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
     Tables.ensureNanosConf(ss)
     ss.conf.set("spark.sql.shuffle.partitions",
       sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))

@@ -225,7 +225,11 @@ object Streams {
     }
 
     /** Reload the newest committed assignment (needs a session, so it runs
-      * lazily on the first `update`/`currentOrRestore` of a lifecycle). */
+      * lazily on the first `update`/`currentOrRestore` of a lifecycle).
+      * Callers hold the sink lock — restore and fold must not interleave
+      * (a restore completing after a concurrent fold would roll
+      * `assign`/`lastBatchId` back to the stale commit and the next batch
+      * would fold over lost state). */
     private def restore(spark: org.apache.spark.sql.SparkSession): Unit =
       stateDir.foreach { d =>
         if (!restored) {
@@ -241,13 +245,17 @@ object Streams {
     def current: Option[DataFrame] = assign
     /** [[current]], restoring from `stateDir` first if this lifecycle has
       * not folded a batch yet. */
-    def currentOrRestore(spark: org.apache.spark.sql.SparkSession): Option[DataFrame] = {
-      restore(spark); assign
-    }
+    def currentOrRestore(spark: org.apache.spark.sql.SparkSession): Option[DataFrame] =
+      synchronized { restore(spark); assign }
 
     def update(batch: DataFrame, batchId: Long): Unit = synchronized {
       restore(batch.sparkSession)
-      if (batchId <= lastBatchId) return // replayed micro-batch: already folded
+      // replayed micro-batch: already folded. The skip is only meaningful
+      // under DURABLE state — batchIds are comparable only within one
+      // checkpoint lineage, and a single-lifecycle sink reused across a
+      // second query (fresh checkpoint, ids restarting at 0) must keep
+      // folding, as it always did.
+      if (stateDir.isDefined && batchId <= lastBatchId) return
       val a = assign.getOrElse(IncrementalCC.emptyAssignment(batch))
       val next = IncrementalCC.step(a, batch, checkpointDir)
       stateDir match {
@@ -258,13 +266,8 @@ object Streams {
           // anyway; reading it now keeps memory flat and drops the step's
           // localCheckpoint blocks at the next GC)
           assign = Some(batch.sparkSession.read.parquet(path))
-          committedBatches(d).dropRight(keepCommits).foreach { case (_, f) =>
-            def rm(x: java.io.File): Unit = {
-              Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
-              x.delete(); ()
-            }
-            rm(f)
-          }
+          committedBatches(d).dropRight(keepCommits)
+            .foreach { case (_, f) => graft.engine.Fs.deleteRecursively(f) }
         case None => assign = Some(next)
       }
       lastBatchId = batchId

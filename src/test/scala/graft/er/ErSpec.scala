@@ -87,6 +87,14 @@ class FellegiSunterSpec extends SparkTestBase {
     // mixed orientation across conjuncts too
     assert(Blocking.ruleKeys(spark,
       "r.block = l.block AND l.amount = r.amount").size == 2)
+    // but a same-alias tautology (typo'd rule, always true — a cross join,
+    // not a block) must be rejected loudly, not reinterpreted as a key
+    intercept[IllegalArgumentException] {
+      Blocking.ruleKeys(spark, "l.block = l.block")
+    }
+    intercept[IllegalArgumentException] {
+      Blocking.ruleKeys(spark, "r.block = r.block")
+    }
   }
 
   test("blockStats excludes NULL-keyed rows (the join emits no pairs for them)") {

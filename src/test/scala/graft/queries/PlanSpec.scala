@@ -128,7 +128,7 @@ class PlanSpec extends SparkTestBase {
       .queryExecution
     qe.toRdd.foreach(_ => ()) // execute THIS plan; AQE finalizes in place
     val p = qe.explainString(FormattedMode)
-    val finalPart = p.split("== Initial Plan ==").head
+    val (finalPart, _) = graft.FinalPlans.sections(p)
     assert(p.contains("isFinalPlan=true"), "q141 plan did not finalize")
     val reused = finalPart.linesIterator.count(_.contains("ReusedExchange"))
     assert(reused >= 1,
