@@ -67,8 +67,17 @@ object FinalPlans {
       val p = qe.explainString(FormattedMode)
       val (fin, init) = FinalPlans.sections(p)
       def c(part: String, m: String) = part.linesIterator.count(_.contains(m))
+      // count shuffle Exchange NODES in the initial-plan TREE (header line
+      // to the first blank line), not "(N) Exchange" detail headers —
+      // formatted explain prints detail sections for every numbered node
+      // after the tree (final-plan query-stage internals included), so a
+      // detail-header count can pick up final-plan Exchanges that carry
+      // distinct operator ids from the initial tree
       def exch(part: String) = part.linesIterator
-        .count(l => l.trim.matches("\\(\\d+\\) Exchange"))
+        .dropWhile(!_.startsWith("== Initial Plan ==")).drop(1)
+        .takeWhile(_.trim.nonEmpty)
+        .count(_.dropWhile(ch => ch == '+' || ch == '-' || ch == ':' ||
+          ch == '*' || ch == ' ').startsWith("Exchange ("))
       assert(p.contains("isFinalPlan=true"),
         s"$name: plan did not finalize (no AQE? empty input?)")
       // final-plan shuffles materialize as ShuffleQueryStage (each holds

@@ -359,8 +359,11 @@ object ErQueries {
     (s, dir) => Blocking.blockStats(dirty(s, dir), settings)
       .orderBy("rule_idx"),
     Some(s"""WITH d AS ($dirtySql),
-             b1 AS (SELECT count(*) AS n FROM d GROUP BY bucket),
+             b1 AS (SELECT count(*) AS n FROM d
+                    WHERE bucket IS NOT NULL GROUP BY bucket),
              b2 AS (SELECT count(*) AS n FROM d
+                    WHERE nation IS NOT NULL AND segment IS NOT NULL
+                      AND digits IS NOT NULL
                     GROUP BY nation, segment, digits)
              SELECT CAST(1 AS BIGINT) AS rule_idx,
                     CAST(count(*) AS BIGINT) AS n_blocks,

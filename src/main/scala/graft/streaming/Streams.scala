@@ -241,7 +241,16 @@ object Streams {
         }
       }
 
-    /** The latest `(id, component)` assignment (None before the first batch). */
+    /** The latest `(id, component)` assignment (None before the first batch).
+      *
+      * VALIDITY WINDOW: under durable state the frame plans over the latest
+      * committed parquet, and commit pruning keeps only the newest
+      * `keepCommits` directories — so a frame handed out here stays
+      * readable only until `keepCommits` further batches fold (after that
+      * its backing files are pruned and a late consume throws
+      * FileNotFoundException, parquet reads being lazy). Consume (or
+      * `.localCheckpoint()`) a held frame before folding that many more
+      * batches, or raise `keepCommits` to the hold horizon. */
     def current: Option[DataFrame] = assign
     /** [[current]], restoring from `stateDir` first if this lifecycle has
       * not folded a batch yet. */
