@@ -163,8 +163,6 @@ object GraphQueries {
   private val q177 = QDef(
     "q177_stream_incremental_cc",
     (s, dir) => StreamSession(s) { ss =>
-      import java.nio.file.{Files, Paths}
-      import scala.jdk.CollectionConverters._
       val g = sharedAttrGraph(ss, dir)
       val edges = g.edges.select(col("src"), col("dst"))
       // staged batches / checkpoint / sink state stay on disk until the
@@ -172,32 +170,102 @@ object GraphQueries {
       // committed state parquet), so cleanup rides JVM exit via the
       // single shared reaper — one small dir per run, deleted even when
       // Bench loops the query
-      val tmp = TmpReaper.register(Files.createTempDirectory("q177_").toString)
-      val inDir = s"$tmp/in"
-      Files.createDirectories(Paths.get(inDir))
-      (0 until 3).foreach { i =>
-        val stage = s"$tmp/stage_$i"
-        edges.where(pmod(col("src"), lit(3)) === i)
-          .coalesce(1).write.parquet(stage)
-        val listing = Files.list(Paths.get(stage))
-        val part = try listing.iterator().asScala
-            .find(_.getFileName.toString.endsWith(".parquet"))
-            .getOrElse(sys.error(s"no parquet part written under $stage"))
-          finally listing.close() // Files.list holds an open directory fd
-        Files.move(part, Paths.get(s"$inDir/batch_$i.parquet"))
-      }
+      val tmp = TmpReaper.register(
+        java.nio.file.Files.createTempDirectory("q177_").toString)
+      stageEdgeBatches(edges, tmp, 0 until 3)
       val sink = new graft.streaming.Streams.IncrementalCCSink(
         stateDir = Some(s"$tmp/state"))
-      val q = ss.readStream.schema(edges.schema)
-        .option("maxFilesPerTrigger", "1").parquet(inDir)
-        .writeStream
-        .foreachBatch((b: DataFrame, id: Long) => sink.update(b, id))
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      runCcLifecycle(ss, edges.schema, tmp, sink)
       val assign = sink.current
         .getOrElse(sys.error("stream produced no micro-batches"))
+      g.vertices
+        .join(assign, Seq("id"), "left_outer")
+        .select(col("id"),
+          coalesce(col("component"), col("id")).as("component"))
+        .orderBy("id")
+    },
+    q16.oracle)
+
+  /** Stage each `src mod 3 == i` edge slice (the q48 batch split) as one
+    * parquet file `<tmp>/in/batch_<i>.parquet` — single-file batches so
+    * `maxFilesPerTrigger = 1` makes each slice its own micro-batch. */
+  private def stageEdgeBatches(edges: DataFrame, tmp: String,
+      ids: Seq[Int]): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val inDir = s"$tmp/in"
+    Files.createDirectories(Paths.get(inDir))
+    ids.foreach { i =>
+      val stage = s"$tmp/stage_$i"
+      edges.where(pmod(col("src"), lit(3)) === i)
+        .coalesce(1).write.parquet(stage)
+      val listing = Files.list(Paths.get(stage))
+      val part = try listing.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet part written under $stage"))
+        finally listing.close() // Files.list holds an open directory fd
+      Files.move(part, Paths.get(s"$inDir/batch_$i.parquet"))
+    }
+  }
+
+  /** One stream lifecycle of the incremental-CC pipeline: file source over
+    * `<tmp>/in` (one file per micro-batch) → `foreachBatch` fold into
+    * `sink`, `AvailableNow` so the lifecycle terminates once caught up.
+    * The checkpoint lives at `<tmp>/ckpt` — a SECOND call over the same
+    * tmp resumes from the offset log, exactly like a restarted job. */
+  private def runCcLifecycle(ss: SparkSession,
+      schema: org.apache.spark.sql.types.StructType, tmp: String,
+      sink: graft.streaming.Streams.IncrementalCCSink): Unit = {
+    val q = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+      .writeStream
+      .foreachBatch((b: DataFrame, id: Long) => sink.update(b, id))
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** q178: q177's durable incremental-CC pipeline with a RESTART BOUNDARY
+    * inside the contract row itself — the execution spans TWO stream
+    * lifecycles over ONE `checkpointLocation` + sink `stateDir`:
+    *
+    *  1. batches 0 and 1 are staged; lifecycle 1 (`AvailableNow`) folds
+    *     them through a first [[graft.streaming.Streams.IncrementalCCSink]]
+    *     and terminates — two assignment commits on disk;
+    *  2. batch 2 lands; a NEW sink instance (fresh JVM state, same
+    *     stateDir) and a NEW query over the SAME checkpoint resume:
+    *     the offset log yields only the unseen file, and the sink
+    *     restores the committed assignment before folding it.
+    *
+    * The terminal assignment therefore hash-matches q16's batch-CC oracle
+    * ONLY if both recovery paths work: a sink that failed to restore
+    * would miss every batch-0/1 edge, and an offset log that replayed
+    * from scratch would exercise the replayed-batchId skip. StreamsSpec
+    * proves the same recovery at unit level; this row makes it a
+    * driver-contract fact (round-9 verdict top-next). */
+  private val q178 = QDef(
+    "q178_stream_cc_restart",
+    (s, dir) => StreamSession(s) { ss =>
+      val g = sharedAttrGraph(ss, dir)
+      val edges = g.edges.select(col("src"), col("dst"))
+      val tmp = TmpReaper.register(
+        java.nio.file.Files.createTempDirectory("q178_").toString)
+      val stateDir = s"$tmp/state"
+      // lifecycle 1: two batches, then clean termination
+      stageEdgeBatches(edges, tmp, 0 to 1)
+      val sink1 = new graft.streaming.Streams.IncrementalCCSink(
+        stateDir = Some(stateDir))
+      runCcLifecycle(ss, edges.schema, tmp, sink1)
+      assert(sink1.current.isDefined, "lifecycle 1 produced no micro-batches")
+      // the restart boundary: new data lands, then a fresh sink + query
+      // resume over the same checkpoint and state
+      stageEdgeBatches(edges, tmp, Seq(2))
+      val sink2 = new graft.streaming.Streams.IncrementalCCSink(
+        stateDir = Some(stateDir))
+      runCcLifecycle(ss, edges.schema, tmp, sink2)
+      val assign = sink2.currentOrRestore(ss)
+        .getOrElse(sys.error("no committed assignment after restart"))
       g.vertices
         .join(assign, Seq("id"), "left_outer")
         .select(col("id"),
@@ -1305,5 +1373,5 @@ object GraphQueries {
   val all: Seq[QDef] =
     Seq(q15, q16, q17, q18, q19, q20, q42, q44, q45, q48, q50, q58, q59, q60,
       q69, q85, q86, q107, q108, q135, q136, q137, q138, q139, q143, q144,
-      q150, q152, q156, q165, q177)
+      q150, q152, q156, q165, q177, q178)
 }
