@@ -42,6 +42,26 @@ object IncrementalCC {
     * Returns the updated assignment covering all previously-seen nodes plus
     * the batch's nodes. Deterministic: component = min member id. */
   def step(assign: DataFrame, batchEdges: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame =
+    stepTagged(assign, batchEdges, checkpointDir).drop("__changed")
+
+  /** [[step]] plus the CHANGED-ROW set: `(next assignment, rows whose
+    * component is new or differs from `assign`)`. The changed set is a
+    * filter on the fold's own remap join — new nodes are tagged on entry,
+    * remapped rows are exactly those the compMap join matched with a
+    * different component — so it costs one boolean column, NOT a second
+    * O(V) anti-join of next against previous (measured: that anti-join
+    * added ~50% per batch at 10M vertices, graft.SinkScale). Both returned
+    * frames share one checkpointed plan. The O(batch)-sized changed set is
+    * what a delta-committing sink persists per micro-batch
+    * ([[graft.streaming.Streams.IncrementalCCSink]] `snapshotEvery`). */
+  def stepWithChanges(assign: DataFrame, batchEdges: DataFrame,
+      checkpointDir: Option[String] = None): (DataFrame, DataFrame) = {
+    val t = stepTagged(assign, batchEdges, checkpointDir)
+    (t.drop("__changed"), t.where(col("__changed")).drop("__changed"))
+  }
+
+  private def stepTagged(assign: DataFrame, batchEdges: DataFrame,
       checkpointDir: Option[String] = None): DataFrame = {
     val ckpt = Checkpointer(batchEdges.sparkSession, checkpointDir)
     val e = batchEdges.select(col("src"), col("dst"))
@@ -79,10 +99,13 @@ object IncrementalCC {
     // inherited sizeInBytes estimate ~triples per batch — harmless over
     // q48's three batches, but a streaming sink folds hundreds of batches
     // and would hit the BigInt-stats stall ([[Checkpointer.fresh]])
-    ckpt.lazyFresh(assign.union(newNodes)
+    ckpt.lazyFresh(assign.withColumn("__new", lit(false))
+      .union(newNodes.withColumn("__new", lit(true)))
       .join(compMap, Seq("component"), "left_outer")
       .select(col("id"),
-        coalesce(col("newc"), col("component")).as("component")))
+        coalesce(col("newc"), col("component")).as("component"),
+        (col("__new") ||
+          coalesce(col("newc") =!= col("component"), lit(false))).as("__changed")))
   }
 
   /** Fold a sequence of edge batches from an empty assignment — the batch

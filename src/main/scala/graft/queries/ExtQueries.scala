@@ -787,6 +787,138 @@ object ExtQueries {
                    CAST(sum(width) AS BIGINT) AS total_width
             FROM d GROUP BY 1, 2 ORDER BY format, label"""))
 
+  /** q181: the streaming incremental near-dup sink
+    * ([[graft.streaming.IncrementalNearDupSink]] — the last spec-only
+    * operator family) driven through a REAL file-source stream under the
+    * oracle. Documents are staged as three id-range batch files with
+    * strictly ascending mtimes (the file source orders discovery by
+    * timestamp), streamed one file per micro-batch into the sink via
+    * `foreachBatch`, and the terminal verdicts are checked against the
+    * q94-style PROVABLE invariants (bucket collisions are
+    * xxhash64-dependent, so no value mirror exists):
+    *  - every document received exactly one verdict (n_docs);
+    *  - the stream caught real duplication (has_dups — the documents
+    *    fixture carries clone clusters, and identical docs ALWAYS collide
+    *    in every band);
+    *  - every dup_of points at a KEPT document (no dangling refs);
+    *  - id-range batch order makes first-seen-wins equal min-id-wins, so
+    *    no keeper exceeds its group minimum;
+    *  - dup edges refine the exact-Jaccard transitive closure (a dup and
+    *    its keeper always share an exact-closure component).
+    * All five are genuinely computed in Spark; DuckDB recomputes the count
+    * and pins the rest. */
+  private val q181 = QDef(
+    "q181_stream_neardup_sink",
+    (s, dir) => StreamSession(s) { ss =>
+      import java.nio.file.{Files, Paths}
+      import java.nio.file.attribute.FileTime
+      import scala.jdk.CollectionConverters._
+      val docs = Tables.load(ss, dir, "documents").select(col("doc_id"), col("text"))
+      val tmp = TmpReaper.register(Files.createTempDirectory("q181_").toString)
+      val inDir = s"$tmp/in"
+      Files.createDirectories(Paths.get(inDir))
+      val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val cuts = Seq(mx / 3, 2 * mx / 3)
+      Seq(col("doc_id") <= cuts(0),
+        col("doc_id") > cuts(0) && col("doc_id") <= cuts(1),
+        col("doc_id") > cuts(1)).zipWithIndex.foreach { case (pred, i) =>
+        val stage = s"$tmp/stage_$i"
+        docs.where(pred).coalesce(1).write.parquet(stage)
+        val listing = Files.list(Paths.get(stage))
+        val part = try listing.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no parquet part written under $stage"))
+          finally listing.close()
+        val dst = Paths.get(s"$inDir/batch_$i.parquet")
+        Files.move(part, dst)
+        // pin discovery order: the source sorts new files by mtime
+        Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + i * 60000L))
+      }
+      val sink = new graft.streaming.IncrementalNearDupSink("doc_id", "text",
+        n = ShingleN, numPerm = 16, bands = 4, threshold = 0.5)
+      val q = ss.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+        .writeStream
+        .foreachBatch((b: DataFrame, id: Long) => sink.update(b, id))
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val v = sink.verdicts.getOrElse(sys.error("stream produced no batches"))
+      val keepers = v.where(col("dup_of").isNull).select(col("id").as("kid"))
+      val a1 = v.agg(count(lit(1)).as("n_docs"),
+        (count(col("dup_of")) > 0).as("has_dups"))
+      val a2 = v.where(col("dup_of").isNotNull)
+        .join(keepers, col("dup_of") === col("kid"), "left_anti")
+        .agg(count(lit(1)).as("n_dangling_dup_refs"))
+      val a3 = v.groupBy(coalesce(col("dup_of"), col("id")).as("__k"))
+        .agg(min(col("id")).as("__m"))
+        .agg(count(when(col("__k") =!= col("__m"), 1)).as("n_keeper_not_min"))
+      val cc = graft.graph.ConnectedComponents.runOnEdges(
+        TextDedup.jaccardPairs(docs, "doc_id", "text", ShingleN, 0.5)
+          .select(col("id_l").as("src"), col("id_r").as("dst")))
+      val a4 = v.where(col("dup_of").isNotNull)
+        .join(cc.select(col("id"), col("component").as("__ci")), Seq("id"), "left_outer")
+        .join(cc.select(col("id").as("dup_of"), col("component").as("__cd")),
+          Seq("dup_of"), "left_outer")
+        .agg(count(when(!(coalesce(col("__ci"), col("id")) <=>
+          coalesce(col("__cd"), col("dup_of"))), 1)).as("n_closure_violations"))
+      a1.crossJoin(a2).crossJoin(a3).crossJoin(a4)
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   TRUE AS has_dups,
+                   CAST(0 AS BIGINT) AS n_dangling_dup_refs,
+                   CAST(0 AS BIGINT) AS n_keeper_not_min,
+                   CAST(0 AS BIGINT) AS n_closure_violations
+            FROM documents"""))
+
+  /** q179: the multimodal column with a REAL codec —
+    * [[Multimodal.HeaderCodec]] parses container dimensions and frame
+    * counts straight from PNG IHDR / JPEG SOFn / GIF logical-screen +
+    * block-walk byte layouts (public formats, zero libraries). Fixtures
+    * are genuinely ENCODED images: each nation row renders a real
+    * PNG/JPEG/GIF (multi-frame GIF every 6th row) through the JDK's
+    * javax.imageio inside the same `mapPartitions` pass that production
+    * would use to fetch blobs — so the decode path runs against real
+    * container bytes, distributed, and the oracle can recompute every
+    * field from the row key because the RENDER parameters (not the codec
+    * output) are key-derived. A wrong parser (bad endianness, unskipped
+    * color table, missed SOF) hash-fails. StubCodec remains the q35 path
+    * for formats with no parseable container. */
+  private val q179 = QDef(
+    "q179_media_header_decode",
+    (s, dir) => {
+      import s.implicits._
+      val withBytes = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = 8 + (id % 11).toInt
+          val h = 9 + (id % 6).toInt
+          val fmt = (id % 3) match {
+            case 0 => "png"; case 1 => "jpeg"; case _ => "gif"
+          }
+          val frames = if (fmt == "gif" && id % 6 == 2) 3 else 1
+          (id, Multimodal.renderImage(w, h, fmt, frames, seed = id))
+        })
+        .toDF("id", "media")
+      Multimodal.decodeAll(withBytes, "id", Multimodal.HeaderCodec)
+        .select(col("id"), col("meta.width").as("width"),
+          col("meta.height").as("height"), col("meta.format").as("format"),
+          col("meta.frames").as("frames"), col("label"))
+        .orderBy("id")
+    },
+    Some("""SELECT CAST(n_nationkey AS BIGINT) AS id,
+                   CAST(8 + n_nationkey % 11 AS INTEGER) AS width,
+                   CAST(9 + n_nationkey % 6 AS INTEGER) AS height,
+                   CASE CAST(n_nationkey % 3 AS INTEGER)
+                     WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif'
+                   END AS format,
+                   CAST(CASE WHEN n_nationkey % 6 = 2 THEN 3 ELSE 1 END
+                        AS INTEGER) AS frames,
+                   CASE WHEN 8 + n_nationkey % 11 >= 9 + n_nationkey % 6
+                     THEN 'landscape' ELSE 'portrait' END AS label
+            FROM nation ORDER BY id"""))
+
   // ---------- events: windowed aggregation, sessionization, JSON ----------
 
   /** Tumbling 1-hour window aggregation (the batch twin of the streaming
@@ -2075,5 +2207,6 @@ object ExtQueries {
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q40, q41, q49, q61, q62, q70, q71, q73, q74, q88, q89, q90, q91,
     q92, q93, q94, q95, q96, q97, q98, q100, q101, q102, q103, q104, q105,
-    q133, q142, q148, q159, q163, q166, q168, q171, q173, q174, q175)
+    q133, q142, q148, q159, q163, q166, q168, q171, q173, q174, q175, q179,
+    q181)
 }

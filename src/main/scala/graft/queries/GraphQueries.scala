@@ -26,16 +26,6 @@ import graft.graph.{ConnectedComponents, Motif, Pregel, PropertyGraph}
   */
 object GraphQueries {
 
-  /** One JVM-wide shutdown hook reaping every registered temp dir — a hook
-    * per q177 run would accumulate one live Thread per Bench/Verify pass. */
-  private object TmpReaper {
-    private val dirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    sys.addShutdownHook {
-      dirs.forEach(d => graft.engine.Fs.deleteRecursively(new java.io.File(d)))
-    }
-    def register(dir: String): String = { dirs.add(dir); dir }
-  }
-
   private final val AttrBase = 10000000L
 
   /** Bipartite identity graph: customers + acctbal-bucket attribute nodes. */

@@ -338,6 +338,104 @@ object RelationalQueries {
     (s, dir) => { Tables.registerAll(s, dir); s.sql(q39SqlText) },
     Some(q39SqlText))
 
+  /** q180: the versioned-catalog surface ([[graft.engine.Catalog]]'s
+    * Delta-parity ops, the reference's implicit Delta MERGE/time-travel,
+    * `01_aml_network_analysis.py:245`) driven under the oracle — the one
+    * engine surface that was spec-only through round 9. A scratch
+    * warehouse is built from the customer table, MERGE-upserted twice
+    * (updates + inserts, each writing an immutable `__vN` snapshot), then
+    * BOTH versions are time-travel-read back and diffed
+    * ([[graft.engine.Diff.diffSummary]]): per-status row counts plus the
+    * snapshot count from `history`. Every count is recomputed by the
+    * oracle from the same customer rows (upsert = anti-join ∪ updates),
+    * so a broken snapshot write, version resolution, or merge semantics
+    * hash-fails. The scratch dir rides the JVM-exit reaper because the
+    * returned frame plans over the snapshot parquet lazily. */
+  private val q180 = QDef(
+    "q180_catalog_time_travel",
+    (s, dir) => {
+      val tmp = TmpReaper.register(
+        java.nio.file.Files.createTempDirectory("q180_").toString)
+      val cat = new graft.engine.Catalog(s, tmp)
+      val view = "cust_v_" + new java.io.File(tmp).getName.replace("q180_", "")
+      val base = t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("id"), col("c_name").as("name"),
+        col("c_acctbal").as("acctbal"), col("c_mktsegment").as("segment"))
+      cat.save(view, base)
+      // upsert 1 -> __v1: +100 on BUILDING, 50 synthetic inserts
+      val updA = base.where(col("segment") === "BUILDING")
+        .withColumn("acctbal", col("acctbal") + 100.0)
+        .unionByName(s.range(1, 51).select(
+          (lit(10000000L) + col("id")).as("id"),
+          concat(lit("synthetic_"), col("id")).as("name"),
+          (col("id") * 10).cast("double").as("acctbal"),
+          lit("NEW").as("segment")))
+      cat.upsert(view, updA, Seq("id"))
+      // upsert 2 -> __v2: +50 on MACHINERY, re-price even synthetics,
+      // 7 late inserts
+      val updB = base.where(col("segment") === "MACHINERY")
+        .withColumn("acctbal", col("acctbal") + 50.0)
+        .unionByName(s.range(1, 26).select(
+          (lit(10000000L) + col("id") * 2).as("id"),
+          concat(lit("synthetic_"), col("id") * 2).as("name"),
+          (col("id") * 2 * 20).cast("double").as("acctbal"),
+          lit("NEW").as("segment")))
+        .unionByName(s.range(1, 8).select(
+          (lit(20000000L) + col("id")).as("id"),
+          concat(lit("late_"), col("id")).as("name"),
+          col("id").cast("double").as("acctbal"),
+          lit("NEW").as("segment")))
+      cat.upsert(view, updB, Seq("id"))
+      val v1 = cat.tableVersion(view, 1)
+      val v2 = cat.tableVersion(view, 2)
+      graft.engine.Diff.diffSummary(v1, v2, "id")
+        .unionByName(s.range(1).select(
+          lit("versions_available").as("status"),
+          lit(cat.history(view).length.toLong).as("n")))
+        .orderBy("status")
+    },
+    Some("""WITH base AS (
+              SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name,
+                     c_acctbal AS acctbal, c_mktsegment AS segment
+              FROM customer),
+            updA AS (
+              SELECT id, name, acctbal + 100 AS acctbal, segment FROM base
+              WHERE segment = 'BUILDING'
+              UNION ALL
+              SELECT 10000000 + r, 'synthetic_' || r,
+                     CAST(r * 10 AS DOUBLE), 'NEW'
+              FROM range(1, 51) t(r)),
+            v1 AS (
+              SELECT * FROM base WHERE id NOT IN (SELECT id FROM updA)
+              UNION ALL SELECT * FROM updA),
+            updB AS (
+              SELECT id, name, acctbal + 50 AS acctbal, segment FROM base
+              WHERE segment = 'MACHINERY'
+              UNION ALL
+              SELECT 10000000 + r, 'synthetic_' || r,
+                     CAST(r * 20 AS DOUBLE), 'NEW'
+              FROM range(2, 51, 2) t(r)
+              UNION ALL
+              SELECT 20000000 + r, 'late_' || r, CAST(r AS DOUBLE), 'NEW'
+              FROM range(1, 8) t(r)),
+            v2 AS (
+              SELECT * FROM v1 WHERE id NOT IN (SELECT id FROM updB)
+              UNION ALL SELECT * FROM updB),
+            d AS (
+              SELECT CASE
+                       WHEN b.id IS NULL THEN 'removed'
+                       WHEN a.id IS NULL THEN 'added'
+                       WHEN a.name IS DISTINCT FROM b.name
+                         OR a.acctbal IS DISTINCT FROM b.acctbal
+                         OR a.segment IS DISTINCT FROM b.segment
+                         THEN 'changed'
+                       ELSE 'unchanged' END AS status
+              FROM v1 a FULL JOIN v2 b ON a.id = b.id)
+            SELECT status, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1
+            UNION ALL
+            SELECT 'versions_available', CAST(2 AS BIGINT)
+            ORDER BY status"""))
+
   /** Exact quantiles + distinct counts per group (the OLAP summary shape;
     * both engines use the same linear-interpolation definition over sorted
     * exact doubles, so no rounding). The sketch variants
@@ -892,5 +990,5 @@ object RelationalQueries {
   val all: Seq[QDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
       q39, q43, q66, q67, q68, q72, q75, q76, q77, q81, q82, q106, q109,
-      q132, q140, q146, q158, q176)
+      q132, q140, q146, q158, q176, q180)
 }

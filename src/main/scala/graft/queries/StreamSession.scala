@@ -39,13 +39,28 @@ import graft.engine.Tables
   * stream it measures. Static/non-settable entries are skipped. The
   * stream-state partition override is applied LAST so it wins. */
 private[queries] object StreamSession {
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Conf keys the most recent [[apply]] could NOT copy into the stream
+    * session (static / non-settable entries). Visible — logged once per
+    * session build and exposed for the spec — instead of silently
+    * swallowed, so a future non-settable-conf CATEGORY (not just the known
+    * static set) cannot hide a conf that a harness arm believed it had
+    * propagated. */
+  @volatile private[graft] var lastSkippedConfs: Seq[String] = Nil
+
   def apply[T](s: SparkSession)(body: SparkSession => T): T = {
     val ss = s.newSession()
+    val skipped = Seq.newBuilder[String]
     s.conf.getAll.foreach { case (k, v) =>
       if (!ss.conf.getOption(k).contains(v))
         try ss.conf.set(k, v)
-        catch { case _: org.apache.spark.sql.AnalysisException => () }
+        catch { case _: org.apache.spark.sql.AnalysisException => skipped += k }
     }
+    lastSkippedConfs = skipped.result()
+    if (lastSkippedConfs.nonEmpty)
+      log.info("StreamSession: skipped non-settable confs: {}",
+        lastSkippedConfs.mkString(", "))
     Tables.ensureNanosConf(ss)
     ss.conf.set("spark.sql.shuffle.partitions",
       sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))

@@ -206,36 +206,76 @@ object Streams {
     * the assignment, not a replay of history. Without `stateDir` the sink
     * is single-lifecycle, as before. Old commits are pruned to the last
     * `keepCommits` (default 2 — the live one plus its predecessor for
-    * post-mortems). */
+    * post-mortems).
+    *
+    * COMMIT COST / `snapshotEvery` (measured: graft.SinkScale / SCALE.md
+    * "durable-sink commit law"): the default (1) writes the FULL
+    * assignment every micro-batch — an O(V) write per batch that on
+    * local/HDFS-fast storage is a net WIN, not a cost: the committed
+    * parquet becomes the lineage root, so the next fold plans over a
+    * compact columnar scan instead of executor-resident checkpoint blocks
+    * (per-batch time flattened at ~15 s vs the no-commit fold's growth to
+    * ~22 s at 10M accumulated vertices). `snapshotEvery = N > 1` switches
+    * to DELTA commits for write-constrained paths (object storage, commit
+    * SLAs — a 10⁹-row assignment is ~15 GB over the wire per batch, the
+    * delta is O(batch)): each batch writes only the rows whose component
+    * changed (`delta-<batchId>`, a free boolean filter on the fold's own
+    * remap join — [[graft.graph.IncrementalCC.stepWithChanges]], NOT a
+    * second O(V) anti-join), with a full `assign-<batchId>` snapshot every
+    * N-th commit bounding restart to one snapshot scan plus at most N−1
+    * delta folds (latest-wins per id — components only ever merge, so
+    * deltas carry no tombstones) and bounding the resident-lineage window
+    * to N batches. Pick N so snapshot_cost / N ≪ delta cost (N ≈ 10). */
   final class IncrementalCCSink(checkpointDir: Option[String] = None,
-      stateDir: Option[String] = None, keepCommits: Int = 2) {
+      stateDir: Option[String] = None, keepCommits: Int = 2,
+      snapshotEvery: Int = 1) {
     import graft.graph.IncrementalCC
     require(keepCommits >= 1, "keepCommits must be >= 1")
+    require(snapshotEvery >= 1, "snapshotEvery must be >= 1")
     @volatile private var assign: Option[DataFrame] = None
     @volatile private var lastBatchId: Long = -1L
     @volatile private var restored = false
+    // delta commits since the last full snapshot (valid once restored)
+    @volatile private var sinceSnapshot: Int = 0
 
-    private def committedBatches(d: String): Seq[(Long, java.io.File)] = {
+    private def committed(d: String, prefix: String): Seq[(Long, java.io.File)] = {
       val root = new java.io.File(d)
       Option(root.listFiles()).getOrElse(Array.empty).toSeq
-        .filter(f => f.isDirectory && f.getName.startsWith("assign-") &&
+        .filter(f => f.isDirectory && f.getName.startsWith(prefix) &&
           new java.io.File(f, "_SUCCESS").exists())
-        .flatMap(f => f.getName.stripPrefix("assign-").toLongOption.map(_ -> f))
+        .flatMap(f => f.getName.stripPrefix(prefix).toLongOption.map(_ -> f))
         .sortBy(_._1)
     }
+    private def committedBatches(d: String) = committed(d, "assign-")
+    private def committedDeltas(d: String) = committed(d, "delta-")
 
-    /** Reload the newest committed assignment (needs a session, so it runs
-      * lazily on the first `update`/`currentOrRestore` of a lifecycle).
-      * Callers hold the sink lock — restore and fold must not interleave
-      * (a restore completing after a concurrent fold would roll
+    /** Reload the newest committed assignment — newest full snapshot plus
+      * any later delta commits, latest-wins per id (needs a session, so it
+      * runs lazily on the first `update`/`currentOrRestore` of a
+      * lifecycle). Callers hold the sink lock — restore and fold must not
+      * interleave (a restore completing after a concurrent fold would roll
       * `assign`/`lastBatchId` back to the stale commit and the next batch
       * would fold over lost state). */
     private def restore(spark: org.apache.spark.sql.SparkSession): Unit =
       stateDir.foreach { d =>
         if (!restored) {
           committedBatches(d).lastOption.foreach { case (bid, f) =>
-            assign = Some(spark.read.parquet(f.getPath))
-            lastBatchId = bid
+            val snap = spark.read.parquet(f.getPath)
+            val deltas = committedDeltas(d).filter(_._1 > bid)
+            assign = Some(if (deltas.isEmpty) snap else {
+              // explicit schema: an all-unchanged batch commits an EMPTY
+              // delta dir (zero part files), which schema inference rejects
+              val dU = deltas.map { case (b, df) =>
+                spark.read.schema(snap.schema).parquet(df.getPath)
+                  .withColumn("__b", lit(b))
+              }.reduce(_ unionByName _)
+              val latest = dU.groupBy("id")
+                .agg(expr("max_by(component, __b)").as("component"))
+              snap.join(latest, Seq("id"), "left_anti").unionByName(latest)
+                .localCheckpoint()
+            })
+            lastBatchId = math.max(bid, deltas.lastOption.fold(bid)(_._1))
+            sinceSnapshot = deltas.size
           }
           restored = true
         }
@@ -266,17 +306,37 @@ object Streams {
       // folding, as it always did.
       if (stateDir.isDefined && batchId <= lastBatchId) return
       val a = assign.getOrElse(IncrementalCC.emptyAssignment(batch))
-      val next = IncrementalCC.step(a, batch, checkpointDir)
+      val (next, changed) = IncrementalCC.stepWithChanges(a, batch, checkpointDir)
       stateDir match {
         case Some(d) =>
-          val path = s"$d/assign-$batchId"
-          next.write.mode("overwrite").parquet(path)
-          // the committed file IS the new lineage root (restart reads it
-          // anyway; reading it now keeps memory flat and drops the step's
-          // localCheckpoint blocks at the next GC)
-          assign = Some(batch.sparkSession.read.parquet(path))
-          committedBatches(d).dropRight(keepCommits)
-            .foreach { case (_, f) => graft.engine.Fs.deleteRecursively(f) }
+          // full snapshot on the first-ever commit (restore needs a base)
+          // and every snapshotEvery-th thereafter; O(batch) deltas between
+          val fullSnapshot = assign.isEmpty || sinceSnapshot + 1 >= snapshotEvery
+          if (fullSnapshot) {
+            val path = s"$d/assign-$batchId"
+            next.write.mode("overwrite").parquet(path)
+            // the committed file IS the new lineage root (restart reads it
+            // anyway; reading it now keeps memory flat and drops the step's
+            // localCheckpoint blocks at the next GC)
+            assign = Some(batch.sparkSession.read.parquet(path))
+            sinceSnapshot = 0
+            // prune: keep the newest keepCommits snapshots, and only the
+            // deltas newer than the oldest KEPT snapshot (each kept
+            // snapshot stays roll-forward-able)
+            val snaps = committedBatches(d)
+            snaps.dropRight(keepCommits)
+              .foreach { case (_, f) => graft.engine.Fs.deleteRecursively(f) }
+            val oldestKept = snaps.takeRight(keepCommits).head._1
+            committedDeltas(d).filter(_._1 <= oldestKept)
+              .foreach { case (_, f) => graft.engine.Fs.deleteRecursively(f) }
+          } else {
+            // rows whose assignment changed this batch: new ids + remapped
+            // components (components only merge, so no deletions to carry);
+            // the set falls out of the fold itself — no anti-join
+            changed.write.mode("overwrite").parquet(s"$d/delta-$batchId")
+            assign = Some(next) // lazyFresh-checkpointed by step — bounded lineage
+            sinceSnapshot += 1
+          }
         case None => assign = Some(next)
       }
       lastBatchId = batchId

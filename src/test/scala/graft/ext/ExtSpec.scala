@@ -590,4 +590,52 @@ class MultimodalSpec extends SparkTestBase {
     val frames = row.getSeq[Int](1)
     assert(frames.forall(_ % 4 == 0))
   }
+
+  test("HeaderCodec parses genuinely-encoded PNG/JPEG/GIF containers") {
+    import Multimodal.{HeaderCodec, MediaMeta, renderImage}
+    // odd dimensions on purpose: a byte-order or offset slip cannot cancel
+    assert(HeaderCodec.decode(renderImage(37, 19, "png", 1, 5L)) ==
+      MediaMeta(37, 19, "png", 1))
+    assert(HeaderCodec.decode(renderImage(19, 37, "jpeg", 1, 6L)) ==
+      MediaMeta(19, 37, "jpeg", 1))
+    assert(HeaderCodec.decode(renderImage(23, 11, "gif", 1, 7L)) ==
+      MediaMeta(23, 11, "gif", 1))
+    // frame count from the full GIF block walk, not a byte heuristic
+    assert(HeaderCodec.decode(renderImage(12, 9, "gif", 4, 8L)) ==
+      MediaMeta(12, 9, "gif", 4))
+    // classify is pure geometry
+    assert(HeaderCodec.classify(Array.empty, MediaMeta(4, 4, "png", 1)) == "landscape")
+    assert(HeaderCodec.classify(Array.empty, MediaMeta(3, 4, "png", 1)) == "portrait")
+  }
+
+  test("HeaderCodec rejects non-container bytes instead of guessing") {
+    import Multimodal.HeaderCodec
+    intercept[IllegalArgumentException](HeaderCodec.decode("not an image".getBytes))
+    intercept[IllegalArgumentException](HeaderCodec.decode(Array[Byte]()))
+    // a JPEG SOI with no SOF before scan data is corrupt, not 0x0
+    val noSof = Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x02).map(_.toByte)
+    intercept[IllegalArgumentException](HeaderCodec.decode(noSof))
+  }
+
+  test("HeaderCodec decodes a hand-built GIF87a with a global color table and extension") {
+    import Multimodal.{HeaderCodec, MediaMeta}
+    // header GIF87a, LSD 300x200 LE, GCT flag set with 2-bit depth
+    // (3*4=12 table bytes), one graphic-control extension, one image
+    // descriptor with a local color table, LZW data in two sub-blocks
+    val b = scala.collection.mutable.ArrayBuffer[Int]()
+    b ++= "GIF87a".getBytes.map(_.toInt)
+    b ++= Seq(0x2c, 0x01, 0xc8, 0x00) // 300 LE, 200 LE
+    b += 0x81 // GCT present, size bits = 1 -> 3*(2^2) = 12 bytes
+    b ++= Seq(0x00, 0x00) // bg color, aspect
+    b ++= Seq.fill(12)(0xaa) // GCT
+    b ++= Seq(0x21, 0xf9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00) // GCE + terminator
+    b ++= Seq(0x2c, 0, 0, 0, 0, 0x2c, 0x01, 0xc8, 0x00) // image desc 300x200
+    b += 0x82 // LCT present, size bits = 2 -> 3*(2^3) = 24 bytes
+    b ++= Seq.fill(24)(0xbb) // LCT
+    b += 0x02 // LZW min code size
+    b ++= Seq(0x03, 1, 2, 3, 0x01, 9, 0x00) // two sub-blocks + terminator
+    b += 0x3b // trailer
+    assert(HeaderCodec.decode(b.map(_.toByte).toArray) ==
+      MediaMeta(300, 200, "gif", 1))
+  }
 }

@@ -395,6 +395,82 @@ class StreamsSpec extends SparkTestBase {
       s"restart divergence: missing=${batch -- streamed} extra=${streamed -- batch}")
   }
 
+  test("delta-commit CC sink: O(batch) commits between snapshots, restart folds snapshot + deltas") {
+    import java.nio.file.Files
+    val state = Files.createTempDirectory("graft_ccsink_delta_").toString
+    // snapshotEvery=3: batch 0 = first-ever commit -> full assign-0;
+    // batch 1 repeats an edge -> EMPTY delta-1; batch 2 -> delta-2
+    val batches = Seq(
+      Seq((1L, 2L)),
+      Seq((1L, 2L)), // all-unchanged batch -> EMPTY delta dir
+      Seq((3L, 4L)),
+      Seq((2L, 3L)), // merges 3-4 into component 1
+      Seq((10L, 11L), (4L, 10L))) // merges 10-11 into component 1
+    val sink1 = new Streams.IncrementalCCSink(
+      stateDir = Some(state), snapshotEvery = 3)
+    batches.take(3).zipWithIndex.foreach { case (b, i) =>
+      sink1.update(b.toDF("src", "dst"), i.toLong)
+    }
+    def names(prefix: String) = new java.io.File(state).listFiles()
+      .map(_.getName).filter(_.startsWith(prefix)).sorted.toSeq
+    assert(names("assign-") == Seq("assign-0"), s"snapshots: ${names("assign-")}")
+    assert(names("delta-") == Seq("delta-1", "delta-2"),
+      s"deltas: ${names("delta-")}")
+
+    // restart: fresh sink must fold assign-0 + delta-1 (an EMPTY dir) +
+    // delta-2, then resume exactly-once past batchId 2
+    val sink2 = new Streams.IncrementalCCSink(
+      stateDir = Some(state), snapshotEvery = 3)
+    val mid = sink2.currentOrRestore(spark).get
+      .as[(Long, Long)].collect().toSet
+    assert(mid == Set(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L), s"restored: $mid")
+    sink2.update(batches(2).toDF("src", "dst"), 2L) // replay: must be a no-op
+    assert(sink2.current.get.as[(Long, Long)].collect().toSet == mid,
+      "replayed batchId was folded twice")
+    // batch 3 is the 3rd commit since assign-0 -> full snapshot; batch 4 -> delta
+    sink2.update(batches(3).toDF("src", "dst"), 3L)
+    sink2.update(batches(4).toDF("src", "dst"), 4L)
+    val fin = sink2.current.get.as[(Long, Long)].collect().toSet
+    val batchCc = graft.graph.ConnectedComponents
+      .runOnEdges(batches.flatten.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toSet
+    assert(fin == batchCc,
+      s"delta restart divergence: missing=${batchCc -- fin} extra=${fin -- batchCc}")
+    assert(names("assign-") == Seq("assign-0", "assign-3"),
+      s"snapshots: ${names("assign-")}")
+    assert(names("delta-").contains("delta-4"), s"deltas: ${names("delta-")}")
+    graft.engine.Fs.deleteRecursively(new java.io.File(state))
+  }
+
+  test("delta-commit pruning keeps every retained snapshot roll-forward-able") {
+    import java.nio.file.Files
+    val state = Files.createTempDirectory("graft_ccsink_prune_").toString
+    val sink = new Streams.IncrementalCCSink(
+      stateDir = Some(state), keepCommits = 2, snapshotEvery = 2)
+    // 8 batches, each a fresh component: snapshots at 0,2,4,6 (prune keeps
+    // 4 and 6), deltas at 1,3,5,7 (prune keeps those newer than snapshot 4)
+    (0 until 8).foreach { i =>
+      val b = 100L * (i + 1)
+      sink.update(Seq((b, b + 1)).toDF("src", "dst"), i.toLong)
+    }
+    def names(prefix: String) = new java.io.File(state).listFiles()
+      .map(_.getName).filter(_.startsWith(prefix)).sorted.toSeq
+    assert(names("assign-") == Seq("assign-4", "assign-6"),
+      s"snapshots: ${names("assign-")}")
+    assert(names("delta-") == Seq("delta-5", "delta-7"),
+      s"deltas: ${names("delta-")}")
+    // a fresh sink over the pruned dir restores the full 8-batch state
+    val restored = new Streams.IncrementalCCSink(
+        stateDir = Some(state), snapshotEvery = 2)
+      .currentOrRestore(spark).get.as[(Long, Long)].collect().toSet
+    val expect = (0 until 8).flatMap { i =>
+      val b = 100L * (i + 1); Seq(b -> b, (b + 1) -> b)
+    }.toSet
+    assert(restored == expect,
+      s"pruned restore divergence: missing=${expect -- restored} extra=${restored -- expect}")
+    graft.engine.Fs.deleteRecursively(new java.io.File(state))
+  }
+
   test("streaming sessionization closes sessions on gap or watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SessionEvent]

@@ -8,6 +8,8 @@ integer-cast sums), min/max (no arithmetic), modular and comparison
 predicates, IN lists, totally-ordered output. Four template families:
 
   agg      - filtered GROUP BY aggregate over lineitem (the original family)
+  latsel   - correlated scalar subqueries in the SELECT list and LATERAL
+             aggregate derived tables (decorrelation to outer aggregates)
   outerjoin- orders LEFT/FULL JOIN lineitem with predicates in the ON clause
              (exercises null-extension + join-condition vs filter semantics)
   window   - ROWS-framed window aggregates / lag / lead partitioned by
@@ -26,7 +28,7 @@ Then:  sbt console < tools/fuzz_run.sc          # Spark side -> /tmp/fuzz_out
 Then:  python3 tools/fuzz_check.py /tmp/fuzz_out /root/testdata/sf0.01
 
 The committed corpus tools/fuzz_corpus.tsv is this generator's output for
-(240, 20260813) and is ALSO run inside `sbt test` (graft.queries.FuzzSpec)
+(240, 20260816) and is ALSO run inside `sbt test` (graft.queries.FuzzSpec)
 as a config-perturbation self-consistency gate: every query must return
 identical results under default confs and under AQE-off / whole-stage-
 codegen-off / different shuffle partitioning.
@@ -202,6 +204,32 @@ def query_setop(qi):
             f"ORDER BY g0, g1, g2")
 
 
+def query_latsel(qi):
+    # round-10 grammar growth: correlated subqueries in the PROJECTION
+    # (scalar-count / coalesced-scalar-min in SELECT) and LATERAL aggregate
+    # derived tables — both decorrelate to left outer aggregates, a rewrite
+    # path none of the other families exercise. Aggregate laterals always
+    # produce exactly one row, so cardinality is engine-independent.
+    k = rng.randint(3, 19)
+    r = rng.randint(0, k - 1)
+    p1, p2 = predicate("l."), predicate("l.")
+    if rng.random() < 0.5:
+        return (
+            f"SELECT o_orderkey AS g0, "
+            f"CAST((SELECT count(*) FROM lineitem l "
+            f"WHERE l.l_orderkey = o.o_orderkey AND ({p1})) AS BIGINT) AS c0, "
+            f"CAST(coalesce((SELECT min(l.l_linenumber) FROM lineitem l "
+            f"WHERE l.l_orderkey = o.o_orderkey AND ({p2})), -1) AS BIGINT) AS m0 "
+            f"FROM orders o WHERE o_orderkey % {k} = {r} ORDER BY g0")
+    return (
+        f"SELECT o_orderkey AS g0, t.c0 AS c0, t.m0 AS m0 "
+        f"FROM orders o, LATERAL ("
+        f"SELECT CAST(count(*) AS BIGINT) AS c0, "
+        f"CAST(coalesce(min(l.l_linenumber), -1) AS BIGINT) AS m0 "
+        f"FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND ({p1})) t "
+        f"WHERE o_orderkey % {k} = {r} ORDER BY g0")
+
+
 def query_case(qi):
     p1, p2 = predicate(), predicate()
     case = f"CASE WHEN {p1} THEN 'a' WHEN {p2} THEN 'b' ELSE 'c' END"
@@ -213,12 +241,13 @@ def query_case(qi):
 
 
 FAMILIES = [
-    ("agg", query_agg, 0.3),
+    ("agg", query_agg, 0.25),
     ("oj", query_outerjoin, 0.15),
     ("win", query_window, 0.15),
     ("sub", query_corrsub, 0.15),
     ("set", query_setop, 0.15),
-    ("case", query_case, 0.10),
+    ("case", query_case, 0.05),
+    ("latsel", query_latsel, 0.10),
 ]
 
 
