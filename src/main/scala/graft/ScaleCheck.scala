@@ -171,6 +171,12 @@ object ScaleCheck {
       // behavioral axis FIRST (q173_stream_dedup would otherwise match the
       // dedup branch and point at a documents-only dir)
       if (q.contains("stream_fanin")) (e2Dir, 2) // orders-derived txn pairs: combinatorial in density, the motif family's arm
+      // streaming twins of non-events operators route by their INPUT table,
+      // not the stream_ prefix: the CC sinks fold the customer identity
+      // graph, the near-dup sink reads documents
+      else if (q.contains("stream_incremental_cc") || q.contains("stream_cc"))
+        (vDir, factor)
+      else if (q.contains("stream_neardup")) (dDir, factor)
       else if (q.contains("stream_")) (tDir, factor)
       else if (q.contains("connected_components") || q.contains("hyperball") ||
         q.contains("betweenness") || q.contains("incremental_cc"))

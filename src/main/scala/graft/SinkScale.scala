@@ -57,23 +57,31 @@ object SinkScale {
       // one warmup fold so JIT/codegen caches do not bill to mode "mem"
       new graft.streaming.Streams.IncrementalCCSink()
         .update(batchEdges(perBatch, 0), 0L)
-      val modes: Seq[(String, () => graft.streaming.Streams.IncrementalCCSink)] = Seq(
-        "mem" -> (() => new graft.streaming.Streams.IncrementalCCSink()),
-        "full" -> (() => new graft.streaming.Streams.IncrementalCCSink(
-          stateDir = Some(java.nio.file.Files
-            .createTempDirectory("sinkscale_full_").toString))),
-        "delta" -> (() => new graft.streaming.Streams.IncrementalCCSink(
-          stateDir = Some(java.nio.file.Files
-            .createTempDirectory("sinkscale_delta_").toString),
-          snapshotEvery = 10)))
-      val perMode = modes.map { case (mode, mk) =>
-        val sink = mk()
+      val modes: Seq[(String, Option[String], Int)] = Seq(
+        ("mem", None, 1),
+        ("full", Some(java.nio.file.Files
+          .createTempDirectory("sinkscale_full_").toString), 1),
+        ("delta", Some(java.nio.file.Files
+          .createTempDirectory("sinkscale_delta_").toString), 10))
+      val perMode = modes.map { case (mode, stateDir, snapEvery) =>
+        val sink = new graft.streaming.Streams.IncrementalCCSink(
+          stateDir = stateDir, snapshotEvery = snapEvery)
         val times = (0 until nBatches).map { i =>
           val e = batchEdges(perBatch, i).localCheckpoint() // source cost off the clock
           val t0 = System.nanoTime()
           sink.update(e, i.toLong)
+          // uniform terminal consumption: the fold's remap join is LAZY in
+          // mem/delta mode (only the contracted CC runs eagerly), while
+          // full mode materializes it via the snapshot write — without
+          // this, mode "mem" defers each batch's O(accumulated V) remap to
+          // the NEXT batch's clock and never pays the last one at all,
+          // inflating every commit_overhead reading by one remap join
+          sink.current.foreach(_.write.format("noop").mode("overwrite").save())
           (System.nanoTime() - t0) / 1e9
         }
+        // state dirs would otherwise leak keepCommits × 10M-row snapshots
+        // into /tmp per run
+        stateDir.foreach(d => graft.engine.Fs.deleteRecursively(new java.io.File(d)))
         val v = perBatch * nBatches
         println(f"""{"mode":"$mode%s","factor":$f%d,"per_batch":$perBatch%d,"acc_vertices":$v%d,"first_sec":${times.head}%.2f,"last_sec":${times.last}%.2f,"total_sec":${times.sum}%.2f,"per_batch_sec":[${times.map(t => f"$t%.2f").mkString(",")}]}""")
         mode -> times.sum

@@ -17,17 +17,24 @@ private[graft] object Fs {
     * which this replaced, DOES follow directory symlinks.) Unreadable
     * entries are skipped, not fatal — best-effort cleanup. */
   def deleteRecursively(f: java.io.File): Unit = {
+    // best-effort by contract: an undeletable entry (permissions, a child
+    // created mid-walk leaving DirectoryNotEmptyException) must not
+    // propagate — this runs inside foreachBatch commit pruning and the
+    // shutdown-hook reaper, where a throw would kill the streaming query
+    // or abort the remaining dirs' cleanup
+    def tryDelete(p: Path): Unit =
+      try { Files.deleteIfExists(p); () } catch { case _: IOException => () }
     val root = f.toPath
     if (Files.exists(root, LinkOption.NOFOLLOW_LINKS)) {
       Files.walkFileTree(root, new SimpleFileVisitor[Path] {
         override def visitFile(p: Path, attrs: BasicFileAttributes): FileVisitResult = {
-          Files.deleteIfExists(p); FileVisitResult.CONTINUE
+          tryDelete(p); FileVisitResult.CONTINUE
         }
         override def visitFileFailed(p: Path, e: IOException): FileVisitResult = {
-          Files.deleteIfExists(p); FileVisitResult.CONTINUE
+          tryDelete(p); FileVisitResult.CONTINUE
         }
         override def postVisitDirectory(dir: Path, e: IOException): FileVisitResult = {
-          Files.deleteIfExists(dir); FileVisitResult.CONTINUE
+          tryDelete(dir); FileVisitResult.CONTINUE
         }
       })
       ()

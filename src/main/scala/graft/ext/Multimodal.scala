@@ -70,17 +70,23 @@ object Multimodal {
     private def be32(b: Array[Byte], i: Int): Int =
       (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
 
-    def decode(bytes: Array[Byte]): MediaMeta = {
+    def decode(bytes: Array[Byte]): MediaMeta = try {
       if (bytes.length >= 24 && be32(bytes, 0) == 0x89504e47 &&
         be32(bytes, 4) == 0x0d0a1a0a)
         MediaMeta(be32(bytes, 16), be32(bytes, 20), "png", 1)
       else if (bytes.length >= 4 && u8(bytes, 0) == 0xff && u8(bytes, 1) == 0xd8)
         decodeJpeg(bytes)
-      else if (bytes.length >= 10 && bytes(0) == 'G' && bytes(1) == 'I' &&
-        bytes(2) == 'F')
+      else if (bytes.length >= 13 && bytes(0) == 'G' && bytes(1) == 'I' &&
+        bytes(2) == 'F') // 13 = header + full logical screen descriptor
         decodeGif(bytes)
       else throw new IllegalArgumentException(
         s"not a PNG/JPEG/GIF container (${bytes.length} bytes)")
+    } catch {
+      // a container whose declared structure runs past the byte stream is
+      // corrupt/truncated — surface it as the DOCUMENTED exception type, so
+      // ingestion boundaries can catch one thing
+      case _: ArrayIndexOutOfBoundsException => throw new IllegalArgumentException(
+        s"truncated PNG/JPEG/GIF container (${bytes.length} bytes)")
     }
 
     private def decodeJpeg(b: Array[Byte]): MediaMeta = {
@@ -121,6 +127,11 @@ object Multimodal {
         case other => throw new IllegalArgumentException(
           f"unknown GIF block 0x$other%02x at $i%d")
       }
+      // the walk must STOP ON the trailer — running off the end (e.g. a
+      // declared color table longer than the stream) is a truncated file,
+      // not a zero-frame GIF
+      if (i >= b.length) throw new IllegalArgumentException(
+        "GIF block walk ran past the byte stream (no trailer)")
       MediaMeta(w, h, "gif", frames)
     }
 

@@ -810,30 +810,18 @@ object ExtQueries {
   private val q181 = QDef(
     "q181_stream_neardup_sink",
     (s, dir) => StreamSession(s) { ss =>
-      import java.nio.file.{Files, Paths}
-      import java.nio.file.attribute.FileTime
-      import scala.jdk.CollectionConverters._
       val docs = Tables.load(ss, dir, "documents").select(col("doc_id"), col("text"))
-      val tmp = TmpReaper.register(Files.createTempDirectory("q181_").toString)
-      val inDir = s"$tmp/in"
-      Files.createDirectories(Paths.get(inDir))
+      val tmp = TmpReaper.register(
+        java.nio.file.Files.createTempDirectory("q181_").toString)
       val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
       val cuts = Seq(mx / 3, 2 * mx / 3)
-      Seq(col("doc_id") <= cuts(0),
-        col("doc_id") > cuts(0) && col("doc_id") <= cuts(1),
-        col("doc_id") > cuts(1)).zipWithIndex.foreach { case (pred, i) =>
-        val stage = s"$tmp/stage_$i"
-        docs.where(pred).coalesce(1).write.parquet(stage)
-        val listing = Files.list(Paths.get(stage))
-        val part = try listing.iterator().asScala
-            .find(_.getFileName.toString.endsWith(".parquet"))
-            .getOrElse(sys.error(s"no parquet part written under $stage"))
-          finally listing.close()
-        val dst = Paths.get(s"$inDir/batch_$i.parquet")
-        Files.move(part, dst)
-        // pin discovery order: the source sorts new files by mtime
-        Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + i * 60000L))
-      }
+      // pinMtime: first-seen-wins is order-SENSITIVE, so discovery order
+      // (the source sorts by mtime) must match the id ranges
+      val inDir = Staging.stageBatches(
+        Seq(docs.where(col("doc_id") <= cuts(0)),
+          docs.where(col("doc_id") > cuts(0) && col("doc_id") <= cuts(1)),
+          docs.where(col("doc_id") > cuts(1))),
+        tmp, pinMtime = true)
       val sink = new graft.streaming.IncrementalNearDupSink("doc_id", "text",
         n = ShingleN, numPerm = 16, bands = 4, threshold = 0.5)
       val q = ss.readStream.schema(docs.schema)

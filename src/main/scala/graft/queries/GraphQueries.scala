@@ -177,25 +177,15 @@ object GraphQueries {
     q16.oracle)
 
   /** Stage each `src mod 3 == i` edge slice (the q48 batch split) as one
-    * parquet file `<tmp>/in/batch_<i>.parquet` — single-file batches so
-    * `maxFilesPerTrigger = 1` makes each slice its own micro-batch. */
+    * parquet file `<tmp>/in/batch_<i>.parquet` via [[Staging.stageBatches]]
+    * — single-file batches so `maxFilesPerTrigger = 1` makes each slice its
+    * own micro-batch. `ids` must be contiguous (file names follow them). */
   private def stageEdgeBatches(edges: DataFrame, tmp: String,
       ids: Seq[Int]): Unit = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    val inDir = s"$tmp/in"
-    Files.createDirectories(Paths.get(inDir))
-    ids.foreach { i =>
-      val stage = s"$tmp/stage_$i"
-      edges.where(pmod(col("src"), lit(3)) === i)
-        .coalesce(1).write.parquet(stage)
-      val listing = Files.list(Paths.get(stage))
-      val part = try listing.iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no parquet part written under $stage"))
-        finally listing.close() // Files.list holds an open directory fd
-      Files.move(part, Paths.get(s"$inDir/batch_$i.parquet"))
-    }
+    Staging.stageBatches(
+      ids.map(i => edges.where(pmod(col("src"), lit(3)) === i)),
+      tmp, startIndex = ids.head)
+    ()
   }
 
   /** One stream lifecycle of the incremental-CC pipeline: file source over

@@ -615,6 +615,17 @@ class MultimodalSpec extends SparkTestBase {
     // a JPEG SOI with no SOF before scan data is corrupt, not 0x0
     val noSof = Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x02).map(_.toByte)
     intercept[IllegalArgumentException](HeaderCodec.decode(noSof))
+    // TRUNCATED containers must throw the documented exception type, never
+    // ArrayIndexOutOfBoundsException: a GIF header cut before the logical
+    // screen descriptor, a JPEG cut inside its SOF payload, and a GIF whose
+    // declared global color table runs past the byte stream
+    intercept[IllegalArgumentException](
+      HeaderCodec.decode("GIF89a  ".getBytes("ISO-8859-1")))
+    val cutSof = Array(0xff, 0xd8, 0xff, 0xc0, 0x00, 0x11, 0x08).map(_.toByte)
+    intercept[IllegalArgumentException](HeaderCodec.decode(cutSof))
+    val cutGct = ("GIF87a".getBytes("ISO-8859-1") ++
+      Array(0x10, 0x00, 0x10, 0x00, 0x81, 0x00, 0x00, 0x2c).map(_.toByte))
+    intercept[IllegalArgumentException](HeaderCodec.decode(cutGct))
   }
 
   test("HeaderCodec decodes a hand-built GIF87a with a global color table and extension") {

@@ -66,7 +66,10 @@ class PlanSpec extends SparkTestBase {
       "q166_cms_frequency",
       // broadcast cross of the two single-row record/unlinkable counters
       // — the q71 pattern
-      "q169_er_unlinkables")
+      "q169_er_unlinkables",
+      // broadcast cross of the four single-row streaming-dedup invariant
+      // aggregates — the q94 pattern
+      "q181_stream_neardup_sink")
 
   private lazy val plans: Map[String, String] =
     graft.SparkEntry.queries.map { case (name, fn) =>

@@ -10,6 +10,22 @@ import graft.SparkTestBase
 class StreamSessionSpec extends SparkTestBase {
 
   test("runtime confs propagate; the partition override wins; skips are only static confs") {
+    // the session is JVM-shared across suites — restore every touched conf
+    // or a later suite's plan-shape pins run under a foreign broadcast
+    // threshold depending on suite order
+    val prevThresh = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      runScenario()
+    } finally {
+      spark.conf.unset("spark.graft.test.arm")
+      prevThresh match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
+  private def runScenario(): Unit = {
     spark.conf.set("spark.graft.test.arm", "on")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "12345678")
     val (arm, thresh, parts) = StreamSession(spark) { ss =>
