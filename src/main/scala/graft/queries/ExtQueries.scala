@@ -860,6 +860,75 @@ object ExtQueries {
                    CAST(0 AS BIGINT) AS n_closure_violations
             FROM documents"""))
 
+  /** q182: the stream-stream LEFT OUTER attribution join
+    * ([[Streams.attributionJoin]] — the one stream-stream shape still
+    * spec-only after q175's inner fan-in) through the REAL micro-batch
+    * engine under q84's oracle verbatim. The subtle semantics under test:
+    * a streaming outer join may null-extend an unmatched purchase ONLY
+    * once the global watermark (the MIN across both inputs) proves no
+    * matching click can still arrive. Left to itself, a terminating
+    * stream would hold back every purchase inside the final watermark
+    * horizon — so each side's staged batches end with a far-future
+    * SENTINEL row (mtime-pinned to arrive last): the terminal watermark
+    * passes every real row, the engine must flush every real unmatched
+    * purchase in the watermark-advance batch AvailableNow runs after the
+    * data is drained, and the terminal table becomes exactly the batch
+    * twin — hash-checked. Sentinels are keyed user_id = -1 and dropped
+    * from the read-back; the sentinel purchase itself stays held back
+    * (its own window end exceeds the terminal watermark), which is
+    * itself the semantics working as specified. */
+  private val q182 = QDef(
+    "q182_stream_attribution",
+    (s, dir) => StreamSession(s) { ss =>
+      val ev = Tables.load(ss, dir, "events")
+      def side(tpe: String) = ev.where(col("event_type") === tpe)
+        .select(col("user_id"), col("event_id").as("txn_id"), col("ts"))
+      val sentinel = ss.range(1).select(lit(-1L).as("user_id"),
+        lit(-1L).as("txn_id"),
+        to_timestamp(lit("2099-01-01 00:00:00")).as("ts"))
+      val tmp = TmpReaper.register(
+        java.nio.file.Files.createTempDirectory("q182_").toString)
+      def stage(tpe: String, sub: String): String = {
+        val d = side(tpe)
+        Staging.stageBatches(
+          Seq(d.where(pmod(col("user_id"), lit(2)) === 0),
+            d.where(pmod(col("user_id"), lit(2)) === 1),
+            sentinel),
+          s"$tmp/$sub", pinMtime = true)
+      }
+      val schema = sentinel.schema
+      def readSide(inDir: String) = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      val joined = Streams.attributionJoin(
+        readSide(stage("purchase", "p")), readSide(stage("click", "c")),
+        within = "30 minutes", watermark = "1 hour", streaming = true)
+      val sink = "q182_stream_sink"
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table(sink)
+        .where(col("user_id") =!= -1L)
+        .groupBy(col("user_id"), col("purchase_id"))
+        .agg(count(col("click_id")).as("n_clicks"),
+          coalesce(max(col("click_id")), lit(-1L)).as("last_click_id"))
+        .orderBy("user_id", "purchase_id")
+    },
+    Some("""WITH p AS (SELECT user_id, event_id AS purchase_id, epoch_ms(ts) AS pms
+                       FROM events WHERE event_type = 'purchase'),
+                 c AS (SELECT user_id, event_id AS click_id, epoch_ms(ts) AS cms
+                       FROM events WHERE event_type = 'click')
+            SELECT p.user_id, p.purchase_id,
+                   CAST(count(c.click_id) AS BIGINT) AS n_clicks,
+                   coalesce(max(c.click_id), -1) AS last_click_id
+            FROM p LEFT JOIN c
+              ON p.user_id = c.user_id
+             AND c.cms >= p.pms - 1800000 AND c.cms <= p.pms
+            GROUP BY p.user_id, p.purchase_id
+            ORDER BY p.user_id, p.purchase_id"""))
+
   /** q179: the multimodal column with a REAL codec —
     * [[Multimodal.HeaderCodec]] parses container dimensions and frame
     * counts straight from PNG IHDR / JPEG SOFn / GIF logical-screen +
@@ -889,23 +958,42 @@ object ExtQueries {
           (id, Multimodal.renderImage(w, h, fmt, frames, seed = id))
         })
         .toDF("id", "media")
+      // resize + frame sampling run over the REAL decoded metadata (the
+      // q35 stub path exercises the same operators over fake metadata);
+      // the oracle mirrors the double scale arithmetic op-for-op and
+      // truncates like Spark's double->int cast
+      val resized = Multimodal.resizeMeta(col("meta"), 16)
       Multimodal.decodeAll(withBytes, "id", Multimodal.HeaderCodec)
         .select(col("id"), col("meta.width").as("width"),
           col("meta.height").as("height"), col("meta.format").as("format"),
-          col("meta.frames").as("frames"), col("label"))
+          col("meta.frames").as("frames"),
+          resized.getField("width").as("resized_w"),
+          resized.getField("height").as("resized_h"),
+          size(Multimodal.sampleFrames(col("meta"), 2)).as("n_sampled_frames"),
+          col("label"))
         .orderBy("id")
     },
-    Some("""SELECT CAST(n_nationkey AS BIGINT) AS id,
-                   CAST(8 + n_nationkey % 11 AS INTEGER) AS width,
-                   CAST(9 + n_nationkey % 6 AS INTEGER) AS height,
-                   CASE CAST(n_nationkey % 3 AS INTEGER)
-                     WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif'
-                   END AS format,
-                   CAST(CASE WHEN n_nationkey % 6 = 2 THEN 3 ELSE 1 END
-                        AS INTEGER) AS frames,
-                   CASE WHEN 8 + n_nationkey % 11 >= 9 + n_nationkey % 6
+    Some("""WITH m AS (
+              SELECT CAST(n_nationkey AS BIGINT) AS id,
+                     CAST(8 + n_nationkey % 11 AS INTEGER) AS width,
+                     CAST(9 + n_nationkey % 6 AS INTEGER) AS height,
+                     CASE CAST(n_nationkey % 3 AS INTEGER)
+                       WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif'
+                     END AS format,
+                     CAST(CASE WHEN n_nationkey % 6 = 2 THEN 3 ELSE 1 END
+                          AS INTEGER) AS frames
+              FROM nation)
+            SELECT id, width, height, format, frames,
+                   CAST(CASE WHEN width > 16
+                     THEN trunc(width * (CAST(16 AS DOUBLE) / width))
+                     ELSE width END AS INTEGER) AS resized_w,
+                   CAST(CASE WHEN width > 16
+                     THEN trunc(height * (CAST(16 AS DOUBLE) / width))
+                     ELSE height END AS INTEGER) AS resized_h,
+                   CAST((frames + 1) // 2 AS INTEGER) AS n_sampled_frames,
+                   CASE WHEN width >= height
                      THEN 'landscape' ELSE 'portrait' END AS label
-            FROM nation ORDER BY id"""))
+            FROM m ORDER BY id"""))
 
   // ---------- events: windowed aggregation, sessionization, JSON ----------
 
@@ -2196,5 +2284,5 @@ object ExtQueries {
     q38, q40, q41, q49, q61, q62, q70, q71, q73, q74, q88, q89, q90, q91,
     q92, q93, q94, q95, q96, q97, q98, q100, q101, q102, q103, q104, q105,
     q133, q142, q148, q159, q163, q166, q168, q171, q173, q174, q175, q179,
-    q181)
+    q181, q182)
 }
