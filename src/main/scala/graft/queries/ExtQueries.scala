@@ -929,6 +929,64 @@ object ExtQueries {
             GROUP BY p.user_id, p.purchase_id
             ORDER BY p.user_id, p.purchase_id"""))
 
+  /** q183: the Misra–Gries sketch as STREAMING AGGREGATION STATE —
+    * [[Streams.heavyHittersStream]] through the real micro-batch engine:
+    * the `approx_top_k` TypedImperativeAggregate's buffer lives in the
+    * state store per window and is MERGED across micro-batches (events
+    * staged as three files, one per trigger), so this row certifies the
+    * sketch's mergeability under the engine's partial/merge protocol, not
+    * just within one job (q73 covers the batch path). Oracle = q73's
+    * containment guarantee, per window: with k=2 counters, every item
+    * with cnt·(k+1) > n in its window is PROVABLY retained by a correct
+    * MG sketch regardless of merge order — the registered result is that
+    * exact guaranteed set (computed in batch) semi-joined against the
+    * streamed sketch output, so a merge that dropped a guaranteed item
+    * shrinks the result and hash-fails. 327 of 720 hourly windows at
+    * sf0.01 carry a guaranteed item (per-window majority by chance), so
+    * the gate is far from vacuous. */
+  private val q183 = QDef(
+    "q183_stream_heavy_hitters",
+    (s, dir) => StreamSession(s) { ss =>
+      val k = 2
+      val ev0 = Tables.load(ss, dir, "events")
+      val tmp = TmpReaper.register(
+        java.nio.file.Files.createTempDirectory("q183_").toString)
+      val inDir = Staging.stageBatches(
+        (0 until 3).map(i => ev0.where(pmod(col("event_id"), lit(3)) === i)), tmp)
+      val sink = "q183_stream_sink"
+      val q = Streams.heavyHittersStream(
+          ss.readStream.schema(ev0.schema)
+            .option("maxFilesPerTrigger", "1").parquet(inDir),
+          k, watermark = Some("2 hours"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val exact = ev0
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(unix_millis(col("w.start")).as("start_ms"),
+          col("event_type").as("item"), col("cnt"))
+      val tot = exact.groupBy("start_ms").agg(sum(col("cnt")).as("__n"))
+      exact.join(tot, "start_ms")
+        .where(col("cnt") * (k + 1) > col("__n"))
+        .join(ss.table(sink).select("start_ms", "item"),
+          Seq("start_ms", "item"), "left_semi")
+        .select(col("start_ms"), col("item"), col("cnt"))
+        .orderBy("start_ms", "item")
+    },
+    Some("""WITH w AS (SELECT epoch_ms(date_trunc('hour', ts)) AS start_ms,
+                              event_type AS item,
+                              CAST(count(*) AS BIGINT) AS cnt
+                       FROM events GROUP BY 1, 2),
+                 t AS (SELECT start_ms, sum(cnt) AS n FROM w GROUP BY 1)
+            SELECT w.start_ms, w.item, w.cnt
+            FROM w JOIN t USING (start_ms)
+            WHERE w.cnt * 3 > t.n
+            ORDER BY start_ms, item"""))
+
   /** q179: the multimodal column with a REAL codec —
     * [[Multimodal.HeaderCodec]] parses container dimensions and frame
     * counts straight from PNG IHDR / JPEG SOFn / GIF logical-screen +
@@ -2284,5 +2342,5 @@ object ExtQueries {
     q38, q40, q41, q49, q61, q62, q70, q71, q73, q74, q88, q89, q90, q91,
     q92, q93, q94, q95, q96, q97, q98, q100, q101, q102, q103, q104, q105,
     q133, q142, q148, q159, q163, q166, q168, q171, q173, q174, q175, q179,
-    q181, q182)
+    q181, q182, q183)
 }
