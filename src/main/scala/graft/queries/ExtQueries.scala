@@ -1127,27 +1127,33 @@ object ExtQueries {
     * emitted iff `end_ms + gap < max_ms` over the whole table. A
     * complete-mode wash would hide exactly the state-eviction semantics
     * this row exists to pin down. */
+  /** q171's pipeline, shared with q184 (the identical query on the RocksDB
+    * state-store provider): file-source stream over the events parquet →
+    * stateful sessionization → append-mode memory sink, terminal table
+    * returned ordered. */
+  private def sessionizeContract(ss: SparkSession, dir: String,
+      sink: String): DataFrame = {
+    import ss.implicits._
+    val path = s"$dir/events.parquet"
+    val schema = ss.read.parquet(path).schema
+    // single-FILE testdata table read via glob (file stream source wants
+    // a directory/glob); at scale this is just `.parquet(dir)`
+    val ev = Tables.normalizeEventsTs(
+      ss.readStream.schema(schema).parquet(s"$path*"))
+    val sessions = Streams.sessionizeStream(
+      ev.select(col("user_id"), col("ts")).as[Streams.SessionEvent],
+      gapMs = 30 * 60 * 1000L, watermarkDelay = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(sink).orderBy("user_id", "start_ms")
+  }
+
   private val q171 = QDef(
     "q171_stream_sessionize",
-    (s, dir) => StreamSession(s) { ss =>
-      import ss.implicits._
-      val path = s"$dir/events.parquet"
-      val schema = ss.read.parquet(path).schema
-      // single-FILE testdata table read via glob (file stream source wants
-      // a directory/glob); at scale this is just `.parquet(dir)`
-      val ev = Tables.normalizeEventsTs(
-        ss.readStream.schema(schema).parquet(s"$path*"))
-      val sink = "q171_stream_sink"
-      val sessions = Streams.sessionizeStream(
-        ev.select(col("user_id"), col("ts")).as[Streams.SessionEvent],
-        gapMs = 30 * 60 * 1000L, watermarkDelay = "0 seconds")
-      val q = sessions.writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      ss.table(sink).orderBy("user_id", "start_ms")
-    },
+    (s, dir) => StreamSession(s) { ss => sessionizeContract(ss, dir, "q171_stream_sink") },
     // q37's session CTEs + the append-mode emission rule (strict <, ms
     // floor on both engines: Timestamp.getTime / epoch_ms)
     Some("""WITH x AS (
@@ -1171,6 +1177,74 @@ object ExtQueries {
             WHERE sid < max_sid
                OR end_ms + 1800000 < (SELECT max(epoch_ms(ts)) FROM events)
             ORDER BY user_id, start_ms"""))
+
+  /** q184: q171's stateful sessionization on the ROCKSDB state-store
+    * provider under the same oracle — COVERAGE has claimed "the at-scale
+    * store is a conf flip" on spec evidence (StreamsSpec RocksDB parity);
+    * this row makes it a hash-checked contract fact. The provider conf is
+    * session-scoped (set on the per-run stream session), so nothing leaks
+    * to concurrently-planned batch queries. At 100 TB state volumes the
+    * HDFS-backed store holds every state row on-heap per partition; the
+    * RocksDB provider spills to native storage with bounded memory — the
+    * provider a real deployment runs, now certified byte-identical on
+    * output. */
+  private val q184 = QDef(
+    "q184_stream_sessionize_rocksdb",
+    (s, dir) => StreamSession(s) { ss =>
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      sessionizeContract(ss, dir, "q184_stream_sink")
+    },
+    q171.oracle)
+
+  /** q185: a RESTART BOUNDARY through the BUILT-IN state store under the
+    * contract — q178 certifies recovery for the custom foreachBatch sink;
+    * this row certifies Spark's own streaming-aggregate state path: the
+    * windowed aggregation (q168's plan, complete mode) processes two
+    * staged event batches, terminates cleanly, a third batch lands, and a
+    * NEW query over the SAME checkpoint resumes. The terminal complete-
+    * mode table equals the batch aggregate ONLY if the offset log resumes
+    * from the unseen file AND the state store restores every window's
+    * partial counts — state loss would undercount every pre-restart
+    * window, a replay would double-count them; either hash-fails. The
+    * sink is `foreachBatch` holding the latest complete table (the memory
+    * sink rejects restart-from-checkpoint by design — it is not
+    * fault-tolerant; foreachBatch is the documented recovery-compatible
+    * sink). */
+  private val q185 = QDef(
+    "q185_stream_agg_restart",
+    (s, dir) => StreamSession(s) { ss =>
+      val ev0 = Tables.load(ss, dir, "events")
+      val tmp = TmpReaper.register(
+        java.nio.file.Files.createTempDirectory("q185_").toString)
+      val last = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+      def lifecycle(): Unit = {
+        val q = Streams.windowedAgg(
+            ss.readStream.schema(ev0.schema)
+              .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in"),
+            watermark = Some("2 hours"))
+          .writeStream
+          .foreachBatch((b: DataFrame, id: Long) => { last.set(b.localCheckpoint()); () })
+          .outputMode("complete")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      Staging.stageBatches(
+        (0 to 1).map(i => ev0.where(pmod(col("event_id"), lit(3)) === i)), tmp)
+      lifecycle()
+      assert(last.get() != null, "lifecycle 1 produced no micro-batches")
+      Staging.stageBatches(
+        Seq(ev0.where(pmod(col("event_id"), lit(3)) === 2)), tmp, startIndex = 2)
+      lifecycle()
+      last.get()
+        .select(unix_millis(col("window_start")).as("window_start_ms"),
+          col("event_type"), col("n_events"),
+          round(col("total_value"), 2).as("total_value"))
+        .orderBy("window_start_ms", "event_type")
+    },
+    q168.oracle)
 
   /** q173: watermarked streaming exact dedup through the real engine —
     * the `dropDuplicates` state-store path (one state row per distinct
@@ -2342,5 +2416,5 @@ object ExtQueries {
     q38, q40, q41, q49, q61, q62, q70, q71, q73, q74, q88, q89, q90, q91,
     q92, q93, q94, q95, q96, q97, q98, q100, q101, q102, q103, q104, q105,
     q133, q142, q148, q159, q163, q166, q168, q171, q173, q174, q175, q179,
-    q181, q182, q183)
+    q181, q182, q183, q184, q185)
 }
