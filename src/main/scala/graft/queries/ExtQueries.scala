@@ -1110,27 +1110,24 @@ object ExtQueries {
                    round(sum(value), 2) AS total_value
             FROM events GROUP BY 1, 2 ORDER BY window_start_ms, event_type"""))
 
-  /** q171: gap sessionization through the ACTUAL Structured Streaming
-    * STATE-STORE path — q168 proves the stateless micro-batch engine; this
-    * row proves the stateful one (`flatMapGroupsWithState` +
-    * EventTimeTimeout state in the HDFS-backed state store, the path a
-    * user runs sessionization on as a stream). File-source `readStream`
-    * over the same events parquet → [[Streams.sessionizeStream]] →
+  /** The q171/q184 pipeline (q184 = same query on the RocksDB state-store
+    * provider): gap sessionization through the ACTUAL Structured Streaming
+    * STATE-STORE path — q168 proves the stateless micro-batch engine; these
+    * rows prove the stateful one (`flatMapGroupsWithState` +
+    * EventTimeTimeout state in the state store, the path a user runs
+    * sessionization on as a stream). File-source `readStream` over the
+    * same events parquet → [[Streams.sessionizeStream]] →
     * `Trigger.AvailableNow` → memory sink, Append mode.
     *
-    * Append-mode streaming semantics, mirrored EXACTLY by the oracle: a
-    * session is emitted either when a later event from the same user
-    * closes it (every session except each user's last), or when the
+    * Append-mode streaming semantics, mirrored EXACTLY by the shared
+    * oracle: a session is emitted either when a later event from the same
+    * user closes it (every session except each user's last), or when the
     * terminal watermark passes its timeout — Spark times out state when
     * `timeoutTimestamp < watermark` (strict), with watermark =
     * floor-to-ms(max event time) at delay 0, so a user's LAST session is
     * emitted iff `end_ms + gap < max_ms` over the whole table. A
     * complete-mode wash would hide exactly the state-eviction semantics
-    * this row exists to pin down. */
-  /** q171's pipeline, shared with q184 (the identical query on the RocksDB
-    * state-store provider): file-source stream over the events parquet →
-    * stateful sessionization → append-mode memory sink, terminal table
-    * returned ordered. */
+    * these rows exist to pin down. */
   private def sessionizeContract(ss: SparkSession, dir: String,
       sink: String): DataFrame = {
     import ss.implicits._
@@ -1218,26 +1215,32 @@ object ExtQueries {
       val tmp = TmpReaper.register(
         java.nio.file.Files.createTempDirectory("q185_").toString)
       val last = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
-      def lifecycle(): Unit = {
+      val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+      def lifecycle(inDir: String): Unit = {
         val q = Streams.windowedAgg(
             ss.readStream.schema(ev0.schema)
-              .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in"),
+              .option("maxFilesPerTrigger", "1").parquet(inDir),
             watermark = Some("2 hours"))
           .writeStream
-          .foreachBatch((b: DataFrame, id: Long) => { last.set(b.localCheckpoint()); () })
+          .foreachBatch((b: DataFrame, id: Long) => {
+            last.set(b.localCheckpoint()); nBatches.incrementAndGet(); ()
+          })
           .outputMode("complete")
           .option("checkpointLocation", s"$tmp/ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
       }
-      Staging.stageBatches(
+      val inDir = Staging.stageBatches(
         (0 to 1).map(i => ev0.where(pmod(col("event_id"), lit(3)) === i)), tmp)
-      lifecycle()
-      assert(last.get() != null, "lifecycle 1 produced no micro-batches")
+      lifecycle(inDir)
+      val afterL1 = nBatches.get()
+      assert(afterL1 > 0, "lifecycle 1 produced no micro-batches")
       Staging.stageBatches(
         Seq(ev0.where(pmod(col("event_id"), lit(3)) === 2)), tmp, startIndex = 2)
-      lifecycle()
+      lifecycle(inDir)
+      assert(nBatches.get() > afterL1,
+        "restarted lifecycle processed no micro-batches (staged batch not picked up)")
       last.get()
         .select(unix_millis(col("window_start")).as("window_start_ms"),
           col("event_type"), col("n_events"),
