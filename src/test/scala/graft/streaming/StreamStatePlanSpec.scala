@@ -101,6 +101,33 @@ class StreamStatePlanSpec extends SparkTestBase {
     } finally sq.stop()
   }
 
+  test("q182 shape: attribution outer join is ONE symmetricHashJoin operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val p = MemoryStream[(Long, Long, Timestamp)]
+    val c = MemoryStream[(Long, Long, Timestamp)]
+    val out = Streams.attributionJoin(
+      p.toDF().toDF("user_id", "txn_id", "ts"),
+      c.toDF().toDF("user_id", "txn_id", "ts"))
+    val sq = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(s"state_plan_attr_${System.nanoTime()}")
+      .start()
+    try {
+      p.addData((1L, 100L, ts(10)))
+      c.addData((1L, 200L, ts(5)))
+      sq.processAllAvailable()
+      val prog = sq.recentProgress.reverse.find(_.stateOperators.nonEmpty)
+        .getOrElse(fail("no progress with state operators"))
+      assert(prog.stateOperators.map(_.operatorName).toSeq == Seq("symmetricHashJoin"))
+    } finally sq.stop()
+  }
+
+  test("q183 shape: sketch-state heavy hitters is ONE stateStoreSave operator") {
+    val p = lastStateProgress(
+      df => Streams.heavyHittersStream(df, k = 2), someEvents,
+      mode = OutputMode.Complete())
+    assert(p.stateOperators.map(_.operatorName).toSeq == Seq("stateStoreSave"))
+  }
+
   test("q171 shape: explicit sessionization is ONE flatMapGroupsWithState operator") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Streams.SessionEvent]
