@@ -345,12 +345,18 @@ object RelationalQueries {
     * warehouse is built from the customer table, MERGE-upserted twice
     * (updates + inserts, each writing an immutable `__vN` snapshot), then
     * BOTH versions are time-travel-read back and diffed
-    * ([[graft.engine.Diff.diffSummary]]): per-status row counts plus the
-    * snapshot count from `history`. Every count is recomputed by the
-    * oracle from the same customer rows (upsert = anti-join ∪ updates),
-    * so a broken snapshot write, version resolution, or merge semantics
-    * hash-fails. The scratch dir rides the JVM-exit reaper because the
-    * returned frame plans over the snapshot parquet lazily. */
+    * ([[graft.engine.Diff.diffSummary]]), the table is COMPACTED (a new
+    * identical snapshot — the diff vs the pre-compact version must count
+    * zero changes) and VACUUMED down to the newest two snapshots (history
+    * length before/after hashed): per-status row counts plus the version
+    * counts. Every count is recomputed by the oracle from the same
+    * customer rows (upsert = anti-join ∪ updates), so a broken snapshot
+    * write, version resolution, merge, compaction rewrite, or vacuum
+    * retention hash-fails. The v1-vs-v2 diff is localCheckpointed BEFORE
+    * the vacuum that deletes __v1 — the documented in-flight-reader
+    * discipline, exercised here. The scratch dir rides the JVM-exit
+    * reaper because the returned frame plans over snapshot parquet
+    * lazily. */
   private val q180 = QDef(
     "q180_catalog_time_travel",
     (s, dir) => {
@@ -388,10 +394,27 @@ object RelationalQueries {
       cat.upsert(view, updB, Seq("id"))
       val v1 = cat.tableVersion(view, 1)
       val v2 = cat.tableVersion(view, 2)
-      graft.engine.Diff.diffSummary(v1, v2, "id")
+      // localCheckpoint BEFORE vacuum: the diff plans over the __v1 dir,
+      // which the vacuum below garbage-collects — exactly the in-flight-
+      // reader hazard Catalog.vacuum's contract warns about, resolved the
+      // way a real pipeline does (materialize, then vacuum)
+      val diffRows = graft.engine.Diff.diffSummary(v1, v2, "id").localCheckpoint()
+      // compact -> __v3 with identical rows; vacuum then drops __v1 only
+      cat.compact(view, targetFiles = 2)
+      val compactChanged = graft.engine.Diff
+        .diff(cat.tableVersion(view, 2), cat.tableVersion(view, 3), "id")
+        .where(col("status") =!= "unchanged")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("compact_changed").as("status"), col("n"))
+      val versionsBefore = cat.history(view).length.toLong
+      cat.vacuum(view, keep = 2)
+      val versionsAfter = cat.history(view).length.toLong
+      diffRows
+        .unionByName(compactChanged)
         .unionByName(s.range(1).select(
-          lit("versions_available").as("status"),
-          lit(cat.history(view).length.toLong).as("n")))
+          lit("versions_available").as("status"), lit(versionsBefore).as("n")))
+        .unionByName(s.range(1).select(
+          lit("versions_after_vacuum").as("status"), lit(versionsAfter).as("n")))
         .orderBy("status")
     },
     Some("""WITH base AS (
@@ -433,7 +456,11 @@ object RelationalQueries {
               FROM v1 a FULL JOIN v2 b ON a.id = b.id)
             SELECT status, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1
             UNION ALL
-            SELECT 'versions_available', CAST(2 AS BIGINT)
+            SELECT 'compact_changed', CAST(0 AS BIGINT)
+            UNION ALL
+            SELECT 'versions_available', CAST(3 AS BIGINT)
+            UNION ALL
+            SELECT 'versions_after_vacuum', CAST(2 AS BIGINT)
             ORDER BY status"""))
 
   /** Exact quantiles + distinct counts per group (the OLAP summary shape;
