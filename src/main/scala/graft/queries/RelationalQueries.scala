@@ -463,6 +463,56 @@ object RelationalQueries {
             SELECT 'versions_after_vacuum', CAST(2 AS BIGINT)
             ORDER BY status"""))
 
+  /** q186: the CSV and JSON-lines sources/sinks under the oracle — the
+    * reference loads its dedupe corpus exactly this way
+    * (`config/aml_config.py:87-94`: header + inferSchema CSV). Customer
+    * rows round-trip through BOTH interchange formats on a scratch dir
+    * (`df.write.csv/json` → [[graft.engine.Sources.csv]]/`jsonLines` with
+    * inference), then each read-back is aggregated per segment; the
+    * oracle recomputes the same aggregates from the parquet table, so a
+    * lossy write, a mis-inferred type, or a header/quoting bug breaks the
+    * hash. Doubles survive because both writers emit the shortest
+    * round-trippable decimal repr and both engines aggregate exact cents
+    * (floor(acctbal·100) as BIGINT); read-back columns are cast
+    * explicitly, as a schema-disciplined pipeline would (inference may
+    * narrow small ids to INT). */
+  private val q186 = QDef(
+    "q186_csv_json_roundtrip",
+    (s, dir) => {
+      val tmp = TmpReaper.register(
+        java.nio.file.Files.createTempDirectory("q186_").toString)
+      val base = t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("id"), col("c_name").as("name"),
+        col("c_acctbal").as("acctbal"), col("c_mktsegment").as("segment"))
+      base.coalesce(2).write.option("header", "true").csv(s"$tmp/csv")
+      base.coalesce(2).write.json(s"$tmp/json")
+      def agg(fmt: String, df: DataFrame): DataFrame = df
+        .select(col("id").cast("long"), col("name"),
+          col("acctbal").cast("double"), col("segment"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("acctbal") * 100).cast("long")).cast("long").as("cents"),
+          min(col("name")).as("first_name"),
+          max(col("id")).as("max_id"))
+        .select(lit(fmt).as("fmt"), col("segment"), col("n"), col("cents"),
+          col("first_name"), col("max_id"))
+      agg("csv", graft.engine.Sources.csv(s, s"$tmp/csv"))
+        .unionByName(agg("json", graft.engine.Sources.jsonLines(s, s"$tmp/json")))
+        .orderBy("fmt", "segment")
+    },
+    Some("""WITH b AS (SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name,
+                              c_acctbal AS acctbal, c_mktsegment AS segment
+                       FROM customer),
+                 a AS (SELECT segment, CAST(count(*) AS BIGINT) AS n,
+                              CAST(sum(CAST(floor(acctbal * 100) AS BIGINT))
+                                   AS BIGINT) AS cents,
+                              min(name) AS first_name, max(id) AS max_id
+                       FROM b GROUP BY segment)
+            SELECT 'csv' AS fmt, * FROM a
+            UNION ALL
+            SELECT 'json' AS fmt, * FROM a
+            ORDER BY fmt, segment"""))
+
   /** Exact quantiles + distinct counts per group (the OLAP summary shape;
     * both engines use the same linear-interpolation definition over sorted
     * exact doubles, so no rounding). The sketch variants
@@ -1017,5 +1067,5 @@ object RelationalQueries {
   val all: Seq[QDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
       q39, q43, q66, q67, q68, q72, q75, q76, q77, q81, q82, q106, q109,
-      q132, q140, q146, q158, q176, q180)
+      q132, q140, q146, q158, q176, q180, q186)
 }
