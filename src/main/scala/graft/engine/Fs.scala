@@ -22,22 +22,27 @@ private[graft] object Fs {
     // propagate — this runs inside foreachBatch commit pruning and the
     // shutdown-hook reaper, where a throw would kill the streaming query
     // or abort the remaining dirs' cleanup
+    // NonFatal, not just IOException: a SecurityManager veto or a runtime
+    // failure from the filesystem provider must be equally non-propagating
     def tryDelete(p: Path): Unit =
-      try { Files.deleteIfExists(p); () } catch { case _: IOException => () }
+      try { Files.deleteIfExists(p); () }
+      catch { case scala.util.control.NonFatal(_) => () }
     val root = f.toPath
-    if (Files.exists(root, LinkOption.NOFOLLOW_LINKS)) {
-      Files.walkFileTree(root, new SimpleFileVisitor[Path] {
-        override def visitFile(p: Path, attrs: BasicFileAttributes): FileVisitResult = {
-          tryDelete(p); FileVisitResult.CONTINUE
-        }
-        override def visitFileFailed(p: Path, e: IOException): FileVisitResult = {
-          tryDelete(p); FileVisitResult.CONTINUE
-        }
-        override def postVisitDirectory(dir: Path, e: IOException): FileVisitResult = {
-          tryDelete(dir); FileVisitResult.CONTINUE
-        }
-      })
-      ()
-    }
+    try {
+      if (Files.exists(root, LinkOption.NOFOLLOW_LINKS)) {
+        Files.walkFileTree(root, new SimpleFileVisitor[Path] {
+          override def visitFile(p: Path, attrs: BasicFileAttributes): FileVisitResult = {
+            tryDelete(p); FileVisitResult.CONTINUE
+          }
+          override def visitFileFailed(p: Path, e: IOException): FileVisitResult = {
+            tryDelete(p); FileVisitResult.CONTINUE
+          }
+          override def postVisitDirectory(dir: Path, e: IOException): FileVisitResult = {
+            tryDelete(dir); FileVisitResult.CONTINUE
+          }
+        })
+        ()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 }

@@ -409,13 +409,19 @@ object RelationalQueries {
       val versionsBefore = cat.history(view).length.toLong
       cat.vacuum(view, keep = 2)
       val versionsAfter = cat.history(view).length.toLong
-      diffRows
+      val out = diffRows
         .unionByName(compactChanged)
         .unionByName(s.range(1).select(
           lit("versions_available").as("status"), lit(versionsBefore).as("n")))
         .unionByName(s.range(1).select(
           lit("versions_after_vacuum").as("status"), lit(versionsAfter).as("n")))
         .orderBy("status")
+      // drop the scratch view: nothing in `out` plans through it (diffRows
+      // is checkpointed; compactChanged reads snapshot paths directly), and
+      // leaving it would accumulate one temp view per Bench/Verify
+      // iteration on the shared session
+      cat.drop(view)
+      out
     },
     Some("""WITH base AS (
               SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name,

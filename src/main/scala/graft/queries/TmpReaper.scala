@@ -45,6 +45,10 @@ private[queries] object Staging {
         finally listing.close() // Files.list holds an open directory fd
       val dst = Paths.get(s"$inDir/batch_$i.parquet")
       Files.move(part, dst)
+      // the moved batch file is the only artifact the stream needs; the
+      // stage dir (_SUCCESS/.crc leftovers) would otherwise accumulate one
+      // staged copy per iteration for the life of the JVM under a Bench loop
+      graft.engine.Fs.deleteRecursively(new java.io.File(stage))
       if (pinMtime)
         Files.setLastModifiedTime(dst,
           FileTime.fromMillis(1700000000000L + i * 60000L))

@@ -283,14 +283,19 @@ object Streams {
 
     /** The latest `(id, component)` assignment (None before the first batch).
       *
-      * VALIDITY WINDOW: under durable state the frame plans over the latest
-      * committed parquet, and commit pruning keeps only the newest
-      * `keepCommits` directories — so a frame handed out here stays
-      * readable only until `keepCommits` further batches fold (after that
-      * its backing files are pruned and a late consume throws
-      * FileNotFoundException, parquet reads being lazy). Consume (or
-      * `.localCheckpoint()`) a held frame before folding that many more
-      * batches, or raise `keepCommits` to the hold horizon. */
+      * VALIDITY WINDOW: under durable state with `snapshotEvery = 1` the
+      * frame plans over the latest committed parquet, and commit pruning
+      * keeps only the newest `keepCommits` directories — so a frame handed
+      * out here stays readable only until `keepCommits` further batches
+      * fold (after that its backing files are pruned and a late consume
+      * throws FileNotFoundException, parquet reads being lazy). Consume
+      * (or `.localCheckpoint()`) a held frame before folding that many
+      * more batches, or raise `keepCommits` to the hold horizon. In DELTA
+      * mode (`snapshotEvery > 1`) a frame handed out between snapshots is
+      * backed by the fold's executor-resident localCheckpoint blocks, not
+      * parquet — it stays readable for this JVM's lifetime regardless of
+      * pruning, until the next full snapshot swaps the backing to parquet
+      * (at which point the parquet window above applies). */
     def current: Option[DataFrame] = assign
     /** [[current]], restoring from `stateDir` first if this lifecycle has
       * not folded a batch yet. */
