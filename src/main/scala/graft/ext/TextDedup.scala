@@ -158,8 +158,9 @@ object TextDedup {
     * At 100 TB this is the scale path: candidate generation touches only
     * bucket-colliding pairs, never O(n²). */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, numPerm: Int, bands: Int, threshold: Double): DataFrame = {
-    val (sh, buckets) = minhashBuckets(df, idCol, textCol, n, numPerm, bands)
+      n: Int, numPerm: Int, bands: Int, threshold: Double,
+      mode: MinHashMode = XxMode): DataFrame = {
+    val (sh, buckets) = minhashBuckets(df, idCol, textCol, n, numPerm, bands, mode)
     jaccardFromCounts(sh, candidateCommonCounts(sh, pairCandidates(buckets)), threshold)
   }
 
@@ -198,35 +199,94 @@ object TextDedup {
     * making the chained components a refinement (never a coarsening) of the
     * pairwise ones — the safe direction for dedup (asserted in DedupSpec). */
   def minhashLshEdgesChained(df: DataFrame, idCol: String, textCol: String,
-      n: Int, numPerm: Int, bands: Int, threshold: Double): DataFrame = {
-    val (sh, buckets) = minhashBuckets(df, idCol, textCol, n, numPerm, bands)
+      n: Int, numPerm: Int, bands: Int, threshold: Double,
+      mode: MinHashMode = XxMode): DataFrame = {
+    val (sh, buckets) = minhashBuckets(df, idCol, textCol, n, numPerm, bands, mode)
     jaccardFromCounts(sh, candidateCommonCounts(sh, chainCandidates(buckets)), threshold)
   }
+
+  /** Hash family for the MinHash banding pipeline. [[XxMode]] (xxhash64
+    * base/permutation/band hashes — full 64-bit dispersion, zero-cost
+    * codegen'd) is the scale default. [[MirrorMode]] swaps every hash for
+    * plain 64-bit integer arithmetic any ANSI engine reproduces
+    * bit-for-bit — base hash = [[strHash]] polynomial char fold,
+    * permutations = a Carter–Wegman affine family `(aᵢ·h + bᵢ) mod P`,
+    * band hash = a seeded multiplicative fold — so an external auditor
+    * (the DuckDB oracle, q188/q189/q181) can recompute SIGNATURES, BUCKET
+    * IDS, candidate sets, and verified pairs value-for-value, not just
+    * check invariants. Dispersion is weaker than xxhash64 (P ≈ 2³⁰ output
+    * space vs 2⁶⁴) — at 100 TB corpus size use XxMode and audit a sampled
+    * partition in MirrorMode. */
+  sealed trait MinHashMode
+  case object XxMode extends MinHashMode
+  case object MirrorMode extends MinHashMode
+
+  /** The Mersenne-ish prime bounding every MirrorMode hash value. All
+    * intermediates stay below 2⁶³: `a·h ≤ (2654435761+2·numPerm)·(P−1)
+    * ≈ 2.7·10¹⁸` and the band fold's `acc·2654435761 + s ≤ 2.7·10¹⁸`. */
+  private[graft] val MirrorP = 1000000007L
+  /** Per-permutation affine multipliers/offsets — fixed public constants
+    * (Knuth's multiplier stepped by 2i keeps each aᵢ odd and nonzero mod
+    * P, so every permutation map is a bijection of Z_P). */
+  private[graft] def mirrorPermA(i: Int): Long = 2654435761L + 2L * i
+  private[graft] def mirrorPermB(i: Int): Long = 1000003L * (i + 1)
+
+  /** ANSI-mirrorable polynomial string hash: fold `acc·31 + codepoint`
+    * mod [[MirrorP]] over the characters. Matches DuckDB's
+    * `list_reduce(list_prepend(0, list_transform(string_split(s,''),
+    * c -> unicode(c))), (a,c) -> (a*31+c) % 1000000007)` bit-for-bit
+    * (empty splits filtered: Java's `split("")` keeps no trailing empty,
+    * but the filter makes the contract explicit). Higher-order functions
+    * are CodegenFallback — this is the AUDIT-mode base hash; XxMode's
+    * xxhash64 is the scale path. */
+  def strHash(s: Column): Column =
+    aggregate(
+      org.apache.spark.sql.functions.filter(split(s, ""), c => c =!= ""),
+      lit(0L),
+      (acc, c) => pmod(acc * lit(31L) + ascii(c), lit(MirrorP)))
 
   /** Shared MinHash-banding front end: the localCheckpointed shingle index
     * plus (id, band, bucket) rows. Bucket rows carry only ids — shingle
     * arrays never ride the banding explode. Package-private so composite
     * queries comparing candidate strategies (q91) compute the banding once. */
   private[graft] def minhashBuckets(df: DataFrame, idCol: String, textCol: String,
-      n: Int, numPerm: Int, bands: Int): (DataFrame, DataFrame) = {
+      n: Int, numPerm: Int, bands: Int,
+      mode: MinHashMode = XxMode): (DataFrame, DataFrame) = {
     require(numPerm % bands == 0, "numPerm must divide into bands")
     val rowsPerBand = numPerm / bands
     // localCheckpoint the shingle index (read by the signature pass, the
     // size table, and both sides of candidate verification) — see the
     // leak rationale in [[jaccardPairs]]
     val sh = shingleRows(df, idCol, textCol, n).localCheckpoint()
-    // Signature via numPerm codegen'd min(xxhash64(h, seed)) aggregates —
-    // higher-order functions are CodegenFallback, so the array-lambda
-    // formulation pays interpreted dispatch per (shingle, perm); this is
-    // one shuffle on the doc id instead. Permutation i = min over
-    // re-seeded hashes of the shingle's base hash (Broder).
-    val tok = sh.select(col("id"), xxhash64(col("sh")).as("h"))
-    val sigCols = (0 until numPerm).map(i => min(xxhash64(col("h"), lit(i))).as(s"s$i"))
+    // Signature via numPerm codegen'd min(hash) aggregates — higher-order
+    // functions are CodegenFallback, so the array-lambda formulation pays
+    // interpreted dispatch per (shingle, perm); this is one shuffle on the
+    // doc id instead. Permutation i = min over re-hashed base hashes of
+    // the shingle (Broder); MirrorMode uses an affine family over strHash.
+    val baseHash = mode match {
+      case XxMode => xxhash64(col("sh"))
+      case MirrorMode => strHash(col("sh"))
+    }
+    val tok = sh.select(col("id"), baseHash.as("h"))
+    val sigCols = (0 until numPerm).map { i =>
+      val permed = mode match {
+        case XxMode => xxhash64(col("h"), lit(i))
+        case MirrorMode =>
+          pmod(col("h") * lit(mirrorPermA(i)) + lit(mirrorPermB(i)), lit(MirrorP))
+      }
+      min(permed).as(s"s$i")
+    }
     val sig = tok.groupBy("id").agg(sigCols.head, sigCols.tail: _*)
     // bucket rows carry only (id, band, bucket)
     val bandCols = (0 until bands).map { b =>
       val sigsInBand = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"s$i"))
-      xxhash64(sigsInBand :+ lit(b): _*)
+      mode match {
+        case XxMode => xxhash64(sigsInBand :+ lit(b): _*)
+        case MirrorMode =>
+          // seeded multiplicative fold: acc = (acc·2654435761 + s) mod P
+          sigsInBand.foldLeft(lit(b + 1L): Column)((acc, s) =>
+            pmod(acc * lit(2654435761L) + s, lit(MirrorP)))
+      }
     }
     val buckets = sig.select(col("id"), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")

@@ -40,7 +40,8 @@ import graft.graph.ConnectedComponents
   * a replay can't know online; parity on min-id ordering is asserted in
   * IncrementalNearDupSpec. */
 final class IncrementalNearDupSink(idCol: String, textCol: String,
-    n: Int, numPerm: Int, bands: Int, threshold: Double) {
+    n: Int, numPerm: Int, bands: Int, threshold: Double,
+    mode: TextDedup.MinHashMode = TextDedup.XxMode) {
 
   @volatile private var shKept: Option[DataFrame] = None // (id, sh)
   @volatile private var bkKept: Option[DataFrame] = None // (id, band, bucket)
@@ -57,7 +58,7 @@ final class IncrementalNearDupSink(idCol: String, textCol: String,
   def update(batch0: DataFrame, batchId: Long): Unit = synchronized {
     val batch = batch0.select(col(idCol).as("id"), col(textCol).as("text"))
       .dropDuplicates("id").localCheckpoint()
-    val (shB, bkB0) = TextDedup.minhashBuckets(batch, "id", "text", n, numPerm, bands)
+    val (shB, bkB0) = TextDedup.minhashBuckets(batch, "id", "text", n, numPerm, bands, mode)
     val bkB = bkB0.localCheckpoint()
 
     // candidate edges: store collisions (kept id on the left) + batch chain

@@ -51,6 +51,28 @@ class DedupSpec extends SparkTestBase {
     assert(lsh.contains((1L, 2L, 1.0)))
   }
 
+  test("MirrorMode: strHash equals the reference polynomial fold; pipeline " +
+      "verifies like XxMode (identical docs always collide)") {
+    // the ANSI-mirrorable base hash, recomputed in plain Scala
+    def ref(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+    val got = docs.select(col("text"),
+        TextDedup.strHash(col("text")).as("h"))
+      .as[(String, Long)].collect()
+    got.foreach { case (t, h) => assert(h == ref(t), s"strHash mismatch on '$t'") }
+    // the MirrorMode pipeline keeps the XxMode guarantees: candidates
+    // verify against exact jaccard (subset) and identical docs collide in
+    // every band (the q188/q189/q190/q181 oracles additionally prove the
+    // values are ANSI-reproducible — this spec pins engine-side semantics)
+    val exact = TextDedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_l", "id_r", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val mir = TextDedup.minhashLshPairs(docs, "doc_id", "text", 3, 16, 4, 0.5,
+        TextDedup.MirrorMode)
+      .select("id_l", "id_r", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(mir.subsetOf(exact))
+    assert(mir.contains((1L, 2L, 1.0)))
+  }
+
   test("exact dedup partitions on fixed-width content hashes, never raw text") {
     val out = TextDedup.exactCanonical(docs, "doc_id", "text")
     val windows = out.queryExecution.optimizedPlan.collect {
