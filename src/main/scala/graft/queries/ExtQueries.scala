@@ -51,7 +51,7 @@ object ExtQueries {
                      unnest(string_split_regex(lower(text), '\s+')) AS w,
                      generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS pos
               FROM documents),
-            sh AS (
+            sh AS MATERIALIZED (
               SELECT DISTINCT a.doc_id,
                      a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w || ' ' || e.w AS sh
               FROM w a
@@ -59,7 +59,7 @@ object ExtQueries {
               JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
               JOIN w d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
               JOIN w e ON e.doc_id = a.doc_id AND e.pos = a.pos + 4),
-            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            sizes AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
             inter AS (
               SELECT x.doc_id AS id_l, y.doc_id AS id_r, count(*) AS common
               FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
@@ -123,7 +123,7 @@ object ExtQueries {
                      unnest(string_split_regex(lower(text), '\s+')) AS w,
                      generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS pos
               FROM documents),
-            sh AS (
+            sh AS MATERIALIZED (
               SELECT DISTINCT a.doc_id,
                      a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w || ' ' || e.w AS sh
               FROM w a
@@ -131,7 +131,7 @@ object ExtQueries {
               JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
               JOIN w d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
               JOIN w e ON e.doc_id = a.doc_id AND e.pos = a.pos + 4),
-            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            sizes AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
             inter AS (
               SELECT x.doc_id AS id_l, y.doc_id AS id_r, count(*) AS common
               FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
@@ -210,7 +210,7 @@ object ExtQueries {
                      unnest(string_split_regex(lower(text), '\s+')) AS w,
                      generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS pos
               FROM documents),
-            sh AS (
+            sh AS MATERIALIZED (
               SELECT DISTINCT a.doc_id,
                      a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w || ' ' || e.w AS sh
               FROM w a
@@ -218,7 +218,7 @@ object ExtQueries {
               JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
               JOIN w d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
               JOIN w e ON e.doc_id = a.doc_id AND e.pos = a.pos + 4),
-            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            sizes AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
             inter AS (
               SELECT x.doc_id AS id_l, y.doc_id AS id_r, count(*) AS common
               FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
@@ -787,26 +787,99 @@ object ExtQueries {
                    CAST(sum(width) AS BIGINT) AS total_width
             FROM d GROUP BY 1, 2 ORDER BY format, label"""))
 
+  /** DuckDB mirror of the streaming incremental near-dup fold
+    * ([[graft.streaming.IncrementalNearDupSink]] in MirrorMode): the
+    * 3-batch online algorithm UNROLLED — per batch, store-vs-batch bucket
+    * collisions plus batch-internal chain candidates, exact-Jaccard
+    * verification, min-id connected components (a recursive reachability
+    * CTE per batch), cluster resolution against the kept set, and the
+    * keeper-store append. Every keeper/dup_of value is recomputed, so the
+    * row's hash encodes the sink's full online assignment. */
+  private def neardupMirrorSql: String = {
+    def block(k: Int): String = {
+      val prev = s"keep${k - 1}"
+      s"""cand$k AS MATERIALIZED (
+              SELECT DISTINCT id_l, id_r FROM (
+                SELECT kb.doc_id AS id_l, nb.doc_id AS id_r
+                FROM bk kb JOIN bk nb
+                  ON nb.band = kb.band AND nb.bucket = kb.bucket
+                WHERE kb.doc_id IN (SELECT id FROM $prev)
+                  AND nb.doc_id IN (SELECT doc_id FROM bat$k)
+                UNION ALL
+                SELECT id_l, id_r FROM (
+                  SELECT lag(doc_id) OVER (PARTITION BY band, bucket
+                                           ORDER BY doc_id) AS id_l,
+                         doc_id AS id_r
+                  FROM bk WHERE doc_id IN (SELECT doc_id FROM bat$k)) t
+                WHERE id_l IS NOT NULL) u),
+            edges$k AS MATERIALIZED (
+              SELECT j.id_l AS a, j.id_r AS b
+              FROM (SELECT c.id_l, c.id_r, count(*) AS common
+                    FROM cand$k c
+                    JOIN sh x ON x.doc_id = c.id_l
+                    JOIN sh y ON y.doc_id = c.id_r AND y.sh = x.sh
+                    GROUP BY 1, 2) j
+              JOIN sizes sa ON sa.doc_id = j.id_l
+              JOIN sizes sb ON sb.doc_id = j.id_r
+              WHERE CAST(j.common AS DOUBLE) / (sa.sz + sb.sz - j.common) >= 0.5),
+            sym$k(a, b) AS MATERIALIZED (
+              SELECT a, b FROM edges$k UNION SELECT b, a FROM edges$k),
+            reach$k(id, r) AS (
+              SELECT a, a FROM sym$k
+              UNION
+              SELECT s.b, reach$k.r FROM sym$k s JOIN reach$k ON reach$k.id = s.a),
+            comp$k AS MATERIALIZED (SELECT id, min(r) AS comp FROM reach$k GROUP BY id),
+            kc$k AS MATERIALIZED (SELECT comp, min(id) AS kc FROM comp$k
+                     WHERE id IN (SELECT id FROM $prev) GROUP BY comp),
+            cm$k AS MATERIALIZED (SELECT comp, min(id) AS cm FROM comp$k
+                     WHERE id IN (SELECT doc_id FROM bat$k) GROUP BY comp),
+            verdict$k AS MATERIALIZED (
+              SELECT d.doc_id AS id,
+                     CASE WHEN r.canon IS NOT NULL AND r.canon <> d.doc_id
+                          THEN r.canon END AS dup_of
+              FROM bat$k d
+              LEFT JOIN (
+                SELECT c.id, coalesce(kk.kc, m.cm) AS canon
+                FROM comp$k c
+                JOIN cm$k m ON m.comp = c.comp
+                LEFT JOIN kc$k kk ON kk.comp = c.comp
+                WHERE c.id IN (SELECT doc_id FROM bat$k)) r ON r.id = d.doc_id),
+            keep$k AS MATERIALIZED (SELECT id FROM $prev UNION ALL
+                       SELECT id FROM verdict$k WHERE dup_of IS NULL)"""
+    }
+    s"""WITH RECURSIVE ${mirrorMinhashCtes("documents", 16, 4)},
+            sizes AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            cuts AS (SELECT max(doc_id) // 3 AS c1,
+                            (2 * max(doc_id)) // 3 AS c2 FROM documents),
+            bat1 AS MATERIALIZED (SELECT doc_id FROM documents, cuts WHERE doc_id <= c1),
+            bat2 AS MATERIALIZED (SELECT doc_id FROM documents, cuts
+                     WHERE doc_id > c1 AND doc_id <= c2),
+            bat3 AS MATERIALIZED (SELECT doc_id FROM documents, cuts WHERE doc_id > c2),
+            keep0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS id WHERE 1 = 0),
+            ${block(1)},
+            ${block(2)},
+            ${block(3)}
+            SELECT id, dup_of FROM (
+              SELECT * FROM verdict1
+              UNION ALL SELECT * FROM verdict2
+              UNION ALL SELECT * FROM verdict3)
+            ORDER BY id"""
+  }
+
   /** q181: the streaming incremental near-dup sink
-    * ([[graft.streaming.IncrementalNearDupSink]] — the last spec-only
-    * operator family) driven through a REAL file-source stream under the
-    * oracle. Documents are staged as three id-range batch files with
-    * strictly ascending mtimes (the file source orders discovery by
-    * timestamp), streamed one file per micro-batch into the sink via
-    * `foreachBatch`, and the terminal verdicts are checked against the
-    * q94-style PROVABLE invariants (bucket collisions are
-    * xxhash64-dependent, so no value mirror exists):
-    *  - every document received exactly one verdict (n_docs);
-    *  - the stream caught real duplication (has_dups — the documents
-    *    fixture carries clone clusters, and identical docs ALWAYS collide
-    *    in every band);
-    *  - every dup_of points at a KEPT document (no dangling refs);
-    *  - id-range batch order makes first-seen-wins equal min-id-wins, so
-    *    no keeper exceeds its group minimum;
-    *  - dup edges refine the exact-Jaccard transitive closure (a dup and
-    *    its keeper always share an exact-closure component).
-    * All five are genuinely computed in Spark; DuckDB recomputes the count
-    * and pins the rest. */
+    * ([[graft.streaming.IncrementalNearDupSink]]) driven through a REAL
+    * file-source stream under a FULL VALUE MIRROR. Documents are staged as
+    * three id-range batch files with strictly ascending mtimes (the file
+    * source orders discovery by timestamp), streamed one file per
+    * micro-batch into the sink via `foreachBatch` in
+    * [[TextDedup.MirrorMode]], and the terminal `(id, dup_of)` verdicts
+    * are compared value-for-value against [[neardupMirrorSql]] — DuckDB
+    * re-runs the whole online fold (bucket collisions against the kept
+    * store, chain candidates, exact verification, per-batch connected
+    * components, first-seen-wins keeper resolution), so ANY divergence in
+    * any batch's assignment hash-fails. (Rounds ≤10 pinned invariant-style
+    * zeros here because XxMode bucket ids weren't ANSI-reproducible; the
+    * invariants live on in IncrementalNearDupSpec and q94's batch family.) */
   private val q181 = QDef(
     "q181_stream_neardup_sink",
     (s, dir) => StreamSession(s) { ss =>
@@ -823,7 +896,8 @@ object ExtQueries {
           docs.where(col("doc_id") > cuts(1))),
         tmp, pinMtime = true)
       val sink = new graft.streaming.IncrementalNearDupSink("doc_id", "text",
-        n = ShingleN, numPerm = 16, bands = 4, threshold = 0.5)
+        n = ShingleN, numPerm = 16, bands = 4, threshold = 0.5,
+        mode = TextDedup.MirrorMode)
       val q = ss.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(inDir)
         .writeStream
@@ -833,32 +907,9 @@ object ExtQueries {
         .start()
       q.awaitTermination()
       val v = sink.verdicts.getOrElse(sys.error("stream produced no batches"))
-      val keepers = v.where(col("dup_of").isNull).select(col("id").as("kid"))
-      val a1 = v.agg(count(lit(1)).as("n_docs"),
-        (count(col("dup_of")) > 0).as("has_dups"))
-      val a2 = v.where(col("dup_of").isNotNull)
-        .join(keepers, col("dup_of") === col("kid"), "left_anti")
-        .agg(count(lit(1)).as("n_dangling_dup_refs"))
-      val a3 = v.groupBy(coalesce(col("dup_of"), col("id")).as("__k"))
-        .agg(min(col("id")).as("__m"))
-        .agg(count(when(col("__k") =!= col("__m"), 1)).as("n_keeper_not_min"))
-      val cc = graft.graph.ConnectedComponents.runOnEdges(
-        TextDedup.jaccardPairs(docs, "doc_id", "text", ShingleN, 0.5)
-          .select(col("id_l").as("src"), col("id_r").as("dst")))
-      val a4 = v.where(col("dup_of").isNotNull)
-        .join(cc.select(col("id"), col("component").as("__ci")), Seq("id"), "left_outer")
-        .join(cc.select(col("id").as("dup_of"), col("component").as("__cd")),
-          Seq("dup_of"), "left_outer")
-        .agg(count(when(!(coalesce(col("__ci"), col("id")) <=>
-          coalesce(col("__cd"), col("dup_of"))), 1)).as("n_closure_violations"))
-      a1.crossJoin(a2).crossJoin(a3).crossJoin(a4)
+      v.select(col("id"), col("dup_of")).orderBy("id")
     },
-    Some("""SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                   TRUE AS has_dups,
-                   CAST(0 AS BIGINT) AS n_dangling_dup_refs,
-                   CAST(0 AS BIGINT) AS n_keeper_not_min,
-                   CAST(0 AS BIGINT) AS n_closure_violations
-            FROM documents"""))
+    Some(neardupMirrorSql))
 
   /** q182: the stream-stream LEFT OUTER attribution join
     * ([[Streams.attributionJoin]] — the one stream-stream shape still
@@ -873,34 +924,37 @@ object ExtQueries {
     * passes every real row, the engine must flush every real unmatched
     * purchase in the watermark-advance batch AvailableNow runs after the
     * data is drained, and the terminal table becomes exactly the batch
-    * twin — hash-checked. Sentinels are keyed user_id = -1 and dropped
-    * from the read-back; the sentinel purchase itself stays held back
-    * (its own window end exceeds the terminal watermark), which is
-    * itself the semantics working as specified. */
+    * twin — hash-checked. Sentinels are keyed user_id = -1 (purchase
+    * side) and -2 (click side) — DIFFERENT keys, so they cannot match
+    * each other: the sentinel purchase is genuinely unmatched and is
+    * null-extended once the terminal watermark passes it (or held back
+    * if its window end exceeds that watermark — either way it never
+    * joins), and the negative-id filter drops it from the read-back. */
   private val q182 = QDef(
     "q182_stream_attribution",
     (s, dir) => StreamSession(s) { ss =>
       val ev = Tables.load(ss, dir, "events")
       def side(tpe: String) = ev.where(col("event_type") === tpe)
         .select(col("user_id"), col("event_id").as("txn_id"), col("ts"))
-      val sentinel = ss.range(1).select(lit(-1L).as("user_id"),
+      def sentinel(uid: Long) = ss.range(1).select(lit(uid).as("user_id"),
         lit(-1L).as("txn_id"),
         to_timestamp(lit("2099-01-01 00:00:00")).as("ts"))
       val tmp = TmpReaper.register(
         java.nio.file.Files.createTempDirectory("q182_").toString)
-      def stage(tpe: String, sub: String): String = {
+      def stage(tpe: String, sub: String, sentinelUid: Long): String = {
         val d = side(tpe)
         Staging.stageBatches(
           Seq(d.where(pmod(col("user_id"), lit(2)) === 0),
             d.where(pmod(col("user_id"), lit(2)) === 1),
-            sentinel),
+            sentinel(sentinelUid)),
           s"$tmp/$sub", pinMtime = true)
       }
-      val schema = sentinel.schema
+      val schema = sentinel(-1L).schema
       def readSide(inDir: String) = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(inDir)
       val joined = Streams.attributionJoin(
-        readSide(stage("purchase", "p")), readSide(stage("click", "c")),
+        readSide(stage("purchase", "p", -1L)),
+        readSide(stage("click", "c", -2L)),
         within = "30 minutes", watermark = "1 hour", streaming = true)
       val sink = "q182_stream_sink"
       val q = joined.writeStream.format("memory").queryName(sink)
@@ -910,7 +964,7 @@ object ExtQueries {
         .start()
       q.awaitTermination()
       ss.table(sink)
-        .where(col("user_id") =!= -1L)
+        .where(col("user_id") >= 0L) // drop both sentinel keys (-1, -2)
         .groupBy(col("user_id"), col("purchase_id"))
         .agg(count(col("click_id")).as("n_clicks"),
           coalesce(max(col("click_id")), lit(-1L)).as("last_click_id"))
@@ -1210,44 +1264,136 @@ object ExtQueries {
     * sink). */
   private val q185 = QDef(
     "q185_stream_agg_restart",
+    (s, dir) => StreamSession(s)(ss => aggRestartContract(ss, dir, "q185_")),
+    q168.oracle)
+
+  /** q185's restart choreography as a reusable contract body (q193 reruns
+    * it on the RocksDB provider): two staged batches → clean termination →
+    * third batch → a NEW query over the SAME checkpoint resumes through
+    * Spark's own streaming-aggregate state. */
+  private def aggRestartContract(ss: SparkSession, dir: String,
+      tmpPrefix: String): DataFrame = {
+    val ev0 = Tables.load(ss, dir, "events")
+    val tmp = TmpReaper.register(
+      java.nio.file.Files.createTempDirectory(tmpPrefix).toString)
+    val last = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    def lifecycle(inDir: String): Unit = {
+      val q = Streams.windowedAgg(
+          ss.readStream.schema(ev0.schema)
+            .option("maxFilesPerTrigger", "1").parquet(inDir),
+          watermark = Some("2 hours"))
+        .writeStream
+        .foreachBatch((b: DataFrame, id: Long) => {
+          last.set(b.localCheckpoint()); nBatches.incrementAndGet(); ()
+        })
+        .outputMode("complete")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val inDir = Staging.stageBatches(
+      (0 to 1).map(i => ev0.where(pmod(col("event_id"), lit(3)) === i)), tmp)
+    lifecycle(inDir)
+    val afterL1 = nBatches.get()
+    require(afterL1 > 0, "lifecycle 1 produced no micro-batches")
+    Staging.stageBatches(
+      Seq(ev0.where(pmod(col("event_id"), lit(3)) === 2)), tmp, startIndex = 2)
+    lifecycle(inDir)
+    require(nBatches.get() > afterL1,
+      "restarted lifecycle processed no micro-batches (staged batch not picked up)")
+    last.get()
+      .select(unix_millis(col("window_start")).as("window_start_ms"),
+        col("event_type"), col("n_events"),
+        round(col("total_value"), 2).as("total_value"))
+      .orderBy("window_start_ms", "event_type")
+  }
+
+  /** q193: q185's restart boundary COMPOSED with the RocksDB state store
+    * provider — q184 certifies RocksDB single-lifecycle, q185 certifies
+    * restart on the default HDFS-backed provider; a real deployment runs
+    * BOTH at once, and recovery is exactly where a provider's
+    * checkpoint/restore format differences bite (RocksDB restores from
+    * its own SST snapshot + changelog, not the HDFSBackedStateStore delta
+    * files). State loss undercounts pre-restart windows, replay
+    * double-counts; either hash-fails against q168's batch oracle. */
+  private val q193 = QDef(
+    "q193_stream_agg_restart_rocksdb",
+    (s, dir) => StreamSession(s) { ss =>
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      aggRestartContract(ss, dir, "q193_")
+    },
+    q168.oracle)
+
+  /** q191: the watermark's LATE-DATA DROP semantics under the contract —
+    * every other streaming row uses delay-0 watermarks or sentinel
+    * flushes where all rows are on time; this row stages the NEWEST
+    * events first (advancing the watermark to max(ts) − 18 days ≈
+    * Jan 12), an on-time middle batch, then the OLD half TWO batches
+    * behind the advance, so rows genuinely arrive behind the watermark
+    * and the engine must EXCLUDE exactly those whose 1-hour
+    * window can no longer change (window end ≤ watermark — the filter
+    * Spark applies to late input is the state-eviction predicate). The
+    * oracle mirrors that rule arithmetically: keep a row iff it is from
+    * the on-time half OR its window end exceeds max(ts) − 18d, so a
+    * stream that dropped too much, too little, or at the wrong boundary
+    * hash-fails. The `require` makes the gate non-vacuous: at least one
+    * row must actually be dropped (numRowsDroppedByWatermark > 0). A
+    * far-future sentinel flushes all real windows; its own window ends
+    * beyond the terminal watermark and is held back. */
+  private val q191 = QDef(
+    "q191_stream_late_drop",
     (s, dir) => StreamSession(s) { ss =>
       val ev0 = Tables.load(ss, dir, "events")
       val tmp = TmpReaper.register(
-        java.nio.file.Files.createTempDirectory("q185_").toString)
-      val last = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
-      val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
-      def lifecycle(inDir: String): Unit = {
-        val q = Streams.windowedAgg(
-            ss.readStream.schema(ev0.schema)
-              .option("maxFilesPerTrigger", "1").parquet(inDir),
-            watermark = Some("2 hours"))
-          .writeStream
-          .foreachBatch((b: DataFrame, id: Long) => {
-            last.set(b.localCheckpoint()); nBatches.incrementAndGet(); ()
-          })
-          .outputMode("complete")
-          .option("checkpointLocation", s"$tmp/ckpt")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
+        java.nio.file.Files.createTempDirectory("q191_").toString)
+      val cutTs = to_timestamp(lit("2024-01-16 00:00:00"))
+      val sentinel = ev0.limit(1)
+        .withColumn("user_id", lit(-1L))
+        .withColumn("ts", to_timestamp(lit("2099-01-01 00:00:00")))
+      // Spark (3.4+) filters late input against the PREVIOUS batch's
+      // watermark (SPARK-40925: lateEvents wm lags eviction wm by one
+      // batch), so lateness within one batch of the advance is forgiven —
+      // the old half must land TWO batches after the rows that advanced
+      // the watermark for drops to be real (measured: 0 drops without the
+      // middle batch, 287 dropped state rows / 287 missing windows with it)
+      val midTs = to_timestamp(lit("2024-01-23 00:00:00"))
       val inDir = Staging.stageBatches(
-        (0 to 1).map(i => ev0.where(pmod(col("event_id"), lit(3)) === i)), tmp)
-      lifecycle(inDir)
-      val afterL1 = nBatches.get()
-      assert(afterL1 > 0, "lifecycle 1 produced no micro-batches")
-      Staging.stageBatches(
-        Seq(ev0.where(pmod(col("event_id"), lit(3)) === 2)), tmp, startIndex = 2)
-      lifecycle(inDir)
-      assert(nBatches.get() > afterL1,
-        "restarted lifecycle processed no micro-batches (staged batch not picked up)")
-      last.get()
-        .select(unix_millis(col("window_start")).as("window_start_ms"),
-          col("event_type"), col("n_events"),
-          round(col("total_value"), 2).as("total_value"))
-        .orderBy("window_start_ms", "event_type")
+        Seq(ev0.where(col("ts") >= midTs), // newest: watermark jumps
+          ev0.where(col("ts") >= cutTs && col("ts") < midTs), // on time
+          ev0.where(col("ts") < cutTs), // old half, now genuinely late
+          sentinel),
+        tmp, pinMtime = true)
+      val sink = "q191_stream_sink"
+      val q = ss.readStream.schema(ev0.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+        .withWatermark("ts", "18 days")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_millis(col("w.start")).as("start_ms"), col("n_events"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val dropped = q.recentProgress
+        .map(p => p.stateOperators.map(_.numRowsDroppedByWatermark).sum).sum
+      require(dropped > 0,
+        s"watermark dropped no rows (dropped=$dropped) — late-data gate vacuous")
+      ss.table(sink).orderBy("start_ms")
     },
-    q168.oracle)
+    // 18 days = 1,555,200,000 ms; window length 1 hour = 3,600,000 ms
+    Some("""WITH wm AS (SELECT max(epoch_ms(ts)) - 1555200000 AS w FROM events),
+            kept AS (
+              SELECT epoch_ms(ts) AS ms FROM events, wm
+              WHERE epoch_ms(ts) >= epoch_ms(TIMESTAMP '2024-01-16 00:00:00')
+                 OR (epoch_ms(ts) // 3600000) * 3600000 + 3600000 > wm.w)
+            SELECT (ms // 3600000) * 3600000 AS start_ms,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM kept GROUP BY 1 ORDER BY 1"""))
 
   /** q173: watermarked streaming exact dedup through the real engine —
     * the `dropDuplicates` state-store path (one state row per distinct
@@ -1425,6 +1571,56 @@ object ExtQueries {
                    CAST(count(*) AS BIGINT) AS n_events
             FROM z GROUP BY user_id, sid ORDER BY user_id, start_ms"""))
 
+  /** q187: native `session_window` aggregation through the REAL
+    * micro-batch engine under q74's batch oracle — the one stateful
+    * operator shape (`sessionWindowStateStoreSaveExec`) that was
+    * spec-pinned but never contract-executed. Events are staged as three
+    * TIME-ORDERED batches (fixed calendar cuts; the 1-minute watermark
+    * delay plus time ordering means no real row ever arrives late) so the
+    * state store must MERGE partial sessions across micro-batches: a
+    * session straddling a batch cut stays open — the closure rule
+    * `session.end <= watermark` guarantees no future event within the gap
+    * can extend a closed session (an event that could extend it would be
+    * within 30min of the last event, hence after watermark + delay) — and
+    * is emitted merged. A far-future sentinel (user_id = -1, mtime-pinned
+    * to arrive last) drives the terminal watermark past every real
+    * session's end so append mode flushes them all; the sentinel's own
+    * session ends beyond the terminal watermark and is held back, so the
+    * terminal table is exactly the batch sessionization — q74's oracle
+    * verbatim. */
+  private val q187 = QDef(
+    "q187_stream_session_window",
+    (s, dir) => StreamSession(s) { ss =>
+      val ev0 = Tables.load(ss, dir, "events")
+      val tmp = TmpReaper.register(
+        java.nio.file.Files.createTempDirectory("q187_").toString)
+      def before(d: String) = col("ts") < to_timestamp(lit(d))
+      val sentinel = ev0.limit(1)
+        .withColumn("user_id", lit(-1L))
+        .withColumn("ts", to_timestamp(lit("2099-01-01 00:00:00")))
+      val inDir = Staging.stageBatches(
+        Seq(ev0.where(before("2024-01-11 00:00:00")),
+          ev0.where(!before("2024-01-11 00:00:00") &&
+            before("2024-01-21 00:00:00")),
+          ev0.where(!before("2024-01-21 00:00:00")),
+          sentinel),
+        tmp, pinMtime = true)
+      val sink = "q187_stream_sink"
+      val q = Streams.sessionWindowAgg(
+          ss.readStream.schema(ev0.schema)
+            .option("maxFilesPerTrigger", "1").parquet(inDir),
+          gap = "30 minutes", watermark = Some("1 minute"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table(sink).orderBy("user_id", "start_ms")
+    },
+    q74.oracle)
+
+
   /** JSON extraction from the event props payload (Spark get_json_object;
     * oracle via regex so no DuckDB extension dependency). */
   private val q38 = QDef(
@@ -1495,7 +1691,7 @@ object ExtQueries {
                        FROM documents),
             sh0 AS (SELECT doc_id, array_to_string(ws[p : p+12], ' ') AS sh
                     FROM d, unnest(generate_series(1, greatest(len(ws)-12, 0))) AS t(p)),
-            sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+            sh AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM sh0),
             tr AS (SELECT doc_id AS train_id, sh FROM sh WHERE doc_id % 10 <> 0),
             te AS (SELECT doc_id, sh FROM sh WHERE doc_id % 10 = 0),
             hits AS (SELECT te.doc_id AS hid,
@@ -2138,7 +2334,7 @@ object ExtQueries {
                      unnest(string_split_regex(lower(text), '\s+')) AS w,
                      generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS pos
               FROM documents),
-            sh AS (
+            sh AS MATERIALIZED (
               SELECT DISTINCT a.source,
                      a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w || ' ' || e.w AS sh
               FROM w a
@@ -2146,7 +2342,7 @@ object ExtQueries {
               JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
               JOIN w d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
               JOIN w e ON e.doc_id = a.doc_id AND e.pos = a.pos + 4),
-            sizes AS (SELECT source, count(*) AS sz FROM sh GROUP BY source),
+            sizes AS MATERIALIZED (SELECT source, count(*) AS sz FROM sh GROUP BY source),
             inter AS (
               SELECT x.source AS source_l, y.source AS source_r,
                      count(*) AS common
@@ -2414,10 +2610,134 @@ object ExtQueries {
             FROM q a JOIN q b ON b.vec_id = a.vec_id AND b.i >= a.i
             GROUP BY 1, 2 ORDER BY i, j"""))
 
+  // ---------- MinHash MirrorMode value mirrors ----------
+  // q26/q91 certify the XxMode scale pipeline on provable invariants
+  // (xxhash64 is not ANSI-reproducible); these rows run the SAME pipeline
+  // in [[TextDedup.MirrorMode]] and the oracle recomputes every value —
+  // base hashes, signatures, BUCKET IDS, candidate sets, verified jaccards
+  // — so the banding algebra itself is hash-certified, not just bounded.
+
+  /** DuckDB CTE fragment recomputing the MirrorMode MinHash front end
+    * value-for-value: 5-gram shingles → polynomial char hash
+    * ([[TextDedup.strHash]]) → affine Carter–Wegman permutations
+    * ([[TextDedup.mirrorPermA]]/[[mirrorPermB]]) → multiplicative band
+    * fold. Caller appends its own CTEs/SELECT after this fragment. */
+  private def mirrorMinhashCtes(src: String, numPerm: Int, bands: Int): String = {
+    val P = 1000000007L
+    val sigs = (0 until numPerm).map(i =>
+      s"min((h * ${TextDedup.mirrorPermA(i)} + ${TextDedup.mirrorPermB(i)}) % $P) AS s$i")
+      .mkString(",\n                     ")
+    val r = numPerm / bands
+    val bandArms = (0 until bands).map { b =>
+      val bucket = (b * r until (b + 1) * r)
+        .foldLeft((b + 1).toString)((acc, i) => s"(($acc) * 2654435761 + s$i) % $P")
+      s"SELECT doc_id, $b AS band, CAST($bucket AS BIGINT) AS bucket FROM sig"
+    }.mkString("\n              UNION ALL\n              ")
+    s"""w AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '\\s+')) AS w,
+                     generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS pos
+              FROM $src),
+            sh AS MATERIALIZED (
+              SELECT DISTINCT a.doc_id,
+                     a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w || ' ' || e.w AS sh
+              FROM w a
+              JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+              JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+              JOIN w d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
+              JOIN w e ON e.doc_id = a.doc_id AND e.pos = a.pos + 4),
+            hh AS MATERIALIZED (
+              SELECT doc_id, sh,
+                     list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                         list_transform(string_split(sh, ''),
+                           c -> CAST(unicode(c) AS BIGINT))),
+                       (a, c) -> (a * 31 + c) % $P) AS h
+              FROM sh),
+            sig AS MATERIALIZED (
+              SELECT doc_id,
+                     $sigs
+              FROM hh GROUP BY doc_id),
+            bk AS MATERIALIZED (
+              $bandArms)"""
+  }
+
+  /** Shared verification tail: exact common counts over the candidate set
+    * `cand(id_l, id_r)`, jaccard from set sizes, threshold filter. */
+  private def mirrorVerifyTail: String =
+    """sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.id_l, c.id_r, count(*) AS common
+              FROM cand c
+              JOIN sh x ON x.doc_id = c.id_l
+              JOIN sh y ON y.doc_id = c.id_r AND y.sh = x.sh
+              GROUP BY 1, 2)
+            SELECT id_l, id_r,
+                   CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_l
+            JOIN sizes sb ON sb.doc_id = id_r
+            WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.5
+            ORDER BY id_l, id_r"""
+
+  /** q188: [[TextDedup.minhashLshPairs]] (q26's pairwise-banding shape) in
+    * MirrorMode under a FULL value mirror — DuckDB recomputes signatures,
+    * buckets, bucket-collision candidates, and the verified jaccards; the
+    * hash encodes the whole pair set value-for-value. */
+  private val q188 = QDef(
+    "q188_minhash_mirror_pairs",
+    (s, dir) => TextDedup.minhashLshPairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", ShingleN, numPerm = 16, bands = 4, threshold = 0.5,
+        mode = TextDedup.MirrorMode)
+      .orderBy("id_l", "id_r"),
+    Some(s"""WITH ${mirrorMinhashCtes("documents", 16, 4)},
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_l, b.doc_id AS id_r
+              FROM bk a JOIN bk b
+                ON b.band = a.band AND b.bucket = a.bucket
+               AND a.doc_id < b.doc_id),
+            $mirrorVerifyTail"""))
+
+  /** q189: the MirrorMode banding table itself — every (doc_id, band,
+    * BUCKET ID) row recomputed by DuckDB, pinning the signature/band
+    * algebra bit-for-bit (the strongest possible oracle for the LSH front
+    * end; docs shorter than the shingle width are absent on both sides). */
+  private val q189 = QDef(
+    "q189_minhash_mirror_buckets",
+    (s, dir) => {
+      val (_, bk) = TextDedup.minhashBuckets(Tables.load(s, dir, "documents"),
+        "doc_id", "text", ShingleN, numPerm = 16, bands = 4,
+        mode = TextDedup.MirrorMode)
+      bk.select(col("id").as("doc_id"), col("band").cast("long").as("band"),
+          col("bucket"))
+        .orderBy("doc_id", "band")
+    },
+    Some(s"""WITH ${mirrorMinhashCtes("documents", 16, 4)}
+            SELECT doc_id, CAST(band AS BIGINT) AS band, bucket
+            FROM bk ORDER BY doc_id, band"""))
+
+  /** q190: [[TextDedup.minhashLshEdgesChained]] (q91's chain-contracted
+    * shape) in MirrorMode under a full value mirror — the lag-window chain
+    * candidates and their verified jaccards recomputed by DuckDB. */
+  private val q190 = QDef(
+    "q190_minhash_mirror_chained",
+    (s, dir) => TextDedup.minhashLshEdgesChained(Tables.load(s, dir, "documents"),
+        "doc_id", "text", ShingleN, numPerm = 16, bands = 4, threshold = 0.5,
+        mode = TextDedup.MirrorMode)
+      .orderBy("id_l", "id_r"),
+    Some(s"""WITH ${mirrorMinhashCtes("documents", 16, 4)},
+            chain AS (
+              SELECT lag(doc_id) OVER (PARTITION BY band, bucket
+                                       ORDER BY doc_id) AS id_l,
+                     doc_id AS id_r
+              FROM bk),
+            cand AS (SELECT DISTINCT id_l, id_r FROM chain WHERE id_l IS NOT NULL),
+            $mirrorVerifyTail"""))
+
   val all: Seq[QDef] = Seq(
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q40, q41, q49, q61, q62, q70, q71, q73, q74, q88, q89, q90, q91,
     q92, q93, q94, q95, q96, q97, q98, q100, q101, q102, q103, q104, q105,
     q133, q142, q148, q159, q163, q166, q168, q171, q173, q174, q175, q179,
-    q181, q182, q183, q184, q185)
+    q181, q182, q183, q184, q185, q187, q188, q189, q190, q191, q193)
 }

@@ -254,6 +254,44 @@ object GraphQueries {
     },
     q16.oracle)
 
+  /** q192: q178's restart boundary in DELTA-COMMIT mode (`snapshotEvery =
+    * 2`) — the snapshot+delta roll-forward restore path under the
+    * contract (q177/q178 run `snapshotEvery = 1`, where restore reads one
+    * parquet snapshot). Lifecycle 1 commits a FULL snapshot for batch 0
+    * (the first-ever commit always does — restore needs a base) and an
+    * O(batch) DELTA for batch 1; the restarted sink must therefore roll
+    * the snapshot forward through the delta before folding batch 2 — a
+    * restore that ignored deltas would miss every batch-1 edge, one that
+    * replayed batch 0 would hit the batchId skip, and a wrong
+    * `sinceSnapshot` restore would mis-schedule the next snapshot; any of
+    * these diverges from q16's batch-CC oracle and hash-fails. */
+  private val q192 = QDef(
+    "q192_stream_cc_delta_restart",
+    (s, dir) => StreamSession(s) { ss =>
+      val g = sharedAttrGraph(ss, dir)
+      val edges = g.edges.select(col("src"), col("dst"))
+      val tmp = TmpReaper.register(
+        java.nio.file.Files.createTempDirectory("q192_").toString)
+      val stateDir = s"$tmp/state"
+      stageEdgeBatches(edges, tmp, 0 to 1)
+      val sink1 = new graft.streaming.Streams.IncrementalCCSink(
+        stateDir = Some(stateDir), snapshotEvery = 2)
+      runCcLifecycle(ss, edges.schema, tmp, sink1)
+      require(sink1.current.isDefined, "lifecycle 1 produced no micro-batches")
+      stageEdgeBatches(edges, tmp, Seq(2))
+      val sink2 = new graft.streaming.Streams.IncrementalCCSink(
+        stateDir = Some(stateDir), snapshotEvery = 2)
+      runCcLifecycle(ss, edges.schema, tmp, sink2)
+      val assign = sink2.currentOrRestore(ss)
+        .getOrElse(sys.error("no committed assignment after restart"))
+      g.vertices
+        .join(assign, Seq("id"), "left_outer")
+        .select(col("id"),
+          coalesce(col("component"), col("id")).as("component"))
+        .orderBy("id")
+    },
+    q16.oracle)
+
   /** Landmark shortest paths (GraphFrames `shortestPaths` surface) on the
     * identity graph: BFS hop distance from every reachable vertex to
     * landmarks 1 and 7. Oracle: bounded recursive-CTE walk + min per
@@ -1353,5 +1391,5 @@ object GraphQueries {
   val all: Seq[QDef] =
     Seq(q15, q16, q17, q18, q19, q20, q42, q44, q45, q48, q50, q58, q59, q60,
       q69, q85, q86, q107, q108, q135, q136, q137, q138, q139, q143, q144,
-      q150, q152, q156, q165, q177, q178)
+      q150, q152, q156, q165, q177, q178, q192)
 }

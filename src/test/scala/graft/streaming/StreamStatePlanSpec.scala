@@ -53,7 +53,10 @@ class StreamStatePlanSpec extends SparkTestBase {
     assert(p.stateOperators.map(_.operatorName).toSeq == Seq("stateStoreSave"))
   }
 
-  test("q74/session shape: session-window agg keeps its fused session store") {
+  // contract-backed since round 11: q187 runs this exact shape through the
+  // real micro-batch engine (file source, AvailableNow, sentinel flush)
+  // under q74's batch oracle — this pin guards the operator FUSION only
+  test("q74/q187 session shape: session-window agg keeps its fused session store") {
     val p = lastStateProgress(
       df => Streams.sessionWindowAgg(
         df.select(col("value").cast("long").as("user_id"), col("ts")),
@@ -126,6 +129,36 @@ class StreamStatePlanSpec extends SparkTestBase {
       df => Streams.heavyHittersStream(df, k = 2), someEvents,
       mode = OutputMode.Complete())
     assert(p.stateOperators.map(_.operatorName).toSeq == Seq("stateStoreSave"))
+  }
+
+  test("q191 shape: input two batches behind the watermark advance is dropped " +
+      "(lateEvents wm lags eviction wm by one batch, SPARK-40925)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val out = mem.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+    val sq = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(s"state_plan_late_${System.nanoTime()}")
+      .start()
+    try {
+      def dropped: Long = sq.recentProgress
+        .map(_.stateOperators.map(_.numRowsDroppedByWatermark).sum).sum
+      mem.addData((ts(120), "a", 1.0)) // advances eviction wm to minute 110
+      sq.processAllAvailable() // incl. the watermark-advance batch, so the
+      // lateEvents wm has caught up by the next addData (under AvailableNow
+      // file triggers there is no intermediate advance batch — q191 needs
+      // its old half TWO staged files behind; measured in the contract row)
+      mem.addData((ts(10), "late", 1.0))
+      sq.processAllAvailable()
+      assert(dropped > 0L, "a row behind the caught-up watermark must be dropped")
+      // and the dropped row's window never reaches the output
+      val table = spark.table(sq.name).select(col("w.start").cast("long"))
+        .as[Long].collect()
+      assert(!table.contains(ts(10).getTime / 1000),
+        "dropped row's window must not be emitted")
+    } finally sq.stop()
   }
 
   test("q171 shape: explicit sessionization is ONE flatMapGroupsWithState operator") {
