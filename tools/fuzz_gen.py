@@ -22,6 +22,10 @@ predicates, IN lists, totally-ordered output. Four template families:
              set-op column resolution)
   caseexpr - CASE WHEN grouping keys with integer-exact aggregates and
              optional HAVING (exercises expression-keyed aggregation)
+  gsets    - GROUPING SETS / ROLLUP / CUBE with grouping() markers
+             (exercises grouping-set expansion / the Expand operator)
+  setwin   - set operations between window-function branches (distinct/bag
+             semantics applied to window outputs)
 
 Usage: python3 tools/fuzz_gen.py [n_queries] [seed] [out_path]
 Then:  sbt console < tools/fuzz_run.sc          # Spark side -> /tmp/fuzz_out
@@ -240,14 +244,70 @@ def query_case(qi):
             f"FROM lineitem GROUP BY {case}{having} ORDER BY g0")
 
 
+def query_groupsets(qi):
+    # round-11 grammar growth: GROUPING SETS / ROLLUP / CUBE — grouping-set
+    # expansion (Spark's Expand operator) plus the grouping() marker, a
+    # rewrite family no other template touches. NULL group placeholders are
+    # coalesced and disambiguated by grouping() flags so both engines
+    # produce identical, totally-ordered keys.
+    spec = rng.choice([
+        "ROLLUP(l_returnflag, l_linestatus)",
+        "CUBE(l_returnflag, l_linestatus)",
+        "GROUPING SETS ((l_returnflag), (l_linestatus), ())",
+        "GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())",
+    ])
+    pred = predicate()
+    aggs = ", ".join(aggregate(i) for i in range(rng.randint(1, 2)))
+    return (
+        f"SELECT coalesce(l_returnflag, '_') AS g0, "
+        f"coalesce(l_linestatus, '_') AS g1, "
+        f"CAST(grouping(l_returnflag) AS BIGINT) AS gr0, "
+        f"CAST(grouping(l_linestatus) AS BIGINT) AS gr1, {aggs} "
+        f"FROM lineitem WHERE {pred} "
+        # HAVING count(*) > 0 normalizes a genuine cross-engine divergence
+        # this family found on its first run (fz209, seed 20260816): over an
+        # EMPTY filtered input, DuckDB emits the ()-grouping-set grand-total
+        # row (per the standard's scalar-aggregate reading), Spark emits
+        # nothing (Expand over zero rows). The clause is a no-op on every
+        # non-empty group and makes both engines agree on the empty case.
+        f"GROUP BY {spec} HAVING count(*) > 0 ORDER BY gr0, gr1, g0, g1")
+
+
+def query_setwin(qi):
+    # round-11 grammar growth: set operations OVER window-function branches —
+    # the distinct/bag set-op semantics must apply to the window OUTPUTS
+    # (each branch's row_number/sum runs over its own filtered partition
+    # contents first), composing two rewrite paths the other families only
+    # exercise separately. The in-partition ORDER BY is the verified-unique
+    # tuple, so both engines see identical frames.
+    order = ("l_linenumber, l_partkey, l_suppkey, l_quantity, "
+             "l_extendedprice")
+    over = f"OVER (PARTITION BY l_orderkey ORDER BY {order})"
+    wcol = rng.choice([
+        f"CAST(row_number() {over} AS BIGINT)",
+        f"CAST(sum(CAST(l_quantity AS BIGINT)) {over} AS BIGINT)",
+        f"CAST(min(l_linenumber) {over} AS BIGINT)",
+    ])
+    cols = f"l_orderkey AS g0, {wcol} AS g1"
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+    k1, k2 = rng.randint(2, 7), rng.randint(2, 7)
+    r1, r2 = rng.randint(0, k1 - 1), rng.randint(0, k2 - 1)
+    return (f"SELECT {cols} FROM lineitem WHERE l_orderkey % {k1} = {r1} "
+            f"{op} "
+            f"SELECT {cols} FROM lineitem WHERE l_orderkey % {k2} = {r2} "
+            f"ORDER BY g0, g1")
+
+
 FAMILIES = [
-    ("agg", query_agg, 0.25),
+    ("agg", query_agg, 0.20),
     ("oj", query_outerjoin, 0.15),
-    ("win", query_window, 0.15),
+    ("win", query_window, 0.12),
     ("sub", query_corrsub, 0.15),
-    ("set", query_setop, 0.15),
+    ("set", query_setop, 0.10),
     ("case", query_case, 0.05),
-    ("latsel", query_latsel, 0.10),
+    ("latsel", query_latsel, 0.08),
+    ("gsets", query_groupsets, 0.08),
+    ("setwin", query_setwin, 0.07),
 ]
 
 
