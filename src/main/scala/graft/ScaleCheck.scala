@@ -195,7 +195,8 @@ object ScaleCheck {
         (e2Dir, 2)
       else if (q.contains("tfidf") || q.contains("dedup") ||
         q.contains("minhash") || q.contains("pq") || q.contains("bigram") ||
-        q.contains("scatter") || q.contains("rrf"))
+        q.contains("scatter") || q.contains("rrf") ||
+        q.contains("simhash") || q.contains("boilerplate"))
         (dDir, factor)
       else if (q.contains("funnel") || q.contains("anomaly") ||
         q.contains("ewma") || q.contains("transition") ||

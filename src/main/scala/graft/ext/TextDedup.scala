@@ -327,16 +327,34 @@ object TextDedup {
     aggregate(bits, lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
+  /** MirrorMode word hash for SimHash: an affine spread of [[strHash]]
+    * masked to 61 bits, so the majority vote sees ~61 informative bit
+    * positions instead of [[strHash]]'s bare ~30 (bits 61–63 are always
+    * zero on both engines — a known-dead top chunk, not a divergence).
+    * Every intermediate stays below 2⁶²: (P−1)·2654435761 + 1000003 ≈
+    * 2.66·10¹⁸. */
+  private[graft] def mirrorWordHash(w: Column): Column =
+    (strHash(w) * lit(2654435761L) + lit(1000003L))
+      .bitwiseAND(lit((1L << 61) - 1))
+
   /** SimHash fingerprints via explode + the native
     * [[graft.functions.SimHashAgg]] aggregate (`simhash_agg`): one shuffle
     * on the doc id, one 65-long buffer per group instead of 64 separate
     * `sum()` expressions plus a 64-branch assembly projection — same
     * single-shuffle partial/final combine shape, a fraction of the per-row
     * work. Results are identical to the per-word array-lambda formulation
-    * of [[simhash]] (kept for scalar use; equality asserted in DedupSpec). */
-  def simhashAgg(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * of [[simhash]] (kept for scalar use; equality asserted in DedupSpec).
+    * [[MirrorMode]] swaps the word hash for [[mirrorWordHash]] so DuckDB
+    * can recompute every fingerprint bit-for-bit (q195/q196); XxMode is
+    * the scale path. */
+  def simhashAgg(df: DataFrame, idCol: String, textCol: String,
+      mode: MinHashMode = XxMode): DataFrame = {
+    val wordHash = mode match {
+      case XxMode => xxhash64(col("w"))
+      case MirrorMode => mirrorWordHash(col("w"))
+    }
     val tok = df.select(col(idCol).as("id"), explode(words(col(textCol))).as("w"))
-      .select(col("id"), xxhash64(col("w")).as("h"))
+      .select(col("id"), wordHash.as("h"))
     tok.groupBy("id")
       .agg(call_function("simhash_agg", col("h")).as("fp"))
   }
@@ -348,7 +366,7 @@ object TextDedup {
     * chunk, so blocking has recall 1 at the requested distance (for
     * maxDist = 3 this is the classic 4×16-bit scheme). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int): DataFrame = {
+      maxDist: Int, mode: MinHashMode = XxMode): DataFrame = {
     require(maxDist >= 0 && maxDist < 64, "maxDist must be in [0, 64)")
     val nChunks = maxDist + 1
     // chunk i covers bits [offsets(i), offsets(i+1)) — widths differ by at
@@ -359,7 +377,7 @@ object TextDedup {
       val mask = if (width == 64) -1L else (1L << width) - 1L
       call_function("shiftright", col("fp"), lit(offsets(i))).bitwiseAND(lit(mask))
     }
-    val fp = simhashAgg(df, idCol, textCol)
+    val fp = simhashAgg(df, idCol, textCol, mode)
     val chunks = fp.select(col("id"), col("fp"),
       posexplode(array(chunkExprs: _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ck")
@@ -376,6 +394,57 @@ object TextDedup {
       // functional dependency through dropDuplicates' arbitrary-row pick
       .filter(col("hamming") <= maxDist)
       .dropDuplicates("id_l", "id_r")
+  }
+
+  /** Cross-document boilerplate removal — the CCNet/C4 paragraph-dedup
+    * step (Wenzek et al. 2020 "CCNet" dedups normalized paragraph hashes
+    * across shards; C4 drops any three-sentence span seen before) over a
+    * corpus whose unit is a fixed-width word segment: split each document
+    * into consecutive `segWords`-word segments (last one may be shorter),
+    * count the per-segment DOCUMENT frequency, drop every occurrence of a
+    * segment that appears in >= `minDocFreq` distinct documents (headers,
+    * nav bars, license blocks — content repeated across documents rather
+    * than within one), and reassemble the survivors in original order.
+    * Documents whose every segment is boilerplate come back with empty
+    * text, not dropped rows — the caller decides the document-level fate.
+    *
+    * Returns (id, clean_text, n_segments, n_dropped).
+    *
+    * Scale shape: the document frequency is an AGGREGATE on the segment
+    * (map-side combine, one row per distinct segment — a hot boilerplate
+    * segment is exactly one combiner key, never a join fan-out), the drop
+    * is a left_anti against the heavy-segment set (tiny by construction —
+    * boilerplate is the head of the frequency curve — so AQE broadcasts
+    * it), and reassembly is one shuffle on the doc id. At 100 TB, key the
+    * anti-join on (xxhash64, md5) of the segment instead of the raw string
+    * — the [[exactCanonical]] fixed-width content-key rationale. */
+  def stripCommonSegments(df: DataFrame, idCol: String, textCol: String,
+      segWords: Int, minDocFreq: Long): DataFrame = {
+    require(segWords >= 1, "segment width must be >= 1")
+    val ws = words(col(textCol))
+    // ceil(nWords / segWords) segments; size >= 1 always (split of "" is
+    // [""]), so the sequence never runs backwards
+    val nSeg = ceil(size(ws).cast("double") / segWords).cast("int")
+    val segsCol = transform(sequence(lit(0), nSeg - 1),
+      i => array_join(slice(ws, i * segWords + 1, lit(segWords)), " "))
+    val seg = df.select(col(idCol).as("id"),
+      posexplode(segsCol).as(Seq("pos", "seg")))
+    val heavy = seg.groupBy("seg")
+      .agg(countDistinct(col("id")).as("__df"))
+      .where(col("__df") >= minDocFreq)
+      .select("seg")
+    val kept = seg.join(heavy, Seq("seg"), "left_anti")
+    val rebuilt = kept.groupBy("id")
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("seg")))),
+          s => s("seg")), " ").as("clean_text"),
+        count(lit(1)).as("__n_kept"))
+    seg.groupBy("id").agg(count(lit(1)).as("n_segments"))
+      .join(rebuilt, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_segments"),
+        (col("n_segments") - coalesce(col("__n_kept"), lit(0L))).as("n_dropped"))
   }
 
   /** Cross-document repeated-span measurement — the span-level signal

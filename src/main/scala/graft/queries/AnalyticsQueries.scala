@@ -74,6 +74,9 @@ object AnalyticsQueries {
   /** q114: rolling z-score anomaly detection — each event vs the same
     * user's previous ≤16 values (≥8 required), explicit sum-of-squares
     * variance for cross-engine bit-stability, |z| > 2.5 flagged. */
+  /** Shared with the streaming anomaly contract rows (q199/q200). */
+  private[queries] def anomalyOracle: Option[String] = q114.oracle
+
   private val q114 = QDef(
     "q114_anomaly_zscore",
     (s, dir) => TimeSeries.rollingZScore(Tables.load(s, dir, "events"),

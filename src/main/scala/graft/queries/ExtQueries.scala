@@ -1183,7 +1183,7 @@ object ExtQueries {
     * complete-mode wash would hide exactly the state-eviction semantics
     * these rows exist to pin down. */
   private def sessionizeContract(ss: SparkSession, dir: String,
-      sink: String): DataFrame = {
+      sink: String, tws: Boolean = false): DataFrame = {
     import ss.implicits._
     val path = s"$dir/events.parquet"
     val schema = ss.read.parquet(path).schema
@@ -1191,9 +1191,12 @@ object ExtQueries {
     // a directory/glob); at scale this is just `.parquet(dir)`
     val ev = Tables.normalizeEventsTs(
       ss.readStream.schema(schema).parquet(s"$path*"))
-    val sessions = Streams.sessionizeStream(
-      ev.select(col("user_id"), col("ts")).as[Streams.SessionEvent],
-      gapMs = 30 * 60 * 1000L, watermarkDelay = "0 seconds")
+    val evTyped = ev.select(col("user_id"), col("ts")).as[Streams.SessionEvent]
+    val sessions =
+      if (tws) Streams.sessionizeStreamTws(evTyped,
+        gapMs = 30 * 60 * 1000L, watermarkDelay = "0 seconds")
+      else Streams.sessionizeStream(evTyped,
+        gapMs = 30 * 60 * 1000L, watermarkDelay = "0 seconds")
     val q = sessions.writeStream.format("memory").queryName(sink)
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -2734,10 +2737,255 @@ object ExtQueries {
             cand AS (SELECT DISTINCT id_l, id_r FROM chain WHERE id_l IS NOT NULL),
             $mirrorVerifyTail"""))
 
+  /** q194: cross-document boilerplate removal
+    * ([[TextDedup.stripCommonSegments]] — the CCNet/C4 paragraph-dedup
+    * step re-expressed over fixed 5-word segments, since the synthetic
+    * corpus has no newlines) under a FULL value mirror: DuckDB recomputes
+    * the segmentation, the per-segment document frequency, the >= 3-doc
+    * heavy set, and reassembles every cleaned document word-for-word, so
+    * the hash encodes the exact dropped-segment choreography. */
+  private val q194 = QDef(
+    "q194_boilerplate_strip",
+    (s, dir) => TextDedup.stripCommonSegments(Tables.load(s, dir, "documents"),
+        "doc_id", "text", segWords = 5, minDocFreq = 3)
+      .select(col("id").as("doc_id"), col("clean_text"),
+        col("n_segments"), col("n_dropped"))
+      .orderBy("doc_id"),
+    Some("""WITH d AS (SELECT doc_id,
+                   string_split_regex(lower(text), '\s+') AS ws FROM documents),
+            seg AS MATERIALIZED (
+              SELECT doc_id, i AS pos,
+                     array_to_string(ws[i*5+1 : i*5+5], ' ') AS seg
+              FROM d, unnest(generate_series(0,
+                     CAST(ceil(len(ws) / 5.0) AS BIGINT) - 1)) AS t(i)),
+            heavy AS (SELECT seg FROM seg GROUP BY seg
+                      HAVING count(DISTINCT doc_id) >= 3),
+            kept AS (SELECT doc_id, pos, seg FROM seg
+                     WHERE seg NOT IN (SELECT seg FROM heavy)),
+            reb AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+                           count(*) AS n_kept
+                    FROM kept GROUP BY doc_id),
+            tot AS (SELECT doc_id, count(*) AS n_segments FROM seg GROUP BY doc_id)
+            SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
+                   CAST(t.n_segments AS BIGINT) AS n_segments,
+                   CAST(t.n_segments - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped
+            FROM tot t LEFT JOIN reb r USING (doc_id)
+            ORDER BY doc_id"""))
+
+  /** DuckDB CTE fragment recomputing MirrorMode SimHash fingerprints
+    * value-for-value: per-occurrence word hash ([[TextDedup.strHash]]
+    * spread by [[TextDedup.mirrorWordHash]]'s affine mask to 61 bits) →
+    * per-bit majority vote (ties set the bit, Charikar's rule as
+    * implemented by [[graft.functions.SimHashAgg]]) → OR-assembly. Bits
+    * 61–63 are structurally zero on both engines. */
+  private def mirrorSimhashCtes(src: String): String =
+    s"""w AS (SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '\\s+')) AS w
+              FROM $src),
+            wt AS MATERIALIZED (
+              SELECT doc_id,
+                     (list_reduce(
+                        list_prepend(CAST(0 AS BIGINT),
+                          list_transform(string_split(w, ''),
+                            c -> CAST(unicode(c) AS BIGINT))),
+                        (a, c) -> (a * 31 + c) % 1000000007)
+                      * 2654435761 + 1000003)
+                     & ((CAST(1 AS BIGINT) << 61) - 1) AS h
+              FROM w),
+            nw AS (SELECT doc_id, count(*) AS nw FROM wt GROUP BY doc_id),
+            bits AS (
+              SELECT doc_id, i,
+                     sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE 0 END) AS c
+              FROM wt, unnest(generate_series(0, 60)) AS t(i)
+              GROUP BY doc_id, i),
+            fp AS MATERIALIZED (
+              SELECT b.doc_id,
+                     CAST(sum(CASE WHEN 2 * c >= nw.nw
+                          THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS fp
+              FROM bits b JOIN nw USING (doc_id) GROUP BY b.doc_id)"""
+
+  /** q195: MirrorMode SimHash fingerprints under a full value mirror —
+    * every document's 64-bit fingerprint recomputed by DuckDB from the
+    * word hashes up (q27 certifies the XxMode pipeline on containment
+    * invariants; this row pins the majority-vote algebra bit-for-bit). */
+  private val q195 = QDef(
+    "q195_simhash_mirror_fp",
+    (s, dir) => TextDedup.simhashAgg(Tables.load(s, dir, "documents"),
+        "doc_id", "text", mode = TextDedup.MirrorMode)
+      .select(col("id").as("doc_id"), col("fp"))
+      .orderBy("doc_id"),
+    Some(s"""WITH ${mirrorSimhashCtes("documents")}
+            SELECT doc_id, fp FROM fp ORDER BY doc_id"""))
+
+  /** q196: MirrorMode SimHash near-dup pairs — and the pigeonhole
+    * blocking's recall-1 claim made a CONTRACT fact: Spark runs the
+    * chunked [[TextDedup.simhashPairs]] (4×16-bit blocks, verify, dedup),
+    * DuckDB brute-forces ALL pairs within Hamming distance 3 from the
+    * recomputed fingerprints; the hashes match iff blocking+verify ≡
+    * exhaustive search on this corpus. */
+  private val q196 = QDef(
+    "q196_simhash_mirror_pairs",
+    (s, dir) => TextDedup.simhashPairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", maxDist = 3, mode = TextDedup.MirrorMode)
+      .select(col("id_l"), col("id_r"), col("hamming").cast("long").as("hamming"))
+      .orderBy("id_l", "id_r"),
+    Some(s"""WITH ${mirrorSimhashCtes("documents")}
+            SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+                   CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+            FROM fp a JOIN fp b ON b.doc_id > a.doc_id
+            WHERE bit_count(xor(a.fp, b.fp)) <= 3
+            ORDER BY id_l, id_r"""))
+
+  /** q197: the stream-stream FULL OUTER attribution join — q182 certifies
+    * left-outer null extension (unmatched purchases); this row runs the
+    * same two file-source streams through `joinType = "full_outer"`, so
+    * the engine must ALSO null-extend every never-attributed click once
+    * the purchase-side watermark proves no matching purchase can arrive
+    * (the symmetric half of the outer-join state machine, exercised by no
+    * other row). Unmatched clicks surface as the purchase_id IS NULL group
+    * per user; the far-future sentinels (purchase -1 / click -2, disjoint
+    * keys) force the terminal watermark flush of BOTH sides' held rows and
+    * are themselves held back, so the terminal table is exactly the batch
+    * full-outer twin — hash-checked against DuckDB's FULL JOIN. */
+  private val q197 = QDef(
+    "q197_stream_attribution_fullouter",
+    (s, dir) => StreamSession(s) { ss =>
+      val ev = Tables.load(ss, dir, "events")
+      def side(tpe: String) = ev.where(col("event_type") === tpe)
+        .select(col("user_id"), col("event_id").as("txn_id"), col("ts"))
+      def sentinel(uid: Long) = ss.range(1).select(lit(uid).as("user_id"),
+        lit(-1L).as("txn_id"),
+        to_timestamp(lit("2099-01-01 00:00:00")).as("ts"))
+      val tmp = TmpReaper.register(
+        java.nio.file.Files.createTempDirectory("q197_").toString)
+      def stage(tpe: String, sub: String, sentinelUid: Long): String = {
+        val d = side(tpe)
+        Staging.stageBatches(
+          Seq(d.where(pmod(col("user_id"), lit(2)) === 0),
+            d.where(pmod(col("user_id"), lit(2)) === 1),
+            sentinel(sentinelUid)),
+          s"$tmp/$sub", pinMtime = true)
+      }
+      val schema = sentinel(-1L).schema
+      def readSide(inDir: String) = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      val joined = Streams.attributionJoin(
+        readSide(stage("purchase", "p", -1L)),
+        readSide(stage("click", "c", -2L)),
+        within = "30 minutes", watermark = "1 hour", streaming = true,
+        joinType = "full_outer")
+      val sink = "q197_stream_sink"
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table(sink)
+        .where(col("user_id") >= 0L) // drop both sentinel keys (-1, -2)
+        .groupBy(col("user_id"), col("purchase_id"))
+        .agg(count(col("click_id")).as("n_clicks"),
+          coalesce(max(col("click_id")), lit(-1L)).as("last_click_id"))
+        .orderBy("user_id", "purchase_id") // Spark asc = NULLS FIRST
+    },
+    Some("""WITH p AS (SELECT user_id, event_id AS purchase_id, epoch_ms(ts) AS pms
+                       FROM events WHERE event_type = 'purchase'),
+                 c AS (SELECT user_id, event_id AS click_id, epoch_ms(ts) AS cms
+                       FROM events WHERE event_type = 'click')
+            SELECT coalesce(p.user_id, c.user_id) AS user_id, p.purchase_id,
+                   CAST(count(c.click_id) AS BIGINT) AS n_clicks,
+                   coalesce(max(c.click_id), -1) AS last_click_id
+            FROM p FULL JOIN c
+              ON p.user_id = c.user_id
+             AND c.cms >= p.pms - 1800000 AND c.cms <= p.pms
+            GROUP BY 1, 2
+            ORDER BY user_id, purchase_id NULLS FIRST"""))
+
+  /** q198: q171's sessionization on Spark 4's `transformWithState` API
+    * ([[Streams.sessionizeStreamTws]] — ValueState + explicit event-time
+    * timers, the successor to flatMapGroupsWithState) under the SAME batch
+    * oracle, on the RocksDB provider transformWithState requires. The two
+    * state APIs differ exactly where bugs would live — timer re-arming on
+    * session extension, stale-timer suppression when an extension and the
+    * old horizon land in one batch, ValueState lifecycle vs GroupState
+    * timeouts — and the shared hash makes their equivalence a contract
+    * fact, not a code-review claim. */
+  private val q198 = QDef(
+    "q198_stream_sessionize_tws",
+    (s, dir) => StreamSession(s) { ss =>
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      sessionizeContract(ss, dir, "q198_stream_sink", tws = true)
+    },
+    q171.oracle)
+
+  /** Shared contract body for the streaming anomaly rows: events staged as
+    * three TIME-ORDERED calendar batches (state — each user's rolling
+    * value history — must carry across micro-batches; in-order arrival
+    * makes the stream's emissions exactly the batch operator's rows, the
+    * StreamsSpec-proven equivalence), scored incrementally, read back
+    * sorted. No watermark: the operator is keyed on arrival order, not
+    * event-time windows (NoTimeout/TimeMode.None state lifecycle). */
+  private def anomalyContract(ss: SparkSession, dir: String, sink: String,
+      tws: Boolean): DataFrame = {
+    import ss.implicits._
+    val ev0 = Tables.load(ss, dir, "events")
+    val tmp = TmpReaper.register(
+      java.nio.file.Files.createTempDirectory(sink + "_").toString)
+    def before(d: String) = col("ts") < to_timestamp(lit(d))
+    val inDir = Staging.stageBatches(
+      Seq(ev0.where(before("2024-01-11 00:00:00")),
+        ev0.where(!before("2024-01-11 00:00:00") &&
+          before("2024-01-21 00:00:00")),
+        ev0.where(!before("2024-01-21 00:00:00"))),
+      tmp, pinMtime = true)
+    val ev = ss.readStream.schema(ev0.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[Streams.ValueEvent]
+    val scored = if (tws) Streams.anomalyStreamTws(ev) else Streams.anomalyStream(ev)
+    val q = scored.toDF().writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(sink).orderBy("user_id", "event_id")
+  }
+
+  /** q199: the streaming rolling z-score anomaly detector
+    * ([[Streams.anomalyStream]] — the last spec-only streaming operator
+    * family) through the REAL micro-batch engine under q114's batch
+    * oracle: per-user rolling ≤16-value history as flatMapGroupsWithState
+    * state, carried across three time-ordered micro-batches; any
+    * divergence in the fold, the ordering, or the state carry
+    * hash-fails. */
+  private val q199 = QDef(
+    "q199_stream_anomaly",
+    (s, dir) => StreamSession(s) { ss =>
+      anomalyContract(ss, dir, "q199_stream_sink", tws = false)
+    },
+    AnalyticsQueries.anomalyOracle)
+
+  /** q200: q199 on `transformWithState` with LIST state
+    * ([[Streams.AnomalyProcessor]] — ValueState is q198, this row
+    * certifies the `ListState` primitive: O(1) appends on the fill path,
+    * truncating rewrite when values roll off) under the SAME oracle, on
+    * the RocksDB provider the API requires. */
+  private val q200 = QDef(
+    "q200_stream_anomaly_tws",
+    (s, dir) => StreamSession(s) { ss =>
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      anomalyContract(ss, dir, "q200_stream_sink", tws = true)
+    },
+    AnalyticsQueries.anomalyOracle)
+
   val all: Seq[QDef] = Seq(
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q40, q41, q49, q61, q62, q70, q71, q73, q74, q88, q89, q90, q91,
     q92, q93, q94, q95, q96, q97, q98, q100, q101, q102, q103, q104, q105,
     q133, q142, q148, q159, q163, q166, q168, q171, q173, q174, q175, q179,
-    q181, q182, q183, q184, q185, q187, q188, q189, q190, q191, q193)
+    q181, q182, q183, q184, q185, q187, q188, q189, q190, q191, q193,
+    q194, q195, q196, q197, q198, q199, q200)
 }

@@ -142,10 +142,14 @@ object Streams {
     * plus both watermarks keeps the join state bounded; the unmatched-row
     * delay is the semantic price of streaming outer joins (StreamsSpec
     * drives it cross-batch). Same plan runs batch (`streaming = false`),
-    * where unmatched rows appear immediately. */
+    * where unmatched rows appear immediately. `joinType = "full_outer"`
+    * additionally emits never-attributed CLICKS null-extended on the
+    * purchase side under the same watermark-proof rule (q197); for the
+    * default left_outer the c_user coalesce arm is never taken, so the
+    * output is unchanged. */
   def attributionJoin(purchases: DataFrame, clicks: DataFrame,
       within: String = "30 minutes", watermark: String = "1 hour",
-      streaming: Boolean = true): DataFrame = {
+      streaming: Boolean = true, joinType: String = "left_outer"): DataFrame = {
     def wm(df: DataFrame): DataFrame =
       if (streaming) df.withWatermark("ts", watermark) else df
     val p = wm(purchases).select(col("user_id").as("p_user"),
@@ -156,9 +160,9 @@ object Streams {
       col("p_user") === col("c_user") &&
         col("c_ts") >= col("p_ts") - expr(s"interval $within") &&
         col("c_ts") <= col("p_ts"),
-      "left_outer")
-      .select(col("p_user").as("user_id"), col("purchase_id"),
-        col("p_ts"), col("click_id"), col("c_ts"))
+      joinType)
+      .select(coalesce(col("p_user"), col("c_user")).as("user_id"),
+        col("purchase_id"), col("p_ts"), col("click_id"), col("c_ts"))
   }
 
   /** Streaming exact deduplication: watermark + `dropDuplicates` on the key
@@ -397,6 +401,87 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** [[sessionizeStream]] on Spark 4's `transformWithState` API — the
+    * successor to flatMapGroupsWithState (SPARK-46815, public): typed
+    * composable state (`ValueState` here) plus explicit event-time TIMERS
+    * instead of the single per-group timeout. Same session semantics: a
+    * batch's events fold into the open session (gap-merge), a later event
+    * past the gap closes it, and a timer registered at `end + gap` closes
+    * the session once the watermark proves no extending event can arrive.
+    * A session extension re-registers the timer and deletes the stale one;
+    * a stale timer that still fires (same-batch extension) is ignored
+    * because its expiry predates the live session's horizon.
+    *
+    * Requires the RocksDB state-store provider (transformWithState is
+    * implemented only on it — which is also the at-scale store, q184).
+    * q198 certifies output-hash equality with q171's
+    * flatMapGroupsWithState twin under the shared batch oracle. */
+  final class SessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, SessionEvent, SessionOut] {
+    @transient private var session:
+      org.apache.spark.sql.streaming.ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      session = getHandle.getValueState[SessionState]("session",
+        Encoders.product[SessionState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[SessionEvent],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionOut] = {
+      val before = if (session.exists()) Some(session.get()) else None
+      val sorted = rows.map(_.ts.getTime).toSeq.sorted
+      var closed = List.empty[SessionOut]
+      var cur = before
+      sorted.foreach { ms =>
+        cur match {
+          case Some(s) if ms - s.endMs <= gapMs =>
+            cur = Some(s.copy(endMs = math.max(s.endMs, ms), n = s.n + 1))
+          case Some(s) =>
+            closed ::= SessionOut(user, s.startMs, s.endMs, s.n)
+            cur = Some(SessionState(ms, ms, 1))
+          case None =>
+            cur = Some(SessionState(ms, ms, 1))
+        }
+      }
+      cur.foreach { s =>
+        session.update(s)
+        before.filter(_.endMs != s.endMs)
+          .foreach(b => getHandle.deleteTimer(b.endMs + gapMs))
+        getHandle.registerTimer(s.endMs + gapMs)
+      }
+      closed.reverseIterator
+    }
+
+    override def handleExpiredTimer(user: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] =
+      if (session.exists()) {
+        val s = session.get()
+        // a stale timer (the same batch's input already extended or
+        // replaced the session) must not close the live session
+        if (info.getExpiryTimeInMs >= s.endMs + gapMs) {
+          session.clear()
+          Iterator.single(SessionOut(user, s.startMs, s.endMs, s.n))
+        } else Iterator.empty
+      } else Iterator.empty
+  }
+
+  /** The [[sessionizeStream]] plan on [[SessionProcessor]] —
+    * `transformWithState`, EventTime time mode, append output. */
+  def sessionizeStreamTws(events: Dataset[SessionEvent], gapMs: Long,
+      watermarkDelay: String = "1 hour"): Dataset[SessionOut] = {
+    implicit val outEnc: Encoder[SessionOut] = Encoders.product[SessionOut]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   final case class ValueEvent(
       user_id: Long, event_id: Long, ts: Timestamp, value: Double)
   final case class AnomalyOut(user_id: Long, event_id: Long, value: Double, z: Double)
@@ -456,5 +541,67 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append,
         if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
         else GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** [[anomalyStream]] on `transformWithState` with LIST state — the
+    * rolling ≤`lookback` history lives in a `ListState[Double]` (RocksDB
+    * stores list elements as separate appended entries, so the common
+    * fast path — append one value — writes O(1), not O(lookback); the
+    * truncating rewrite via `put` only runs once the history is full).
+    * Identical fold, ordering, and rounding as [[anomalyStream]]; q200
+    * certifies output-hash equality with the flatMapGroupsWithState twin
+    * under q114's batch oracle. TimeMode.None: no timers — state lives
+    * for the stream's lifetime exactly like the fMGWS NoTimeout default. */
+  final class AnomalyProcessor(lookback: Int, minObs: Int, threshold: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, ValueEvent, AnomalyOut] {
+    @transient private var hist:
+      org.apache.spark.sql.streaming.ListState[Double] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      hist = getHandle.getListState[Double]("hist",
+        Encoders.scalaDouble, org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, events: Iterator[ValueEvent],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[AnomalyOut] = {
+      var h = if (hist.exists()) hist.get().toVector else Vector.empty
+      val before = h
+      val out = Vector.newBuilder[AnomalyOut]
+      events.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val n = h.length
+        if (n >= minObs) {
+          var s = 0.0; var ss = 0.0
+          h.foreach { v => s += v; ss += v * v }
+          val varNum = ss - s * s / n
+          if (varNum > 0) {
+            val z = (e.value - s / n) / math.sqrt(varNum / (n - 1))
+            if (math.abs(z) > threshold)
+              out += AnomalyOut(user, e.event_id, e.value,
+                BigDecimal(z).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+                  .toDouble)
+          }
+        }
+        h = (h :+ e.value).takeRight(lookback)
+      }
+      // append-only while the history is filling; full rewrite only when
+      // old values rolled off the front
+      if (before.nonEmpty && h.startsWith(before))
+        h.drop(before.length).foreach(hist.appendValue)
+      else hist.put(h.toArray)
+      out.result().iterator
+    }
+  }
+
+  /** The [[anomalyStream]] plan on [[AnomalyProcessor]]. */
+  def anomalyStreamTws(events: Dataset[ValueEvent], lookback: Int = 16,
+      minObs: Int = 8, threshold: Double = 2.5): Dataset[AnomalyOut] = {
+    implicit val outEnc: Encoder[AnomalyOut] = Encoders.product[AnomalyOut]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new AnomalyProcessor(lookback, minObs, threshold),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
   }
 }

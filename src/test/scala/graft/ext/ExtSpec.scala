@@ -192,6 +192,56 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("MirrorMode simhash: fingerprints equal the plain-Scala reference; " +
+      "bits 61-63 structurally zero; pairs equal brute force") {
+    def strHashRef(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+    def wordHashRef(w: String): Long =
+      (strHashRef(w) * 2654435761L + 1000003L) & ((1L << 61) - 1)
+    def fpRef(text: String): Long = {
+      val hs = text.toLowerCase.split("\\s+").map(wordHashRef)
+      (0 until 64).map { i =>
+        val c = hs.count(h => ((h >> i) & 1L) == 1L)
+        if (2 * c >= hs.length) 1L << i else 0L
+      }.reduce(_ | _)
+    }
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = TextDedup.simhashAgg(corpus, "doc_id", "text", TextDedup.MirrorMode)
+      .as[(Long, Long)].collect()
+    val texts = corpus.select("doc_id", "text").as[(Long, String)].collect().toMap
+    got.foreach { case (id, fp) =>
+      assert((fp >>> 61) == 0L, s"doc $id: bits 61-63 set in $fp")
+      assert(fp == fpRef(texts(id)), s"doc $id fingerprint mismatch")
+    }
+    val brute = (for {
+      (i, fi) <- got; (j, fj) <- got
+      if i < j && java.lang.Long.bitCount(fi ^ fj) <= 3
+    } yield (i, j)).toSet
+    val blocked = TextDedup.simhashPairs(corpus, "doc_id", "text", 3,
+        TextDedup.MirrorMode)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    assert(blocked == brute)
+  }
+
+  test("stripCommonSegments: document-frequency boilerplate dropped, " +
+      "within-doc repeats kept, order preserved, all-boilerplate doc empties") {
+    val corpus = Seq(
+      (1L, "aa bb cc dd ee"), // "aa bb" | "cc dd" | "ee" (partial tail)
+      (2L, "aa bb xx yy"),
+      (3L, "aa bb"), // every segment boilerplate -> empty text
+      (4L, "cc dd cc dd") // same segment twice in ONE doc: df=2, kept
+    ).toDF("doc_id", "text")
+    val got = TextDedup.stripCommonSegments(corpus, "doc_id", "text",
+        segWords = 2, minDocFreq = 3)
+      .select("id", "clean_text", "n_segments", "n_dropped")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, "cc dd ee", 3L, 1L),
+      (2L, "xx yy", 2L, 1L),
+      (3L, "", 1L, 1L),
+      (4L, "cc dd cc dd", 2L, 0L)))
+  }
+
   test("empirical near-dup correlations hold with tolerance (demoted from the q26/q27 oracles)") {
     // These were once zero-pinned oracle columns; they are properties of
     // the measured corpora, not operator guarantees (MinHash at 16 perms /

@@ -124,6 +124,27 @@ class StreamStatePlanSpec extends SparkTestBase {
     } finally sq.stop()
   }
 
+  test("q197 shape: FULL OUTER attribution join is still ONE symmetricHashJoin operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val p = MemoryStream[(Long, Long, Timestamp)]
+    val c = MemoryStream[(Long, Long, Timestamp)]
+    val out = Streams.attributionJoin(
+      p.toDF().toDF("user_id", "txn_id", "ts"),
+      c.toDF().toDF("user_id", "txn_id", "ts"),
+      joinType = "full_outer")
+    val sq = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(s"state_plan_attr_fo_${System.nanoTime()}")
+      .start()
+    try {
+      p.addData((1L, 100L, ts(10)))
+      c.addData((1L, 200L, ts(5)))
+      sq.processAllAvailable()
+      val prog = sq.recentProgress.reverse.find(_.stateOperators.nonEmpty)
+        .getOrElse(fail("no progress with state operators"))
+      assert(prog.stateOperators.map(_.operatorName).toSeq == Seq("symmetricHashJoin"))
+    } finally sq.stop()
+  }
+
   test("q183 shape: sketch-state heavy hitters is ONE stateStoreSave operator") {
     val p = lastStateProgress(
       df => Streams.heavyHittersStream(df, k = 2), someEvents,
@@ -176,5 +197,34 @@ class StreamStatePlanSpec extends SparkTestBase {
       assert(p.stateOperators.map(_.operatorName).toSeq ==
         Seq("flatMapGroupsWithState"))
     } finally sq.stop()
+  }
+
+  test("q198 shape: transformWithState sessionization is ONE TWS operator " +
+      "(RocksDB provider required)") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Streams.SessionEvent]
+      val out = Streams.sessionizeStreamTws(mem.toDS(), gapMs = 600000L)
+      val sq = out.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(s"state_plan_tws_${System.nanoTime()}")
+        .start()
+      try {
+        mem.addData(Streams.SessionEvent(1L, ts(0)), Streams.SessionEvent(1L, ts(30)))
+        sq.processAllAvailable()
+        val p = sq.recentProgress.reverse.find(_.stateOperators.nonEmpty)
+          .getOrElse(fail("no progress with state operators"))
+        val names = p.stateOperators.map(_.operatorName).toSeq
+        assert(names.length == 1 &&
+          names.head.toLowerCase.contains("transformwithstate"),
+          s"unexpected state operators: $names")
+      } finally sq.stop()
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 }

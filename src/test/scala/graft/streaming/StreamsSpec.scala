@@ -149,6 +149,56 @@ class StreamsSpec extends SparkTestBase {
     }
   }
 
+  test("transformWithState sessionizer matches batch sessionization " +
+      "(timer re-arming, past-gap closure, terminal watermark flush)") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // per user: a 5-event session fed across MULTIPLE micro-batches (the
+      // timer must re-arm on every extension), then a past-gap event that
+      // closes it (the stale timer for the old horizon fires in a batch
+      // where the live session has moved on), then the terminal watermark
+      // flush of the last open session
+      val events = for {
+        u <- 1L to 3L
+        i <- 0 until 8
+      } yield (u, ts((i * 7 + (if (i > 4) 90 else 0)).toInt + u.toInt))
+      val batch = Streams.sessionizeBatch(
+          events.zipWithIndex
+            .map { case ((u, t), i) => (i.toLong, u, t) }
+            .toDF("event_id", "user_id", "ts"),
+          gapMs = 30 * 60 * 1000L)
+        .select("user_id", "start_ms", "end_ms", "n_events")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val mem = MemoryStream[SessionEvent]
+      val sq = Streams.sessionizeStreamTws(mem.toDS(), gapMs = 30 * 60 * 1000L, "1 minute")
+        .writeStream.format("memory").queryName("sess_tws")
+        .outputMode("append").start()
+      try {
+        // one event per addData call = one micro-batch per event: every
+        // extension exercises deleteTimer + registerTimer across batches
+        events.sortBy(_._2.getTime).foreach { case (u, t) => mem.addData(SessionEvent(u, t)) }
+        sq.processAllAvailable()
+        mem.addData(SessionEvent(99L, ts(3000)))
+        sq.processAllAvailable()
+        mem.addData(SessionEvent(99L, ts(3001)))
+        sq.processAllAvailable()
+        val streamed = spark.table("sess_tws")
+          .filter(col("user_id") =!= 99L)
+          .select("user_id", "start_ms", "end_ms", "n_events")
+          .as[(Long, Long, Long, Long)].collect().toSet
+        assert(streamed == batch,
+          s"transformWithState divergence: missing=${batch -- streamed} extra=${streamed -- batch}")
+      } finally sq.stop()
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stream-stream fan-in join matches the batch motif on the same transactions") {
     implicit val sqlCtx = spark.sqlContext
     // (ts, sender, beneficiary, amount, txn_id)
@@ -314,6 +364,40 @@ class StreamsSpec extends SparkTestBase {
       assert(rows.contains((100L, 900L)), s"matched pair missing: $rows")
       assert(rows.contains((200L, -1L)),
         s"unmatched purchase not emitted after watermark: $rows")
+    } finally sq.stop()
+  }
+
+  test("stream-stream FULL outer join also emits never-attributed clicks " +
+      "null-extended after the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val pm = MemoryStream[(Timestamp, Long, Long)] // ts, txn_id, user_id
+    val cm = MemoryStream[(Timestamp, Long, Long)]
+    val sq = Streams.attributionJoin(
+        pm.toDF().toDF("ts", "txn_id", "user_id"),
+        cm.toDF().toDF("ts", "txn_id", "user_id"),
+        within = "2 minutes", watermark = "2 minutes",
+        joinType = "full_outer")
+      .writeStream.format("memory").queryName("attr_fo").outputMode("append").start()
+    try {
+      // user 1: click+purchase match; user 2: purchase with no click;
+      // user 4: click with no purchase (the full-outer-only emission)
+      pm.addData((ts(10), 100L, 1L), (ts(11), 200L, 2L))
+      cm.addData((ts(9), 900L, 1L), (ts(10), 902L, 4L))
+      sq.processAllAvailable()
+      pm.addData((ts(200), 300L, 3L))
+      cm.addData((ts(200), 901L, 3L))
+      sq.processAllAvailable()
+      val rows = spark.table("attr_fo")
+        .select("user_id", "purchase_id", "click_id")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2)))
+        .toSet
+      assert(rows.contains((1L, 100L, 900L)), s"matched pair missing: $rows")
+      assert(rows.contains((2L, 200L, -1L)),
+        s"unmatched purchase not emitted: $rows")
+      assert(rows.contains((4L, -1L, 902L)),
+        s"unmatched click not emitted (user_id must coalesce from the click side): $rows")
     } finally sq.stop()
   }
 
@@ -585,6 +669,46 @@ class StreamsSpec extends SparkTestBase {
       assert(streamed == batch,
         s"divergence: missing=${batch -- streamed} extra=${streamed -- batch}")
     } finally sq.stop()
+  }
+
+  test("transformWithState anomaly (ListState) matches the batch rolling " +
+      "z-score: append path while filling, rewrite path once full") {
+    import graft.streaming.Streams.ValueEvent
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rnd = new scala.util.Random(7)
+      // user 1 crosses lookback=16 (exercises the truncating put rewrite);
+      // user 2 stays below it (pure appendValue path)
+      val rows = (1 to 40).map { i =>
+        val v = if (i == 25 || i == 37) 900.0 else 50.0 + rnd.nextInt(10)
+        ValueEvent(1L, i.toLong, ts(i), v)
+      } ++ (1 to 12).map(i => ValueEvent(2L, 100L + i, ts(i), 5.0 + (i % 3)))
+      val batch = graft.ext.TimeSeries
+        .rollingZScore(rows.toDF(), lookback = 16, minObs = 8, threshold = 2.5)
+        .select("user_id", "event_id", "value", "z")
+        .as[(Long, Long, Double, Double)].collect().toSet
+      val mem = MemoryStream[ValueEvent]
+      val sq = Streams.anomalyStreamTws(mem.toDS(), lookback = 16, minObs = 8,
+          threshold = 2.5)
+        .writeStream.format("memory").queryName("anomaly_tws_parity")
+        .outputMode("append").start()
+      try {
+        rows.sortBy(e => (e.ts.getTime, e.event_id)).grouped(7).foreach { c =>
+          mem.addData(c: _*); sq.processAllAvailable()
+        }
+        val streamed = spark.table("anomaly_tws_parity")
+          .as[(Long, Long, Double, Double)].collect().toSet
+        assert(streamed == batch,
+          s"divergence: missing=${batch -- streamed} extra=${streamed -- batch}")
+      } finally sq.stop()
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   test("streaming heavy hitters: sketch state in the store, batch parity") {
