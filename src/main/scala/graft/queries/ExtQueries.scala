@@ -2981,11 +2981,60 @@ object ExtQueries {
     },
     AnalyticsQueries.anomalyOracle)
 
+  /** q201: q183's windowed heavy hitters on `transformWithState` with MAP
+    * state ([[Streams.HeavyHittersProcessor]] — Misra–Gries counters in a
+    * `MapState[String, Long]` per window, plus a ValueState emission
+    * version; with q198/q200 this certifies ALL THREE TWS state
+    * primitives). The read-back selects each window's FINAL sketch (max
+    * emission version — append-mode's equivalent of q183's complete-mode
+    * table) and gates it with the SAME guaranteed-heavy containment
+    * oracle: an MG merge that dropped a guaranteed item shrinks the
+    * semi-join and hash-fails. */
+  private val q201 = QDef(
+    "q201_stream_heavy_hitters_tws",
+    (s, dir) => StreamSession(s) { ss =>
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val k = 2
+      val ev0 = Tables.load(ss, dir, "events")
+      val tmp = TmpReaper.register(
+        java.nio.file.Files.createTempDirectory("q201_").toString)
+      val inDir = Staging.stageBatches(
+        (0 until 3).map(i => ev0.where(pmod(col("event_id"), lit(3)) === i)), tmp)
+      val sink = "q201_stream_sink"
+      val q = Streams.heavyHittersStreamTws(
+          ss.readStream.schema(ev0.schema)
+            .option("maxFilesPerTrigger", "1").parquet(inDir), k)
+        .toDF().writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val byWindow = org.apache.spark.sql.expressions.Window.partitionBy("start_ms")
+      val finalSketch = ss.table(sink)
+        .withColumn("__mv", max("ver").over(byWindow))
+        .where(col("ver") === col("__mv"))
+        .select("start_ms", "item")
+      val exact = ev0
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(unix_millis(col("w.start")).as("start_ms"),
+          col("event_type").as("item"), col("cnt"))
+      val tot = exact.groupBy("start_ms").agg(sum(col("cnt")).as("__n"))
+      exact.join(tot, "start_ms")
+        .where(col("cnt") * (k + 1) > col("__n"))
+        .join(finalSketch, Seq("start_ms", "item"), "left_semi")
+        .select(col("start_ms"), col("item"), col("cnt"))
+        .orderBy("start_ms", "item")
+    },
+    q183.oracle)
+
   val all: Seq[QDef] = Seq(
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q40, q41, q49, q61, q62, q70, q71, q73, q74, q88, q89, q90, q91,
     q92, q93, q94, q95, q96, q97, q98, q100, q101, q102, q103, q104, q105,
     q133, q142, q148, q159, q163, q166, q168, q171, q173, q174, q175, q179,
     q181, q182, q183, q184, q185, q187, q188, q189, q190, q191, q193,
-    q194, q195, q196, q197, q198, q199, q200)
+    q194, q195, q196, q197, q198, q199, q200, q201)
 }

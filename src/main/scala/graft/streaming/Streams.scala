@@ -48,6 +48,79 @@ object Streams {
         col("hh.count_lb").as("count_lb"))
   }
 
+  final case class HHIn(start_ms: Long, item: String)
+  final case class HHOut(start_ms: Long, item: String, count_lb: Long, ver: Long)
+
+  /** [[heavyHittersStream]] on `transformWithState` with MAP state — the
+    * Misra–Gries counters live in a `MapState[String, Long]` keyed by the
+    * tumbling window (the third TWS state primitive, after q198's
+    * ValueState and q200's ListState). Each batch pre-aggregates its
+    * items, then applies the mergeable-summaries MG merge (Agarwal et al.
+    * 2013, public): pointwise add, and if more than k counters survive,
+    * subtract the (k+1)-th largest and drop the non-positives — the merge
+    * under which any item with cnt·(k+1) > n is provably retained, the
+    * same guarantee q183's oracle gates. Every batch emits the window's
+    * retained counters tagged with a monotonically increasing VERSION
+    * (ValueState), so a reader can select each window's FINAL sketch
+    * (max ver) — giving the same terminal-sketch containment gate as
+    * q183's complete-mode read-back, from append-mode output.
+    * TimeMode.None: state lives for the stream's lifetime; a production
+    * deployment bounds it with `TTLConfig` instead of timers. */
+  final class HeavyHittersProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, HHIn, HHOut] {
+    @transient private var counters:
+      org.apache.spark.sql.streaming.MapState[String, Long] = _
+    @transient private var version:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      val ttl = org.apache.spark.sql.streaming.TTLConfig.NONE
+      counters = getHandle.getMapState[String, Long]("mg",
+        Encoders.STRING, Encoders.scalaLong, ttl)
+      version = getHandle.getValueState[Long]("ver", Encoders.scalaLong, ttl)
+    }
+
+    override def handleInputRows(windowStart: Long, rows: Iterator[HHIn],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[HHOut] = {
+      val batch = collection.mutable.Map.empty[String, Long]
+      rows.foreach(r => batch.update(r.item, batch.getOrElse(r.item, 0L) + 1L))
+      val merged = collection.mutable.Map.empty[String, Long]
+      if (counters.exists())
+        counters.iterator().foreach { case (i, c) => merged.update(i, c) }
+      batch.foreach { case (i, c) => merged.update(i, merged.getOrElse(i, 0L) + c) }
+      val kept =
+        if (merged.size <= k) merged.toMap
+        else {
+          // subtract the (k+1)-th largest count from everything, drop <= 0:
+          // at most k counters survive and the n/(k+1) error bound holds
+          val d = merged.values.toSeq.sorted(Ordering[Long].reverse)(k)
+          merged.collect { case (i, c) if c - d > 0 => i -> (c - d) }.toMap
+        }
+      counters.clear()
+      kept.foreach { case (i, c) => counters.updateValue(i, c) }
+      val ver = (if (version.exists()) version.get() else 0L) + 1L
+      version.update(ver)
+      kept.iterator.map { case (i, c) => HHOut(windowStart, i, c, ver) }
+    }
+  }
+
+  /** The [[heavyHittersStream]] plan on [[HeavyHittersProcessor]]. */
+  def heavyHittersStreamTws(events: DataFrame, k: Int): Dataset[HHOut] = {
+    implicit val inEnc: Encoder[HHIn] = Encoders.product[HHIn]
+    implicit val outEnc: Encoder[HHOut] = Encoders.product[HHOut]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    events
+      .select((expr("unix_millis(ts) div 3600000") * 3600000L)
+        .as("start_ms"), col("event_type").as("item"))
+      .as[HHIn]
+      .groupByKey(_.start_ms)
+      .transformWithState(new HeavyHittersProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Streaming structuring alert — the reference's aspiration "as new
     * transactions are discovered" (`01_aml_network_analysis.py:486`) made
     * real: per-beneficiary tumbling-window inflow totals with a watermark;

@@ -742,6 +742,61 @@ class StreamsSpec extends SparkTestBase {
     } finally sq.stop()
   }
 
+  test("transformWithState heavy hitters (MapState): exact counts below " +
+      "capacity, guaranteed-heavy retained under eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // same skewed fixture as the aggregate twin: at k=8 nothing evicts
+      // and the final sketch must equal exact counts; at k=2 the MG merge
+      // evicts, and 'hot' (majority in every window) must survive
+      val rows = (0 until 200).map { i =>
+        val t = ts(i % 110)
+        val ty = if (i % 3 != 0) "hot" else s"cold${i % 5}"
+        (t, ty, 1.0)
+      }
+      val exact = Streams.heavyHittersStream(
+          rows.toDF("ts", "event_type", "value"), k = 8, watermark = None)
+        .as[(Long, String, Long)].collect().toSet
+      def run(k: Int, name: String): Set[(Long, String, Long)] = {
+        val mem = MemoryStream[(Timestamp, String, Double)]
+        val sq = Streams.heavyHittersStreamTws(
+            mem.toDF().toDF("ts", "event_type", "value"), k)
+          .toDF().writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          rows.grouped(23).foreach { c => mem.addData(c: _*); sq.processAllAvailable() }
+          import org.apache.spark.sql.expressions.Window
+          spark.table(name)
+            .withColumn("__mv", max("ver").over(Window.partitionBy("start_ms")))
+            .where(col("ver") === col("__mv"))
+            .select("start_ms", "item", "count_lb")
+            .as[(Long, String, Long)].collect().toSet
+        } finally sq.stop()
+      }
+      val noEvict = run(8, "hh_tws_exact")
+      assert(noEvict == exact,
+        s"k=8 sketch != exact: missing=${exact -- noEvict} extra=${noEvict -- exact}")
+      val evicted = run(2, "hh_tws_evict")
+      val hotWindows = exact.filter(_._2 == "hot").map(_._1)
+      val retainedHot = evicted.filter(_._2 == "hot").map(_._1)
+      assert(hotWindows.subsetOf(retainedHot),
+        s"majority item evicted from windows ${hotWindows -- retainedHot}")
+      // lower-bound property: no count exceeds the exact count
+      val exactMap = exact.map(e => (e._1, e._2) -> e._3).toMap
+      evicted.foreach { case (w, i, c) =>
+        assert(c <= exactMap.getOrElse((w, i), 0L),
+          s"count_lb $c exceeds exact for ($w, $i)")
+      }
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("restart recovery: stateful stream resumes from a filesystem checkpoint exactly-once") {
     // The state-store RECOVERY path a production stream exercises on every
     // deploy, which no other test drives: run a stateful sessionization
