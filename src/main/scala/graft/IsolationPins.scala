@@ -24,9 +24,11 @@ object IsolationPins {
     "q94_text_dedup_clusters", "q48_incremental_cc", "q91_minhash_chained",
     "q141_basket_jaccard", "q106_table_stats",
     // round-11 contract rows with real machinery cost (restart lifecycles,
-    // session-window state, the mirror-mode fold) — pinned from birth
+    // session-window state, the mirror-mode fold, the two-stream outer
+    // join) — pinned from birth
     "q187_stream_session_window", "q191_stream_late_drop",
-    "q192_stream_cc_delta_restart", "q193_stream_agg_restart_rocksdb")
+    "q192_stream_cc_delta_restart", "q193_stream_agg_restart_rocksdb",
+    "q197_stream_attribution_fullouter")
 
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

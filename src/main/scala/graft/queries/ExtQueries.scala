@@ -3030,11 +3030,68 @@ object ExtQueries {
     },
     q183.oracle)
 
+  /** q202: the STATE-MIGRATION path — sessionization warm-started from a
+    * batch snapshot via transformWithState INITIAL STATE
+    * ([[Streams.SessionMigrationProcessor]]): the legacy half (< Jan 21)
+    * is sessionized in BATCH, every user's last (open) session becomes an
+    * initial-state seed with its closure timer, already-closed legacy
+    * sessions go straight to output, and the live half streams through
+    * the seeded processor — a session straddling the migration cut must
+    * MERGE batch-side counts with stream-side events, and a seed nothing
+    * extends must still flush by terminal-watermark timer. The union is
+    * checked against q171's WHOLE-TABLE oracle, so the migration is
+    * certified lossless end-to-end: dropped seeds, double-counted
+    * straddlers, or timer-less seeds all hash-fail. This is the
+    * fMGWS-checkpoint → TWS (or batch backfill → streaming) upgrade path
+    * a real deployment needs. */
+  private val q202 = QDef(
+    "q202_stream_sessionize_migration",
+    (s, dir) => StreamSession(s) { ss =>
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import ss.implicits._
+      val gapMs = 30 * 60 * 1000L
+      val ev0 = Tables.load(ss, dir, "events")
+      def at(d: String) = to_timestamp(lit(d))
+      val legacy = ev0.where(col("ts") < at("2024-01-21 00:00:00"))
+      val live = ev0.where(col("ts") >= at("2024-01-21 00:00:00"))
+      val byUser = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      val tagged = Streams.sessionizeBatch(legacy, gapMs)
+        .withColumn("__mx", max("start_ms").over(byUser))
+      val closed = tagged.where(col("start_ms") < col("__mx"))
+        .select(col("user_id"), col("start_ms"), col("end_ms"), col("n_events"))
+        .localCheckpoint() // consumed after the stream; keep it plan-free
+      val seeds = tagged.where(col("start_ms") === col("__mx"))
+        .select(col("user_id"), col("start_ms").as("startMs"),
+          col("end_ms").as("endMs"), col("n_events").as("n"))
+        .as[Streams.SessionSeed]
+      val tmp = TmpReaper.register(
+        java.nio.file.Files.createTempDirectory("q202_").toString)
+      val inDir = Staging.stageBatches(
+        Seq(live.where(col("ts") < at("2024-01-26 00:00:00")),
+          live.where(col("ts") >= at("2024-01-26 00:00:00"))),
+        tmp, pinMtime = true)
+      val ev = ss.readStream.schema(ev0.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+        .select(col("user_id"), col("ts")).as[Streams.SessionEvent]
+      val sink = "q202_stream_sink"
+      val q = Streams.sessionizeStreamTwsMigrated(ev, gapMs, seeds,
+          watermarkDelay = "0 seconds")
+        .toDF().writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table(sink).unionByName(closed).orderBy("user_id", "start_ms")
+    },
+    q171.oracle)
+
   val all: Seq[QDef] = Seq(
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q40, q41, q49, q61, q62, q70, q71, q73, q74, q88, q89, q90, q91,
     q92, q93, q94, q95, q96, q97, q98, q100, q101, q102, q103, q104, q105,
     q133, q142, q148, q159, q163, q166, q168, q171, q173, q174, q175, q179,
     q181, q182, q183, q184, q185, q187, q188, q189, q190, q191, q193,
-    q194, q195, q196, q197, q198, q199, q200, q201)
+    q194, q195, q196, q197, q198, q199, q200, q201, q202)
 }

@@ -489,20 +489,24 @@ object Streams {
     * implemented only on it — which is also the at-scale store, q184).
     * q198 certifies output-hash equality with q171's
     * flatMapGroupsWithState twin under the shared batch oracle. */
-  final class SessionProcessor(gapMs: Long)
-      extends org.apache.spark.sql.streaming.StatefulProcessor[
-        Long, SessionEvent, SessionOut] {
-    @transient private var session:
+  /** The session fold + timer discipline shared by [[SessionProcessor]]
+    * (q198) and [[SessionMigrationProcessor]] (q202) — the two differ only
+    * in their parent class (plain vs with-initial-state), which Scala
+    * can't abstract over, so the logic lives in this self-typed trait. */
+  private[streaming] trait SessionLogic {
+    self: org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, SessionEvent, SessionOut] =>
+    protected def gapMs: Long
+    @transient protected var session:
       org.apache.spark.sql.streaming.ValueState[SessionState] = _
 
-    override def init(outputMode: OutputMode,
-        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    protected def initSessionState(): Unit =
       session = getHandle.getValueState[SessionState]("session",
         Encoders.product[SessionState],
         org.apache.spark.sql.streaming.TTLConfig.NONE)
 
-    override def handleInputRows(user: Long, rows: Iterator[SessionEvent],
-        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionOut] = {
+    protected def onRows(user: Long,
+        rows: Iterator[SessionEvent]): Iterator[SessionOut] = {
       val before = if (session.exists()) Some(session.get()) else None
       val sorted = rows.map(_.ts.getTime).toSeq.sorted
       var closed = List.empty[SessionOut]
@@ -527,8 +531,7 @@ object Streams {
       closed.reverseIterator
     }
 
-    override def handleExpiredTimer(user: Long,
-        timers: org.apache.spark.sql.streaming.TimerValues,
+    protected def onTimer(user: Long,
         info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] =
       if (session.exists()) {
         val s = session.get()
@@ -539,6 +542,54 @@ object Streams {
           Iterator.single(SessionOut(user, s.startMs, s.endMs, s.n))
         } else Iterator.empty
       } else Iterator.empty
+  }
+
+  final class SessionProcessor(protected val gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, SessionEvent, SessionOut] with SessionLogic {
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      initSessionState()
+    override def handleInputRows(user: Long, rows: Iterator[SessionEvent],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionOut] =
+      onRows(user, rows)
+    override def handleExpiredTimer(user: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] =
+      onTimer(user, info)
+  }
+
+  /** A batch-computed open session handed to
+    * [[SessionMigrationProcessor]] as transformWithState INITIAL STATE. */
+  final case class SessionSeed(user_id: Long, startMs: Long, endMs: Long, n: Long)
+
+  /** [[SessionProcessor]] with INITIAL STATE — the fMGWS → TWS (or
+    * batch → streaming) state-migration path: each user's open session,
+    * computed from the legacy half in batch, seeds the ValueState before
+    * the first micro-batch, with its closure timer registered at
+    * `end + gap` exactly as a live fold would have (so a seeded session
+    * that nothing extends is still flushed by the terminal watermark —
+    * the q171 emission rule). q202 certifies the migrated stream against
+    * q171's whole-table oracle: a seed that was dropped, double-counted,
+    * or left timer-less hash-fails. */
+  final class SessionMigrationProcessor(protected val gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, SessionEvent, SessionOut, SessionSeed] with SessionLogic {
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      initSessionState()
+    override def handleInitialState(user: Long, seed: SessionSeed,
+        timers: org.apache.spark.sql.streaming.TimerValues): Unit = {
+      session.update(SessionState(seed.startMs, seed.endMs, seed.n))
+      getHandle.registerTimer(seed.endMs + gapMs)
+    }
+    override def handleInputRows(user: Long, rows: Iterator[SessionEvent],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionOut] =
+      onRows(user, rows)
+    override def handleExpiredTimer(user: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] =
+      onTimer(user, info)
   }
 
   /** The [[sessionizeStream]] plan on [[SessionProcessor]] —
@@ -553,6 +604,23 @@ object Streams {
       .transformWithState(new SessionProcessor(gapMs),
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
         OutputMode.Append())
+  }
+
+  /** [[sessionizeStreamTws]] warm-started from batch-computed open
+    * sessions ([[SessionMigrationProcessor]]). */
+  def sessionizeStreamTwsMigrated(events: Dataset[SessionEvent], gapMs: Long,
+      seeds: Dataset[SessionSeed],
+      watermarkDelay: String = "1 hour"): Dataset[SessionOut] = {
+    implicit val outEnc: Encoder[SessionOut] = Encoders.product[SessionOut]
+    implicit val seedEnc: Encoder[SessionSeed] = Encoders.product[SessionSeed]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionMigrationProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append(),
+        seeds.groupByKey(_.user_id))
   }
 
   final case class ValueEvent(

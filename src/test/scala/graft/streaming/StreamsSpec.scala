@@ -199,6 +199,51 @@ class StreamsSpec extends SparkTestBase {
     }
   }
 
+  test("transformWithState migration: batch seeds merge with stream events, " +
+      "untouched seeds flush by timer") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val gapMs = 2 * 60 * 1000L // ts(n) is n MINUTES from the epoch base
+      // user 1: open seed [0m, 60m] n=3, extended by a stream event at 61m
+      // (inside the 2-minute gap) -> one merged session n=4 ending 61m
+      // user 2: seed [0m, 30m] n=2, nothing extends it -> flushed by timer
+      // user 3: stream-only session
+      val seeds = Seq(
+        Streams.SessionSeed(1L, ts(0).getTime, ts(60).getTime, 3L),
+        Streams.SessionSeed(2L, ts(0).getTime, ts(30).getTime, 2L)).toDS()
+      val mem = MemoryStream[SessionEvent]
+      val sq = Streams.sessionizeStreamTwsMigrated(mem.toDS(), gapMs, seeds,
+          watermarkDelay = "0 seconds")
+        .writeStream.format("memory").queryName("sess_mig")
+        .outputMode("append").start()
+      try {
+        mem.addData(SessionEvent(1L, ts(61)), SessionEvent(3L, ts(100)))
+        sq.processAllAvailable()
+        // far-future events advance the watermark past every open horizon
+        mem.addData(SessionEvent(99L, ts(5000)))
+        sq.processAllAvailable()
+        mem.addData(SessionEvent(99L, ts(5001)))
+        sq.processAllAvailable()
+        val rows = spark.table("sess_mig")
+          .filter(col("user_id") =!= 99L)
+          .select("user_id", "start_ms", "end_ms", "n_events")
+          .as[(Long, Long, Long, Long)].collect().toSet
+        assert(rows == Set(
+          (1L, ts(0).getTime, ts(61).getTime, 4L),
+          (2L, ts(0).getTime, ts(30).getTime, 2L),
+          (3L, ts(100).getTime, ts(100).getTime, 1L)),
+          s"migration divergence: $rows")
+      } finally sq.stop()
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stream-stream fan-in join matches the batch motif on the same transactions") {
     implicit val sqlCtx = spark.sqlContext
     // (ts, sender, beneficiary, amount, txn_id)
