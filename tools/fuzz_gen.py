@@ -298,16 +298,37 @@ def query_setwin(qi):
             f"ORDER BY g0, g1")
 
 
+def query_filtagg(qi):
+    # ANSI FILTER (WHERE ...) aggregates — per-aggregate predicates over
+    # one scan (exercises conditional-aggregate rewrite paths; a FILTER
+    # that matches nothing must yield 0 for counts and NULL for min/max
+    # in BOTH engines)
+    group = rng.choice(["l_returnflag", "l_linestatus", "l_linenumber"])
+    aggs = []
+    for i in range(rng.randint(2, 3)):
+        base = rng.choice([
+            "count(*)",
+            "sum(CAST(l_quantity AS BIGINT))",
+            "count(DISTINCT l_suppkey)",
+            "min(l_orderkey)",
+        ])
+        aggs.append(
+            f"CAST({base} FILTER (WHERE {predicate()}) AS BIGINT) AS f{i}")
+    return (f"SELECT {group} AS g0, {', '.join(aggs)} FROM lineitem "
+            f"WHERE {predicate()} GROUP BY {group} ORDER BY g0")
+
+
 FAMILIES = [
-    ("agg", query_agg, 0.20),
+    ("agg", query_agg, 0.14),
     ("oj", query_outerjoin, 0.15),
     ("win", query_window, 0.12),
-    ("sub", query_corrsub, 0.15),
+    ("sub", query_corrsub, 0.13),
     ("set", query_setop, 0.10),
     ("case", query_case, 0.05),
     ("latsel", query_latsel, 0.08),
     ("gsets", query_groupsets, 0.08),
     ("setwin", query_setwin, 0.07),
+    ("filtagg", query_filtagg, 0.08),
 ]
 
 
