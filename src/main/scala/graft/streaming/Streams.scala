@@ -61,9 +61,15 @@ object Streams {
     * under which any item with cnt·(k+1) > n is provably retained, the
     * same guarantee q183's oracle gates. Every batch emits the window's
     * retained counters tagged with a monotonically increasing VERSION
-    * (ValueState), so a reader can select each window's FINAL sketch
-    * (max ver) — giving the same terminal-sketch containment gate as
-    * q183's complete-mode read-back, from append-mode output.
+    * (ValueState), so a reader can select each window's latest NON-EMPTY
+    * emission (max ver) — the append-mode equivalent of q183's
+    * complete-mode read-back. Boundary: a fold whose merge decrements
+    * every counter to zero emits nothing, so max-ver then reads the
+    * previous batch's counters rather than the (empty) terminal state —
+    * which cannot affect the containment gate, because MG empties a
+    * window's counters only when that window holds NO guaranteed-heavy
+    * item (a guaranteed item is never fully decremented), and such
+    * windows contribute nothing to the gate.
     * TimeMode.None: state lives for the stream's lifetime; a production
     * deployment bounds it with `TTLConfig` instead of timers. */
   final class HeavyHittersProcessor(k: Int)
