@@ -93,6 +93,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.PqAdc].getName, "pq_adc"),
       (children: Seq[Expr]) => graft.functions.PqAdc(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("str_poly_hash"),
+      new ExpressionInfo(classOf[graft.functions.StrPolyHash].getName, "str_poly_hash"),
+      (children: Seq[Expr]) => graft.functions.StrPolyHash(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[graft.functions.WordShingles].getName, "word_shingles"),
       (children: Seq[Expr]) => graft.functions.WordShingles.fromFunctionCall(children)))

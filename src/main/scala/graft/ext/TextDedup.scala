@@ -234,12 +234,23 @@ object TextDedup {
   /** ANSI-mirrorable polynomial string hash: fold `acc·31 + codepoint`
     * mod [[MirrorP]] over the characters. Matches DuckDB's
     * `list_reduce(list_prepend(0, list_transform(string_split(s,''),
-    * c -> unicode(c))), (a,c) -> (a*31+c) % 1000000007)` bit-for-bit
-    * (empty splits filtered: Java's `split("")` keeps no trailing empty,
-    * but the filter makes the contract explicit). Higher-order functions
-    * are CodegenFallback — this is the AUDIT-mode base hash; XxMode's
-    * xxhash64 is the scale path. */
+    * c -> unicode(c))), (a,c) -> (a*31+c) % 1000000007)` bit-for-bit.
+    * Computed by the codegen'd [[graft.functions.StrPolyHash]] — the
+    * declarative `aggregate(filter(split(s,'')), …, pmod)` fold it
+    * replaces is CodegenFallback (interpreted lambda dispatch plus a
+    * per-character array per value), which dominated every MirrorMode
+    * shingle/word hash; equality is pinned in ExtSpec. Still the
+    * AUDIT-mode base hash; XxMode's xxhash64 is the scale path. */
   def strHash(s: Column): Column =
+    // direct expression, not call_function: resolves in sessions built
+    // without GraftExtensions (the [[minhashSignature]] rationale)
+    graft.functions.Cols.of(
+      graft.functions.StrPolyHash(graft.functions.Cols.expr(s)))
+
+  /** The declarative higher-order-function formulation of [[strHash]] —
+    * retained as the spec's equality witness (ExtSpec pins
+    * `strHashHof(s) === strHash(s)` on the corpus and edge cases). */
+  private[graft] def strHashHof(s: Column): Column =
     aggregate(
       org.apache.spark.sql.functions.filter(split(s, ""), c => c =!= ""),
       lit(0L),

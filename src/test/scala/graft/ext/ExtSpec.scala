@@ -60,6 +60,18 @@ class DedupSpec extends SparkTestBase {
         TextDedup.strHash(col("text")).as("h"))
       .as[(String, Long)].collect()
     got.foreach { case (t, h) => assert(h == ref(t), s"strHash mismatch on '$t'") }
+    // the codegen'd StrPolyHash must equal the declarative HOF fold it
+    // replaced (aggregate over split) VALUE-FOR-VALUE — including empty,
+    // whitespace-edged, and non-ASCII inputs (split('') pieces are code
+    // points; ascii() is codePointAt(0)), so swapping formulations cannot
+    // move any MirrorMode oracle hash
+    val edge = Seq("", " ", "  a  b ", "héllo wörld", "naïve café",
+      "日本語 テスト", "a\tb\nc", "x" * 500).toDF("s")
+    val diff = edge.select(TextDedup.strHash(col("s")).as("fast"),
+        TextDedup.strHashHof(col("s")).as("hof"), col("s"))
+      .where(col("fast") =!= col("hof"))
+      .collect()
+    assert(diff.isEmpty, s"StrPolyHash != HOF fold on: ${diff.mkString(", ")}")
     // the MirrorMode pipeline keeps the XxMode guarantees: candidates
     // verify against exact jaccard (subset) and identical docs collide in
     // every band (the q188/q189/q190/q181 oracles additionally prove the
