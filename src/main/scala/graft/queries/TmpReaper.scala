@@ -27,17 +27,25 @@ private[queries] object TmpReaper {
   * near-dup; the CC fold is order-insensitive and skips it). Returns the
   * input dir. */
 private[queries] object Staging {
+  import java.nio.file.{Files, Path, Paths}
+  import java.nio.file.attribute.FileTime
+  import scala.jdk.CollectionConverters._
+
   def stageBatches(slices: Seq[org.apache.spark.sql.DataFrame], tmp: String,
       startIndex: Int = 0, pinMtime: Boolean = false): String = {
-    import java.nio.file.{Files, Paths}
-    import java.nio.file.attribute.FileTime
-    import scala.jdk.CollectionConverters._
     val inDir = s"$tmp/in"
     Files.createDirectories(Paths.get(inDir))
-    slices.zipWithIndex.foreach { case (df, k) =>
-      val i = startIndex + k
-      val stage = s"$tmp/stage_$i"
-      df.coalesce(1).write.parquet(stage)
+    // Discovery-order mtimes: the file source orders files by timestamp, so
+    // batch_i must carry a strictly ascending mtime whether pinned (fixed
+    // epoch — deterministic order for order-SENSITIVE folds) or not (the
+    // old per-slice loop got ascending times for free from its serial
+    // writes; the one-job path writes every file in the same instant and
+    // must set them explicitly).
+    def stampMtime(dst: Path, i: Int): Unit =
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(
+        if (pinMtime) 1700000000000L + i * 60000L
+        else System.currentTimeMillis() + (i - startIndex).toLong))
+    def movePart(stage: String, i: Int): Unit = {
       val listing = Files.list(Paths.get(stage))
       val part = try listing.iterator().asScala
           .find(_.getFileName.toString.endsWith(".parquet"))
@@ -45,13 +53,51 @@ private[queries] object Staging {
         finally listing.close() // Files.list holds an open directory fd
       val dst = Paths.get(s"$inDir/batch_$i.parquet")
       Files.move(part, dst)
+      stampMtime(dst, i)
+    }
+    // single-slice fallback (also the empty-slice backfill): one
+    // scan+coalesce(1) write job for this slice alone
+    def stageOne(df: org.apache.spark.sql.DataFrame, i: Int): Unit = {
+      val stage = s"$tmp/stage_$i"
+      df.coalesce(1).write.parquet(stage)
+      movePart(stage, i)
       // the moved batch file is the only artifact the stream needs; the
       // stage dir (_SUCCESS/.crc leftovers) would otherwise accumulate one
       // staged copy per iteration for the life of the JVM under a Bench loop
       graft.engine.Fs.deleteRecursively(new java.io.File(stage))
-      if (pinMtime)
-        Files.setLastModifiedTime(dst,
-          FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val schemas = slices.map(_.schema.map(f => (f.name, f.dataType)))
+    if (slices.size > 1 && schemas.forall(_ == schemas.head)) {
+      // ONE job for every slice: tag each with its batch index, cluster by
+      // the tag, dynamic-partitioned write → exactly one part file per
+      // batch value (each value lands in one task), then move each into
+      // place. The per-slice loop this replaces paid one full scan+write
+      // JOB per slice, serially — at the contract SFs those serial fixed
+      // costs (job scheduling, write commit) dominated the staging phase
+      // of every streaming-contract query (measured on the q187 shape:
+      // 4 slices staged in 1.33 s warm; one job stages them in ~0.5 s).
+      // Row ORDER within a batch file becomes shuffle-merge order — fine:
+      // every staged slice feeds watermarked aggregates, joins, dedup, CC
+      // folds, or processors that sort within the batch; none consume
+      // file row order (the oracle gate re-proves each round).
+      val tagged = slices.zipWithIndex.map { case (df, k) =>
+        df.withColumn("__b", org.apache.spark.sql.functions.lit(startIndex + k))
+      }.reduce(_ unionByName _)
+      val stage = s"$tmp/stage_all_$startIndex"
+      tagged
+        .repartition(slices.size, org.apache.spark.sql.functions.col("__b"))
+        .write.partitionBy("__b").parquet(stage)
+      slices.indices.foreach { k =>
+        val i = startIndex + k
+        val dir = s"$stage/__b=$i"
+        if (Files.isDirectory(Paths.get(dir))) movePart(dir, i)
+        // an empty slice writes no partition directory: back-fill the
+        // empty single-file batch the old loop produced
+        else stageOne(slices(k).limit(0), i)
+      }
+      graft.engine.Fs.deleteRecursively(new java.io.File(stage))
+    } else {
+      slices.zipWithIndex.foreach { case (df, k) => stageOne(df, startIndex + k) }
     }
     inDir
   }
