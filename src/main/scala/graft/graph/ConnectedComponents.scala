@@ -70,15 +70,22 @@ object ConnectedComponents {
     // the shuffle join a cluster-scale edge set needs.
     val bcRows = spark.conf
       .get("spark.graft.cc.broadcastThreshold", "2000000").toLong
-    // Small-state partition collapse knob (the SCC device) — default OFF
-    // here: measured at sf0.1, CC is ~15% FASTER at full parallelism
-    // (q16 1.9 s vs 2.2 s, q48 5.6 vs 6.4). Unlike SCC's vertex-state
-    // probe rounds, a star round does real row work (bidirectional edge
-    // dedup + two joins over the edge set), so collapsing to few
-    // partitions costs more compute spread than it saves in task
-    // scheduling. The knob stays for skew/cluster tuning.
+    // Small-state partition collapse knob (the SCC device) — default 4:
+    // re-measured round 11 with interleaved A/B arms (QTime, tide
+    // cancels): collapse WINS everywhere the gate can fire — q16
+    // 3.40→2.88 s, q48 6.95→5.82, q94 7.60→7.19, q20 1.88→1.66 at
+    // sf0.1/local[32]; 2 and 4 are within noise of each other, 8 is
+    // neutral-to-worse. (An earlier round measured collapse slower, but
+    // that predated the lazy-checkpoint + one-job-per-round loop; with
+    // per-round actions minimized, the remaining cost IS the per-stage
+    // scheduling that collapse removes.) The gate is scale-adaptive, not
+    // local-mode-tuned: collapse applies only while the round state is
+    // ≤ broadcastThreshold rows (2M default) — tiny in absolute terms on
+    // any cluster (≤500k two-long rows per task at 4 partitions); past
+    // the threshold the plan keeps full shuffle parallelism. Set 0 to
+    // disable, or raise both knobs together for bigger executors.
     val smallParts = spark.conf
-      .get("spark.graft.cc.smallPartitions", "0").toInt
+      .get("spark.graft.cc.smallPartitions", "4").toInt
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
