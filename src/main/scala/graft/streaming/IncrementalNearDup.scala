@@ -75,8 +75,22 @@ final class IncrementalNearDupSink(idCol: String, textCol: String,
     val cands = storeCands.unionByName(TextDedup.chainCandidates(bkB))
       .dropDuplicates("id_l", "id_r")
     val shAll = shKept.map(_.unionByName(shB)).getOrElse(shB)
-    val edges = TextDedup.jaccardFromCounts(shAll,
-        TextDedup.candidateCommonCounts(shAll, cands), threshold)
+    // verification touches only candidate documents, so filter the shingle
+    // store to candidate ids FIRST: the per-pair size lookups and both
+    // (id, sh) probe joins then run over O(candidates) rows instead of
+    // scanning the whole accumulated store three times per micro-batch
+    // (sizes aggregate + two verification joins) — the per-batch cost
+    // tracks the batch, not the corpus. Identical result: every join in
+    // jaccardFromCounts/candidateCommonCounts keys on a candidate id, and
+    // the semi-join keeps ALL shingle rows of those ids, so each
+    // candidate's size and intersection counts are unchanged.
+    val candIds = cands.select(col("id_l").as("id"))
+      .unionByName(cands.select(col("id_r").as("id")))
+      .dropDuplicates("id")
+    val shCand = shAll.join(candIds, Seq("id"), "left_semi")
+      .localCheckpoint(false) // read three times (sizes + both probes)
+    val edges = TextDedup.jaccardFromCounts(shCand,
+        TextDedup.candidateCommonCounts(shCand, cands), threshold)
       .select(col("id_l").as("src"), col("id_r").as("dst"))
 
     // min-id components over batch ∪ touched-keeper ids
