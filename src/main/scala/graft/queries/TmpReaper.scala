@@ -67,7 +67,11 @@ private[queries] object Staging {
       graft.engine.Fs.deleteRecursively(new java.io.File(stage))
     }
     val schemas = slices.map(_.schema.map(f => (f.name, f.dataType)))
-    if (slices.size > 1 && schemas.forall(_ == schemas.head)) {
+    // conf valve (A/B instrument + ops escape hatch): false restores the
+    // one-write-job-per-slice loop
+    val oneJob = slices.headOption.forall(
+      _.sparkSession.conf.get("spark.graft.staging.oneJob", "true").toBoolean)
+    if (oneJob && slices.size > 1 && schemas.forall(_ == schemas.head)) {
       // ONE job for every slice: tag each with its batch index, cluster by
       // the tag, dynamic-partitioned write → exactly one part file per
       // batch value (each value lands in one task), then move each into
