@@ -47,3 +47,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // thread counts oversubscribe the cores and stall whole stages
   "-XX:ParallelGCThreads=8", "-XX:ConcGCThreads=2",
 )
+// Test JVM heap headroom (round 12): the driver's round-11 `sbt test` run
+// died with a stopped-SparkContext cascade most plausibly triggered by an
+// OOM under host load — 435 suites share one 4g JVM whose storage region
+// accumulates localCheckpoint blocks between suites. 6g (appended last, so
+// it wins over the 4g run-path default) buys headroom without touching the
+// bench JVM, whose 4g sizing is measured (see driverHeap note above).
+Test / javaOptions += "-Xmx6g"

@@ -50,7 +50,8 @@ object Stats {
     val fields = df.schema.fields
     val aggs = fields.flatMap { f =>
       val c = col(f.name)
-      val ndv = if (approxNdv) approx_count_distinct(c) else countDistinct(c)
+      // approxNdv is always true here (the exact path returned above)
+      val ndv = approx_count_distinct(c)
       Seq(
         count(c).as(s"__cnt_${f.name}"),
         ndv.as(s"__ndv_${f.name}"),

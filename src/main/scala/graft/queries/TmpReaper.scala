@@ -41,10 +41,14 @@ private[queries] object Staging {
     // old per-slice loop got ascending times for free from its serial
     // writes; the one-job path writes every file in the same instant and
     // must set them explicitly).
+    // non-pinned stamps are spaced 1 s apart (not 1 ms): a filesystem that
+    // truncates mtime to whole seconds would otherwise collapse every batch
+    // staged by one job to the same timestamp, making discovery order
+    // arbitrary. Slightly-future mtimes are harmless to the file source.
     def stampMtime(dst: Path, i: Int): Unit =
       Files.setLastModifiedTime(dst, FileTime.fromMillis(
         if (pinMtime) 1700000000000L + i * 60000L
-        else System.currentTimeMillis() + (i - startIndex).toLong))
+        else System.currentTimeMillis() + (i - startIndex).toLong * 1000L))
     def movePart(stage: String, i: Int): Unit = {
       val listing = Files.list(Paths.get(stage))
       val part = try listing.iterator().asScala
@@ -71,6 +75,10 @@ private[queries] object Staging {
     // one-write-job-per-slice loop
     val oneJob = slices.headOption.forall(
       _.sparkSession.conf.get("spark.graft.staging.oneJob", "true").toBoolean)
+    // the batch tag column is reserved: a slice that already carried one
+    // would be silently overwritten and stripped by partitionBy — fail loud
+    require(slices.forall(!_.columns.contains("__b")),
+      "stageBatches: slices must not carry a reserved __b column")
     if (oneJob && slices.size > 1 && schemas.forall(_ == schemas.head)) {
       // ONE job for every slice: tag each with its batch index, cluster by
       // the tag, dynamic-partitioned write → exactly one part file per

@@ -65,8 +65,11 @@ class DedupSpec extends SparkTestBase {
     // whitespace-edged, and non-ASCII inputs (split('') pieces are code
     // points; ascii() is codePointAt(0)), so swapping formulations cannot
     // move any MirrorMode oracle hash
+    // includes supplementary-plane input (surrogate pairs): the equivalence
+    // argument rests on code-point iteration matching split('') pieces
     val edge = Seq("", " ", "  a  b ", "héllo wörld", "naïve café",
-      "日本語 テスト", "a\tb\nc", "x" * 500).toDF("s")
+      "日本語 テスト", "a\tb\nc", "x" * 500,
+      "a😀b", "😀", "𝔘𝔫𝔦𝔠𝔬𝔡𝔢 🎉 done").toDF("s")
     val diff = edge.select(TextDedup.strHash(col("s")).as("fast"),
         TextDedup.strHashHof(col("s")).as("hof"), col("s"))
       .where(col("fast") =!= col("hof"))
